@@ -1,0 +1,543 @@
+"""LLM-data-pipeline operators over documents/embeddings (SURVEY.md §2.5
+north star): dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+similarity search (exact brute-force + IVF scale path), text analysis
+(language-ID, quality scoring, token counting, fingerprinting).
+
+Oracle-checkable where SQL can express the op (md5 is the only hash both
+engines share bit-for-bit; sketch hashes (xxhash64) are Spark-only, so
+MinHash/SimHash are rows-only checks, as the driver contract allows).
+
+Scale design (100 TB of documents):
+- everything is explode -> hash-aggregate -> equi-join; no crossJoin except
+  the *exact* brute-force similarity (kept as the correctness baseline; the
+  IVF variant is the scale path);
+- shingle self-joins are capped by document-frequency (stop-shingle
+  filtering) to bound the join fan-out on hot shingles — the cap is part of
+  the operator's contract and mirrored in the oracle;
+- MinHash bands turn near-dup search into an equi-join on (band, signature),
+  the standard LSH bucket-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark.registry import register
+from hadoop_distexec_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3  # words per shingle
+MAX_SHINGLE_DF = 100  # stop-shingle cap for the pair join
+NUM_PERM = 16  # minhash permutations
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of SHINGLE_K-word shingles.
+
+    Spark twin of the oracle fragment:
+    ``list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))``.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+        lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
+    )
+    return (
+        docs.filter(n >= SHINGLE_K)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id, UNNEST(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                    i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+    FROM toks WHERE len(t) >= {SHINGLE_K}
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: whitespace/case-normalized md5 fingerprint, hash
+    groupBy, min doc_id as deterministic canonical representative. At scale
+    this is one shuffle on a 128-bit key."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8")
+    ).alias("fingerprint")
+    return docs.groupBy(fp).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="WITH "
+    + _SHINGLES_SQL
+    + f""",
+    keep AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: explode shingles -> stop-shingle cap
+    -> equi-self-join -> per-pair intersection counts -> Jaccard. The
+    document-frequency cap bounds the join fan-out on hot shingles (part of
+    the operator contract, mirrored in the oracle)."""
+    s = _shingles_df(spark, sf_dir)
+    keep = s.groupBy("shingle").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("shingle")
+    s = s.join(keep, "shingle")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@register("q_dedup_minhash", oracle=None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH band join: shingle -> NUM_PERM xxhash64 min-signatures
+    -> LSH_BANDS band keys -> bucket equi-join for candidates -> exact
+    Jaccard verify. No crossJoin anywhere; at 100 TB the band join is the
+    only shuffle that touches pairs, and it only sees true bucket
+    collisions. xxhash64 is not available in DuckDB -> rows-only check."""
+    s = _shingles_df(spark, sf_dir)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"m{seed}")
+        for seed in range(NUM_PERM)
+    ]
+    sig = s.groupBy("doc_id").agg(*mins)
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from token-hash bit votes; banded
+    into 4x16-bit keys so candidate pairs come from an equi-join (documents
+    with hamming distance <= 12 reported). xxhash64 -> rows-only check."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    h = F.xxhash64("token")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash.bitwiseOR(bit)
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bucket")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bucket")
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+# NB: float -> DOUBLE -> DECIMAL. Casting float32 straight to decimal is
+# engine-specific (Spark goes through the float's shortest string repr,
+# DuckDB scales in float precision); upcasting to double first makes both
+# engines round the same 64-bit value to 8 decimals.
+_DEC_DOT = (
+    "CAST(CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "p -> CAST(CAST(p[1] AS DOUBLE) AS DECIMAL(12,8)) * "
+    "CAST(CAST(p[2] AS DOUBLE) AS DECIMAL(12,8)))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _spark_dot(a, b):
+    """Exact-decimal dot product (order-insensitive, oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: x.cast("double").cast("decimal(12,8)")
+            * y.cast("double").cast("decimal(12,8)"),
+        ),
+        F.lit(0).cast("decimal(30,16)"),
+        lambda acc, v: (acc + v).cast("decimal(30,16)"),
+    ).cast("double")
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm2 AS q_n2 FROM e WHERE vec_id < 5),
+    p AS (
+      SELECT q_id, e.vec_id AS c_id,
+             {_DEC_DOT.format(a='q_emb', b='e.embedding')} / SQRT(q_n2 * e.norm2) AS cosine
+      FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+    ),
+    r AS (SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+          FROM p)
+    SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the correctness baseline; see
+    q_sim_ivf for the scale path). Queries broadcast against all candidates;
+    dot products in exact decimal so Spark and DuckDB rank identically."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("norm2").alias("q_n2")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    cosine = _spark_dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("norm2")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        pairs.select("q_id", F.col("vec_id").alias("c_id"), cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register("q_sim_ivf", oracle=None)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids per label cell (posexplode + avg), probe the
+    2 nearest cells per query, exact cosine only within probed cells. At
+    100 TB the candidate set shrinks by ~nlist/nprobe; centroids stay tiny
+    and broadcast. Distances in plain double (no oracle; rows-only)."""
+    e = table(spark, sf_dir, "embeddings")
+    # centroids: avg per (label, dim) — one shuffle of (label, dim) pairs
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(a):
+        return F.sqrt(dot(a, a))
+
+    qc = (
+        q.crossJoin(F.broadcast(cells))
+        .select(
+            "q_id",
+            "q_emb",
+            "label",
+            (dot(F.col("q_emb"), F.col("centroid")) / (norm(F.col("q_emb")) * norm(F.col("centroid")))).alias(
+                "c_sim"
+            ),
+        )
+        .withColumn("c_rank", F.row_number().over(W.partitionBy("q_id").orderBy(F.col("c_sim").desc())))
+        .filter(F.col("c_rank") <= 2)  # nprobe = 2
+        .select("q_id", "q_emb", "label")
+    )
+    cand = qc.join(e, "label").filter(F.col("vec_id") != F.col("q_id"))
+    cosine = dot(F.col("q_emb"), F.col("embedding")) / (
+        norm(F.col("q_emb")) * norm(F.col("embedding"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("c_id"), cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+           CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(LEN(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INT) AS n_unique_tokens,
+           CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / LEN(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (all JVM-side string expressions)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+_LANG_PATTERNS = {
+    "en": r"\b(the|of|and)\b",
+    "es": r"\b(el|la|de)\b",
+    "de": r"\b(der|die|das)\b",
+}
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             LEN(regexp_extract_all(text, '{_LANG_PATTERNS["en"]}')) AS n_en,
+             LEN(regexp_extract_all(text, '{_LANG_PATTERNS["es"]}')) AS n_es,
+             LEN(regexp_extract_all(text, '{_LANG_PATTERNS["de"]}')) AS n_de
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_en AS INT) AS n_en, CAST(n_es AS INT) AS n_es,
+           CAST(n_de AS INT) AS n_de,
+           CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+                WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS lang_guess
+    FROM c
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-pattern counts + deterministic
+    argmax. (The fixture text is synthetic word soup, so the guess mostly
+    lands 'en' — the operator contract is the deterministic scoring.)"""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(_LANG_PATTERNS["en"])).alias("n_en"),
+        F.regexp_count("text", F.lit(_LANG_PATTERNS["es"])).alias("n_es"),
+        F.regexp_count("text", F.lit(_LANG_PATTERNS["de"])).alias("n_de"),
+    )
+    guess = (
+        F.when((F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_de")), "en")
+        .when(F.col("n_es") >= F.col("n_de"), "es")
+        .otherwise("de")
+    )
+    return c.withColumn("lang_guess", guess)
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_symbols,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words, numbers, symbols and a BPE-ish
+    pre-tokenizer regex — the standard LLM-corpus accounting pass."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_symbols"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS INT) AS n_tokens,
+           CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS INT)
+             AS n_stopwords,
+           CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / LEN(toks) AS stop_ratio,
+           CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS uniq_ratio,
+           CAST(n_chars AS DOUBLE) / LEN(toks) AS chars_per_token
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction: stopword ratio, uniqueness ratio,
+    chars-per-token — the usual corpus-filtering features."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop = F.array([F.lit(x) for x in ("the", "a", "of", "and", "to", "in")])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           SUBSTR(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8) AS bucket
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized md5 (the one hash both engines
+    share bit-for-bit) + an 8-hex-char shard bucket."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    )

@@ -1,0 +1,381 @@
+"""The distexec core operator: pipe every file of a tree through a shell
+command, mirroring the source layout at the destination.
+
+Semantics checklist, each with its reference citation
+(/root/reference/src/main/java/com/kadwa/hadoop/...):
+
+- per-file subprocess with three pump threads src->stdin, stdout->dst,
+  stderr->side file (distexec/ExecFilesMapper.java:82-154,
+  distexec/SingleExecution.java:21-112);
+- **lazy destination creation**: a command producing no stdout yields no
+  destination file at all (LazyCreateOutputStream,
+  distexec/ExecFilesMapper.java:46-80; rename guarded on tmp existence at
+  :162);
+- per-file ``<rel_dst>.stderr`` side files, same lazy semantics
+  (distexec/ExecFilesMapper.java:86,108,119,148);
+- atomic commit: write to tmp, delete-if-exists, rename; tmp cleanup with
+  retries on failure (distexec/ExecFilesMapper.java:107,147-148,156-170,
+  189-201);
+- grep-family exit-1 tolerance (distexec/Executor.java:33-35,50-51);
+- per-record failure isolation: a bad file increments FAIL, emits a log
+  record and the job continues (distexec/ExecFilesMapper.java:173-208);
+- empty directories are preserved (distexec/ExecFilesMapper.java:91-105);
+- duplicate-destination pre-flight (DistExec.java:630-631,647-673) and
+  source existence check (DistExec.java:209-226);
+- counters EXECUTED/FAIL/BYTESEXECUTED/BYTESWRITTEN
+  (distexec/ExecFilesMapper.java:27) — here per-row columns aggregated
+  relationally plus Spark accumulators;
+- FAIL log records written under the destination
+  (distexec/ExecFilesMapper.java:184-187; log path defaulting
+  DistExec.java:507-521).
+
+Why not ``RDD.pipe``: Spark's pipe is per-partition and line-oriented; the
+reference's contract is per-*file* whole-stream with separate stderr, lazy
+create and an exit-code policy, so the operator is a ``mapPartitions`` over
+the manifest. Only manifest *rows* (paths + stats) flow through Spark —
+file bytes stream directly disk -> child process -> disk on the executor,
+never through the JVM, exactly like the reference (128 KiB buffered
+streams, distexec/ExecFilesMapper.java:35).
+
+Scale design: the manifest is a DataFrame (distributed listing, see
+sources/manifest.py); partitions are balanced by *bytes* with the same
+greedy rule as the reference's ExecInputFormat (DistExec.java:132-177) via
+``plan_partitions``; tasks write independently (no cross-task coordination;
+speculative execution must stay off, DistExec.java:443-445).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError
+from hadoop_distexec_spark.pipe.cmdline import exit_ok, tokenize
+from hadoop_distexec_spark.sources.manifest import build_manifest
+
+BUF_SIZE = 128 * 1024  # reference copy.buf.size (ExecFilesMapper.java:35)
+PUMP_JOIN_TIMEOUT = 10.0  # reference SingleExecution.java:48-51
+CLEANUP_RETRIES = 3  # reference ExecFilesMapper.java:189-200
+CLEANUP_SLEEP = float(os.environ.get("DISTEXEC_CLEANUP_SLEEP", "3.0"))
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("src_path", T.StringType(), False),
+        T.StructField("rel_dst", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),  # EXECUTED | FAIL | DIR
+        T.StructField("exit_code", T.IntegerType(), True),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("bytes_out", T.LongType(), False),
+        T.StructField("bytes_err", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class PipeMetrics:
+    executed: int = 0
+    failed: int = 0
+    bytes_executed: int = 0
+    bytes_written: int = 0
+
+
+class _Pump(threading.Thread):
+    """Stream pump between a file object and a (lazily created) sink —
+    reference SingleExecution.java:65-112. The lazy sink preserves the
+    reference's no-stdout => no-destination-file rule."""
+
+    def __init__(self, src, sink_path: str | None, sink_file=None):
+        super().__init__(daemon=True)
+        self.src = src
+        self.sink_path = sink_path
+        self.sink = sink_file
+        self.count = 0
+        self.error: Exception | None = None
+
+    def run(self):
+        out = self.sink
+        try:
+            while True:
+                chunk = self.src.read(BUF_SIZE)
+                if not chunk:
+                    break
+                if out is None:  # lazy create on first byte
+                    out = open(self.sink_path, "wb", buffering=BUF_SIZE)
+                out.write(chunk)
+                self.count += len(chunk)
+        except Exception as e:  # recorded, surfaced by the caller
+            self.error = e
+        finally:
+            try:
+                if out is not None and out is not self.sink:
+                    out.close()
+                elif out is not None:
+                    out.flush()
+            except Exception as e:
+                self.error = self.error or e
+            try:
+                self.src.close()
+            except Exception:
+                pass
+
+
+class _StdinPump(threading.Thread):
+    """src file -> child stdin (reference SingleExecution.java:21-38)."""
+
+    def __init__(self, src_path: str, stdin):
+        super().__init__(daemon=True)
+        self.src_path = src_path
+        self.stdin = stdin
+        self.count = 0
+        self.error: Exception | None = None
+
+    def run(self):
+        try:
+            with open(self.src_path, "rb", buffering=BUF_SIZE) as f:
+                while True:
+                    chunk = f.read(BUF_SIZE)
+                    if not chunk:
+                        break
+                    self.stdin.write(chunk)
+                    self.count += len(chunk)
+        except BrokenPipeError:
+            pass  # child exited early (e.g. head); not an error by itself
+        except Exception as e:
+            self.error = e
+        finally:
+            try:
+                self.stdin.close()
+            except Exception:
+                pass
+
+
+def _cleanup(paths: Iterable[str]) -> None:
+    """Delete tmp files, retrying like the reference
+    (ExecFilesMapper.java:189-201: 3 tries, sleep between)."""
+    for p in paths:
+        for attempt in range(CLEANUP_RETRIES):
+            try:
+                if os.path.exists(p):
+                    os.remove(p)
+                break
+            except OSError:
+                if attempt + 1 < CLEANUP_RETRIES:
+                    time.sleep(CLEANUP_SLEEP)
+
+
+def _commit(tmp: str, final: str) -> None:
+    """delete-if-exists + rename (ExecFilesMapper.java:156-170); rename is
+    atomic on POSIX, making re-runs idempotent."""
+    if os.path.exists(tmp):
+        os.makedirs(os.path.dirname(final) or "/", exist_ok=True)
+        if os.path.exists(final):
+            os.remove(final)
+        os.replace(tmp, final)
+
+
+def _exec_one(
+    src_path: str,
+    rel_dst: str,
+    dst_root: str,
+    tmp_dir: str,
+    argv: list[str],
+    redirect_err_to_out: bool,
+) -> tuple[str, int | None, int, int, int, str | None]:
+    """Run one file through the child process.
+
+    Returns (status, exit_code, bytes_in, bytes_out, bytes_err, error).
+    Orchestration mirrors ExecFilesMapper.execution()
+    (ExecFilesMapper.java:82-154).
+    """
+    final = os.path.join(dst_root, rel_dst) if rel_dst != "." else dst_root
+    uniq = uuid.uuid4().hex[:12]
+    tmp_out = os.path.join(tmp_dir, f"{uniq}.out")
+    tmp_err = os.path.join(tmp_dir, f"{uniq}.err")
+    try:
+        proc = subprocess.Popen(
+            argv,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            # the reference *parsed* -redirectErrorToOut but never applied it
+            # (ExecFilesMapper.java:31,232); implemented for real here.
+            stderr=subprocess.STDOUT if redirect_err_to_out else subprocess.PIPE,
+            bufsize=BUF_SIZE,
+        )
+    except OSError as e:
+        return ("FAIL", None, 0, 0, 0, f"spawn failed: {e}")
+
+    pin = _StdinPump(src_path, proc.stdin)
+    pout = _Pump(proc.stdout, tmp_out)
+    pumps = [pin, pout]
+    perr = None
+    if not redirect_err_to_out:
+        perr = _Pump(proc.stderr, tmp_err)
+        pumps.append(perr)
+    for p in pumps:
+        p.start()
+    rc = proc.wait()
+    for p in pumps:
+        p.join(PUMP_JOIN_TIMEOUT)
+
+    errors = [p.error for p in pumps if p.error]
+    ok = exit_ok(argv, rc) and not errors
+    bytes_err = perr.count if perr else 0
+    if ok:
+        try:
+            _commit(tmp_out, final)
+            if perr:
+                _commit(tmp_err, final + ".stderr")
+            return ("EXECUTED", rc, pin.count, pout.count, bytes_err, None)
+        except OSError as e:
+            errors.append(e)
+    _cleanup([tmp_out, tmp_err])
+    msg = f"exit={rc}" + ("; " + "; ".join(map(str, errors)) if errors else "")
+    return ("FAIL", rc, pin.count, pout.count, bytes_err, msg)
+
+
+def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFrame:
+    """Assign files to byte-balanced bins — the reference's greedy
+    prefix-sum split planning (ExecInputFormat.getSplits,
+    DistExec.java:132-177) as a cumulative-sum window over manifest
+    *metadata* (planning-scale rows, never the data)."""
+    files = manifest.filter(~F.col("is_dir"))
+    if n_tasks is None:
+        n_files = files.count()
+        cap = files.sparkSession.sparkContext.defaultParallelism * 4
+        # one map per file, capped — reference setMapCount (DistExec.java:419-426)
+        n_tasks = max(1, min(n_files, cap))
+    total = files.agg(F.sum("size").alias("_total"))
+    w = W.orderBy("src_path").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        files.withColumn("_cum", F.coalesce(F.sum("size").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bin",
+            F.least(
+                F.expr(f"_cum div greatest(cast(ceil(_total / {n_tasks}) as bigint), 1L)"),
+                F.lit(n_tasks - 1),
+            ).cast("int"),
+        )
+        .drop("_cum", "_total")
+    ), n_tasks
+
+
+def distexec(
+    spark: SparkSession,
+    srcs: list[str] | str,
+    dst: str,
+    cmd: str | list[str],
+    *,
+    redirect_err_to_out: bool = False,
+    n_tasks: int | None = None,
+    log_dir: str | None = None,
+) -> DataFrame:
+    """Distributed per-file command execution — `hadoop distexec src dst cmd`
+    (reference README.md:9-10) as a Spark job.
+
+    Returns the per-file results DataFrame (RESULT_SCHEMA); FAIL rows are
+    also written as text logs under ``log_dir`` (default
+    ``<dst>/_distexec_logs``, reference DistExec.java:507-521).
+    """
+    argv = tokenize(cmd)
+    manifest = build_manifest(spark, srcs, dst)
+
+    # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
+    dups = (
+        manifest.filter(~F.col("is_dir"))
+        .groupBy("rel_dst")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(20)
+        .collect()
+    )
+    if dups:
+        raise DuplicationError(
+            "duplicate destinations: " + ", ".join(r["rel_dst"] for r in dups)
+        )
+
+    os.makedirs(dst, exist_ok=True)
+    # empty-dir preservation pass (ExecFilesMapper.java:91-105): dirs are
+    # manifest records; tiny row count, applied driver-side.
+    dirs = manifest.filter(F.col("is_dir")).select("rel_dst").collect()
+    for r in dirs:
+        if r["rel_dst"] and r["rel_dst"] != ".":
+            os.makedirs(os.path.join(dst, r["rel_dst"]), exist_ok=True)
+
+    tmp_dir = os.path.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    planned, n_tasks = plan_partitions(manifest, n_tasks)
+    planned = planned.repartition(n_tasks, "bin")
+
+    sc = spark.sparkContext
+    acc_exec = sc.accumulator(0)
+    acc_fail = sc.accumulator(0)
+    acc_bytes_in = sc.accumulator(0)
+    acc_bytes_out = sc.accumulator(0)
+
+    def run_partition(rows: Iterator[Row]) -> Iterator[Row]:
+        for row in rows:
+            try:
+                status, rc, b_in, b_out, b_err, err = _exec_one(
+                    row["src_path"], row["rel_dst"], dst, tmp_dir, argv, redirect_err_to_out
+                )
+            except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
+                status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
+            if status == "EXECUTED":
+                acc_exec.add(1)
+                acc_bytes_in.add(b_in)
+                acc_bytes_out.add(b_out)
+            else:
+                acc_fail.add(1)
+            yield Row(
+                src_path=row["src_path"],
+                rel_dst=row["rel_dst"],
+                status=status,
+                exit_code=rc,
+                bytes_in=b_in,
+                bytes_out=b_out,
+                bytes_err=b_err,
+                error=err,
+            )
+
+    results = spark.createDataFrame(
+        planned.select("src_path", "rel_dst").rdd.mapPartitions(run_partition), RESULT_SCHEMA
+    )
+    results = results.cache()
+    results.count()  # materialize: executes the job, fills accumulators
+
+    # FAIL log records (ExecFilesMapper.java:184-187)
+    log_dir = log_dir or os.path.join(dst, "_distexec_logs")
+    fails = results.filter(F.col("status") == "FAIL")
+    if fails.limit(1).count() > 0:
+        fails.select(
+            F.concat(F.lit("FAIL "), "rel_dst", F.lit(" : "), F.coalesce("error", F.lit("?"))).alias(
+                "value"
+            )
+        ).write.mode("overwrite").text(log_dir)
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return results
+
+
+def metrics(results: DataFrame) -> DataFrame:
+    """Counters as a relational aggregate (reference Counter enum,
+    ExecFilesMapper.java:27)."""
+    return results.agg(
+        F.sum(F.when(F.col("status") == "EXECUTED", 1).otherwise(0)).alias("executed"),
+        F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("fail"),
+        F.sum("bytes_in").alias("bytes_executed"),
+        F.sum("bytes_out").alias("bytes_written"),
+    )

@@ -1,0 +1,155 @@
+"""Manifest builder: recursive tree enumeration -> manifest DataFrame.
+
+The reference walks the whole tree on the *client* with an explicit stack
+(reference DistExec.java:546-614) and spills three SequenceFile manifests.
+That walk is a driver bottleneck at 100 TB, so this builder fans the
+listing out per directory on executors in BFS rounds: the driver holds only
+the directory frontier (one string per directory); file entries never leave
+the cluster (they stay in RDDs and become the manifest DataFrame).
+
+Manifest schema (SURVEY.md §1): src_path, rel_dst, size, is_dir, mtime.
+``rel_dst`` implements the reference's ``makeRelative`` rebasing
+(DistExec.java:388-410) including the single-source "special" root rule
+(DistExec.java:545,553).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import stat as statmod
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_distexec_spark.errors import InvalidInputError
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("src_path", T.StringType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("is_dir", T.BooleanType(), False),
+        T.StructField("mtime", T.TimestampType(), True),
+    ]
+)
+
+
+def make_relative(root: str, path: str) -> str | None:
+    """Strip ``root`` from ``path`` (reference makeRelative,
+    DistExec.java:388-410): returns "." when path == root, None when path is
+    not a descendant of root."""
+    root = root.rstrip("/") or "/"
+    path = path.rstrip("/") or "/"
+    if path == root:
+        return "."
+    prefix = "/" if root == "/" else root + "/"
+    if not path.startswith(prefix):
+        return None
+    return path[len(prefix) :]
+
+
+def _stat_entry(path: str) -> tuple[str, int, bool, datetime.datetime]:
+    st = os.stat(path)
+    is_dir = statmod.S_ISDIR(st.st_mode)
+    # dirs carry size 0, matching the reference's manifest key
+    # (DistExec.java:592: dirs are written with a 0 size key).
+    return (
+        path,
+        0 if is_dir else int(st.st_size),
+        is_dir,
+        datetime.datetime.fromtimestamp(st.st_mtime, tz=datetime.timezone.utc).replace(tzinfo=None),
+    )
+
+
+def _list_dir(path: str) -> list[tuple[str, int, bool, datetime.datetime]]:
+    """Executor-side: one directory's direct children."""
+    out = []
+    try:
+        names = sorted(os.listdir(path))
+    except (FileNotFoundError, NotADirectoryError, PermissionError):
+        return out
+    for name in names:
+        try:
+            out.append(_stat_entry(os.path.join(path, name)))
+        except OSError:
+            continue
+    return out
+
+
+def check_src_paths(srcs: list[str]) -> None:
+    """Every source must exist; all misses accumulated before raising
+    (reference checkSrcPath, DistExec.java:209-226)."""
+    missing = [s for s in srcs if not os.path.exists(s)]
+    if missing:
+        raise InvalidInputError(missing)
+
+
+def build_manifest(
+    spark: SparkSession,
+    srcs: list[str] | str,
+    dst: str | None = None,
+) -> DataFrame:
+    """Enumerate source trees into a manifest DataFrame with rel_dst.
+
+    Root rule (reference DistExec.java:545,553): normally each entry is
+    rebased against ``src.getParent()``; in the "special" case — exactly one
+    source, it is a directory, and the destination does not yet exist — the
+    root is the source dir itself, so its children land directly under dst.
+    """
+    if isinstance(srcs, str):
+        srcs = [srcs]
+    srcs = [os.path.abspath(s) for s in srcs]
+    check_src_paths(srcs)
+
+    special = len(srcs) == 1 and os.path.isdir(srcs[0]) and (dst is None or not os.path.exists(dst))
+    sc = spark.sparkContext
+
+    rows: list[tuple] = []  # (src_path, size, is_dir, mtime, root)
+    rdds = []
+    for src in srcs:
+        root = src if special else (os.path.dirname(src) or "/")
+        entry = _stat_entry(src)
+        rows.append((*entry, root))
+        if entry[2]:  # directory: BFS fan-out on executors
+            frontier = [src]
+            while frontier:
+                listing = sc.parallelize(frontier, max(1, min(len(frontier), 256))).flatMap(
+                    _list_dir
+                )
+                listing = listing.map(lambda e, _root=root: (*e, _root))
+                listing.persist()
+                # only directory *names* come back to the driver
+                frontier = [e[0] for e in listing.filter(lambda e: e[2]).collect()]
+                rdds.append(listing)
+
+    base = sc.parallelize(rows, 1)
+    for r in rdds:
+        base = base.union(r)
+
+    schema = T.StructType(
+        [*MANIFEST_SCHEMA.fields, T.StructField("root", T.StringType(), False)]
+    )
+    df = spark.createDataFrame(base, schema)
+    # rel_dst = path minus root prefix; "." for the root itself
+    # (makeRelative, DistExec.java:388-410). Pure column expressions so the
+    # projection stays in codegen.
+    rel = F.when(F.col("src_path") == F.col("root"), F.lit(".")).otherwise(
+        F.expr("substring(src_path, length(root) + 2)")
+    )
+    return df.select(
+        "src_path",
+        rel.alias("rel_dst"),
+        "size",
+        "is_dir",
+        "mtime",
+    )
+
+
+def read_uri_list(spark: SparkSession, uri_file: str) -> DataFrame:
+    """Newline-delimited path list source — the reference inherited
+    ``fetchFileList`` from DistCp's -f flag (DistExec.java:188-204; dead
+    code there, useful here)."""
+    return spark.read.text(uri_file).select(F.trim("value").alias("src_path")).filter(
+        F.length("src_path") > 0
+    )

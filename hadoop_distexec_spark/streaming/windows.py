@@ -1,0 +1,191 @@
+"""Streaming operators over the events table.
+
+Batch-mode window queries (oracle-checkable, as the driver contract wants)
+plus genuine Structured Streaming wrappers (readStream + watermark) used by
+the streaming tests. The reference is batch-only MapReduce; its per-record
+failure tolerance maps to watermark-based late-data policy here
+(SURVEY.md §2.5).
+
+Determinism: window boundaries are exported as epoch BIGINTs
+(seconds for fixed windows, microseconds for session bounds) — never raw
+timestamps — so Spark (session-TZ UTC) and DuckDB (naive UTC) hash alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_distexec_spark.registry import register
+from hadoop_distexec_spark.sources.tables import table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "q_stream_tumble",
+    oracle="""
+    SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 600) * 600 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregate — the real F.window operator
+    (same plan streaming and batch), window start exported as epoch."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_slide",
+    oracle="""
+    WITH e AS (
+      SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 AS base, event_type, value
+      FROM events
+    ),
+    w AS (
+      SELECT base - off.o AS window_start, event_type, value
+      FROM e CROSS JOIN (SELECT UNNEST([0, 300]) AS o) off
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes: each event lands in two
+    windows; the oracle enumerates them explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    g AS (
+      SELECT user_id, us, value,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, us, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the native
+    session_window operator; the oracle is the classic gaps-and-islands
+    rewrite at microsecond precision (Spark sessionizes on micros, so the
+    oracle must too). session_end = last event + gap, matching Spark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# genuine Structured Streaming wrappers (exercised by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source streaming)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+
+
+def streaming_tumble(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window streaming aggregate with watermark-based late-data
+    policy (the streaming analog of the reference's per-record failure
+    tolerance: late/bad records are bounded, not job-fatal)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+    """Session-window streaming aggregate (stateful)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
