@@ -20,10 +20,13 @@ from pyspark.sql import types as T
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
+# ts is TIMESTAMP(NANOS) in the parquet; with
+# spark.sql.legacy.parquet.nanosAsLong (session.py) it arrives as int64
+# nanos, converted to a micros TimestampType inside read_events_stream.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -152,12 +155,17 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (file-source streaming)."""
-    return (
+    """readStream over the events parquet (file-source streaming), with the
+    nanos->micros timestamp normalization applied at the source."""
+    # the file stream source needs a directory; glob-filter to the events
+    # table inside the sf dir
+    raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumble(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:

@@ -1,0 +1,192 @@
+"""Pipe-executor semantics suite — every behavior from FIXTURES.md §B with
+its reference citation (files under /root/reference/src/main/java/com/kadwa/hadoop/)."""
+
+import os
+import pathlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark import DuplicationError, InvalidInputError, distexec
+from hadoop_distexec_spark.pipe.cmdline import exit_ok, tokenize
+from hadoop_distexec_spark.pipe.executor import metrics
+
+os.environ.setdefault("DISTEXEC_CLEANUP_SLEEP", "0.1")
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    t = tmp_path / "tree"
+    (t / "sub").mkdir(parents=True)
+    (t / "empty_dir").mkdir()
+    (t / "a.txt").write_text("Hello this is my string")
+    (t / "sub" / "b.txt").write_text("line one\nline two with pattern\n")
+    (t / "nomatch.txt").write_text("nothing to see here\n")
+    return t
+
+
+def test_identity_cat_roundtrip(spark, tree, tmp_path):
+    """cat pipe: output bytes == input bytes, counters match
+    (SimpleExecutorTest.java:20-36 semantics)."""
+    dst = tmp_path / "out"
+    res = distexec(spark, str(tree), str(dst), "cat")
+    rows = {r["rel_dst"]: r for r in res.collect()}
+    assert rows["a.txt"]["status"] == "EXECUTED"
+    assert (dst / "a.txt").read_text() == "Hello this is my string"
+    assert (dst / "sub" / "b.txt").read_bytes() == (tree / "sub" / "b.txt").read_bytes()
+    m = metrics(res).collect()[0]
+    assert m["executed"] == 3 and m["fail"] == 0
+    assert m["bytes_executed"] == m["bytes_written"] == 23 + 31 + 20
+
+
+def test_empty_dir_preserved(spark, tree, tmp_path):
+    """Empty dirs become manifest records and are mkdir'd at the dest
+    (ExecFilesMapper.java:91-105)."""
+    dst = tmp_path / "out"
+    distexec(spark, str(tree), str(dst), "cat")
+    assert (dst / "empty_dir").is_dir()
+
+
+def test_grep_exit1_tolerated_and_lazy_create(spark, tree, tmp_path):
+    """grep exit 1 = no match: not an error, and no dst file is created
+    (Executor.java:33-35,50-51; LazyCreateOutputStream
+    ExecFilesMapper.java:46-80)."""
+    dst = tmp_path / "out"
+    res = distexec(spark, str(tree), str(dst), "grep pattern")
+    assert res.filter(F.col("status") == "FAIL").count() == 0
+    assert not (dst / "nomatch.txt").exists()  # exit 1, no stdout
+    assert not (dst / "a.txt").exists()
+    assert (dst / "sub" / "b.txt").read_text() == "line two with pattern\n"
+
+
+def test_nonzero_exit_fails_but_job_continues(spark, tree, tmp_path):
+    """A failing command yields FAIL records + log, never kills the job
+    (ExecFilesMapper.java:173-208)."""
+    dst = tmp_path / "out"
+    res = distexec(spark, str(tree), str(dst), "false")
+    assert res.count() == 3
+    assert res.filter(F.col("status") == "FAIL").count() == 3
+    logs = list(pathlib.Path(dst, "_distexec_logs").glob("part*"))
+    assert logs, "FAIL log records must be written"
+    content = "".join(p.read_text() for p in logs)
+    assert "FAIL" in content
+    # no destination files created
+    assert not (dst / "a.txt").exists()
+
+
+def test_stderr_side_file(spark, tree, tmp_path):
+    """stderr goes to <rel_dst>.stderr with the same lazy semantics
+    (ExecFilesMapper.java:86,108,119,148)."""
+    dst = tmp_path / "out"
+    distexec(spark, str(tree), str(dst), "sh -c 'echo eee 1>&2; cat'")
+    assert (dst / "a.txt.stderr").read_text().strip() == "eee"
+    assert (dst / "a.txt").read_text() == "Hello this is my string"
+
+
+def test_redirect_err_to_out(spark, tree, tmp_path):
+    """-redirectErrorToOut implemented for real (the reference parsed but
+    never applied it, ExecFilesMapper.java:31,232)."""
+    dst = tmp_path / "out"
+    distexec(
+        spark,
+        str(tree / "a.txt"),
+        str(dst),
+        "sh -c 'echo eee 1>&2; cat'",
+        redirect_err_to_out=True,
+    )
+    out = (dst / "a.txt").read_text()
+    assert "eee" in out and "Hello this is my string" in out
+    assert not (dst / "a.txt.stderr").exists()
+
+
+def test_duplicate_destination_raises(spark, tmp_path):
+    """Two srcs mapping to one rel_dst -> DuplicationError (exit -2
+    semantics, DistExec.java:647-673,688-693)."""
+    s1 = tmp_path / "s1"
+    s2 = tmp_path / "s2"
+    s1.mkdir()
+    s2.mkdir()
+    (s1 / "x.txt").write_text("1")
+    (s2 / "x.txt").write_text("2")
+    with pytest.raises(DuplicationError):
+        distexec(spark, [str(s1 / "x.txt"), str(s2 / "x.txt")], str(tmp_path / "out"), "cat")
+
+
+def test_missing_src_raises(spark, tmp_path):
+    """Nonexistent source -> InvalidInputError accumulating all misses
+    (DistExec.java:209-226)."""
+    with pytest.raises(InvalidInputError) as ei:
+        distexec(
+            spark,
+            [str(tmp_path / "nope1"), str(tmp_path / "nope2")],
+            str(tmp_path / "out"),
+            "cat",
+        )
+    assert len(ei.value.missing) == 2
+
+
+def test_single_src_dir_special_root(spark, tree, tmp_path):
+    """Single source dir + missing dst: children land directly under dst
+    (the "special" root rule, DistExec.java:545,553)."""
+    dst = tmp_path / "out"
+    distexec(spark, str(tree), str(dst), "cat")
+    assert (dst / "a.txt").exists()  # not dst/tree/a.txt
+
+
+def test_multi_src_keeps_basename_prefix(spark, tmp_path):
+    """With multiple sources each rebases against its parent, so the source
+    basename is part of rel_dst (makeRelative, DistExec.java:388-410)."""
+    s1 = tmp_path / "s1"
+    s2 = tmp_path / "s2"
+    (s1 / "d").mkdir(parents=True)
+    s2.mkdir()
+    (s1 / "d" / "x.txt").write_text("1")
+    (s2 / "y.txt").write_text("2")
+    dst = tmp_path / "out"
+    distexec(spark, [str(s1), str(s2)], str(dst), "cat")
+    assert (dst / "s1" / "d" / "x.txt").exists()
+    assert (dst / "s2" / "y.txt").exists()
+
+
+def test_transform_pipe_iconv_like(spark, tmp_path):
+    """A real transforming command (tr, standing in for the README's iconv
+    example, reference README.md:10)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f.txt").write_text("hello")
+    dst = tmp_path / "out"
+    distexec(spark, str(src), str(dst), "tr a-z A-Z")
+    assert (dst / "f.txt").read_text() == "HELLO"
+
+
+def test_many_files_balanced(spark, tmp_path):
+    """Many small files: every file executes exactly once, results complete
+    (split planning DistExec.java:132-177, one-map-per-file cap :419-426)."""
+    src = tmp_path / "many"
+    src.mkdir()
+    import random
+
+    rng = random.Random(42)
+    for i in range(100):
+        (src / f"f{i:03d}.bin").write_bytes(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 2048))))
+    dst = tmp_path / "out"
+    res = distexec(spark, str(src), str(dst), "cat")
+    assert res.filter(F.col("status") == "EXECUTED").count() == 100
+    for i in range(100):
+        assert (dst / f"f{i:03d}.bin").read_bytes() == (src / f"f{i:03d}.bin").read_bytes()
+
+
+def test_tokenizer_and_exit_policy():
+    """CommandLineUtil FSM semantics via shlex (CommandLineUtil.java:19-78)
+    + grep-family exit policy (Executor.java:33-35)."""
+    assert tokenize("iconv -f iso8859-1 -t utf-8") == ["iconv", "-f", "iso8859-1", "-t", "utf-8"]
+    assert tokenize("sh -c 'echo a b'") == ["sh", "-c", "echo a b"]
+    assert tokenize('grep "two words"') == ["grep", "two words"]
+    with pytest.raises(ValueError):
+        tokenize("sh -c 'unbalanced")
+    assert exit_ok(["grep", "x"], 1)
+    assert exit_ok(["/usr/bin/egrep", "x"], 1)
+    assert not exit_ok(["grep", "x"], 2)
+    assert not exit_ok(["cat"], 1)
+    assert exit_ok(["cat"], 0)

@@ -1,0 +1,69 @@
+"""Genuine Structured Streaming path: file source -> watermarked window
+aggregates -> memory sink, driven to completion with processAllAvailable.
+(The batch-mode twins are covered by the oracle parity suite.)
+
+Append-mode + watermark semantics: windows are only emitted once the
+watermark passes their end, so the windows containing the stream's final
+events are never finalized — that's the operator's contract, and the tests
+assert accordingly (complete mode for the tumbling check, emitted-subset
+for sessions)."""
+
+from hadoop_distexec_spark.sources.tables import table
+from hadoop_distexec_spark.streaming.windows import (
+    q_stream_session,
+    q_stream_tumble,
+    read_events_stream,
+    streaming_session,
+    streaming_tumble,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(df, name, mode):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_tumble_matches_batch(spark):
+    """In complete mode every window is emitted; the streaming tumbling
+    aggregate over the full file must equal the batch window query."""
+    events = read_events_stream(spark, SF)
+    _run_stream(streaming_tumble(events), "tumble_out", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumble_out").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_stream_tumble(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, _) in expect.items():
+        assert got[k][0] == n
+
+
+def test_streaming_session_append_is_finalized_subset(spark):
+    """Append mode emits only sessions the watermark has closed; every
+    emitted session must match the batch gaps-and-islands result, and the
+    only missing ones are the final (unclosed) per-user sessions."""
+    events = read_events_stream(spark, SF)
+    _run_stream(streaming_session(events, watermark="0 seconds"), "session_out", "append")
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in q_stream_session(spark, SF).collect()
+    }
+    assert got, "no sessions emitted"
+    for k, n in got.items():
+        assert batch[k] == n, f"session {k} disagrees with batch"
+    # append mode withholds at most the last session per user
+    missing = set(batch) - set(got)
+    n_users = table(spark, SF, "events").select("user_id").distinct().count()
+    assert len(missing) <= n_users
