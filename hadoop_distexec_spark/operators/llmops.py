@@ -47,6 +47,11 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))``.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The fixture table is a single parquet file => a single input split.
+    # Spread docs across cores before the explode-heavy shingling; at
+    # 100 TB the scan has thousands of splits and this repartition by key
+    # doubles as the co-partitioning for the downstream groupBy(doc_id).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     sh = F.transform(
@@ -160,7 +165,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify. No crossJoin anywhere; at 100 TB the band join is the
     only shuffle that touches pairs, and it only sees true bucket
     collisions. xxhash64 is not available in DuckDB -> rows-only check."""
-    s = _shingles_df(spark, sf_dir)
+    # the shingle set feeds signatures AND the exact-verify joins (4
+    # consumers); persist it instead of recomputing the explode each time
+    s = _shingles_df(spark, sf_dir).persist()
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"m{seed}")
         for seed in range(NUM_PERM)
@@ -216,7 +223,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature from token-hash bit votes; banded
     into 4x16-bit keys so candidate pairs come from an equi-join (documents
     with hamming distance <= 12 reported). xxhash64 -> rows-only check."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     h = F.xxhash64("token")
     votes = tok.groupBy("doc_id").agg(
@@ -313,7 +324,10 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k (the correctness baseline; see
     q_sim_ivf for the scale path). Queries broadcast against all candidates;
     dot products in exact decimal so Spark and DuckDB rank identically."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = e.select(
         "vec_id", "embedding", _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2")
     )
     q = e.filter(F.col("vec_id") < 5).select(
