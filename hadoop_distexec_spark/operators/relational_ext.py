@@ -1,0 +1,219 @@
+"""Extended relational operators: pivot/unpivot, as-of join, range join,
+deterministic moment statistics, scalar subqueries.
+
+These cover the "common OLAP patterns" band beyond SURVEY.md §2.5's core
+list. Same determinism rules as everywhere (functions/numeric.py):
+decimal-cast sums, VARCHAR-routed decimal->double in DuckDB oracles,
+epoch-bigint timestamps, unique window tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark.registry import register
+from hadoop_distexec_spark.sources.tables import table
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS qty_o,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS qty_f,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on line status with explicit value list (Catalyst rewrites
+    pivot to conditional aggregation — exactly the oracle's CASE form)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
+            F.count(F.lit(1)),
+        )
+    )
+    # pivot column names come out as "O_<aggname>"; normalize + recompute
+    # total count from the two pivoted counts
+    cols = {c: c for c in p.columns}
+    qty_o = next(c for c in p.columns if c.startswith("O_") and "sum" in c.lower())
+    qty_f = next(c for c in p.columns if c.startswith("F_") and "sum" in c.lower())
+    cnt_o = next(c for c in p.columns if c.startswith("O_") and "count" in c.lower())
+    cnt_f = next(c for c in p.columns if c.startswith("F_") and "count" in c.lower())
+    return p.select(
+        "l_returnflag",
+        F.col(qty_o).alias("qty_o"),
+        F.col(qty_f).alias("qty_f"),
+        (F.coalesce(F.col(cnt_o), F.lit(0)) + F.coalesce(F.col(cnt_f), F.lit(0))).alias("n_items"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) two measures into long form — the inverse of pivot."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("o_custkey_d")
+    )
+    up = o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_d"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return up.select(
+        "o_orderkey",
+        F.when(F.col("measure") == "o_totalprice", "totalprice").otherwise("custkey").alias("measure"),
+        "value",
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_us
+    FROM events
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (for each event, the latest strictly-earlier purchase by
+    the same user). Spark has no native ASOF JOIN; the scalable pattern is
+    a single ordered window with last(..., ignorenulls) — one shuffle on
+    user_id, no pair blowup, works at any scale. (pd.merge_asof via
+    applyInPandas is the alternative when the two sides are separate
+    tables; here the window form keeps everything JVM-side.)"""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("prev_purchase_us"),
+    )
+
+
+# value bands for the range join (inline dimension, deliberately non-uniform)
+_BANDS = [(0, 0.0, 25.0), (1, 25.0, 75.0), (2, 75.0, 150.0), (3, 150.0, 100000.0)]
+_BANDS_SQL = "(VALUES " + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS) + ") AS b(band_id, lo, hi)"
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    SELECT band_id, event_type, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events JOIN {_BANDS_SQL}
+      ON value >= CAST(lo AS DOUBLE) AND value < CAST(hi AS DOUBLE)
+    GROUP BY band_id, event_type
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join of events.value against a band dimension.
+    Spark executes inequality joins as BroadcastNestedLoopJoin — fine for a
+    tiny broadcast dim; at 100 TB the band table stays broadcast so the
+    fact side never shuffles. (For two large interval sides, bucketize to
+    an equi-join first — see q_stream_slide's window enumeration for the
+    same trick in time space.)"""
+    e = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    joined = e.join(
+        F.broadcast(bands),
+        (e.value >= bands.lo.cast("double")) & (e.value < bands.hi.cast("double")),
+    )
+    return joined.groupBy("band_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mean_price,
+           (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*))
+            / (COUNT(*) - 1) AS var_price,
+           SQRT((CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*))
+            / (COUNT(*) - 1)) AS stddev_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (mean/variance/stddev) made cross-engine
+    deterministic: exact decimal S1 and S2, then the textbook
+    (S2 - S1^2/n)/(n-1) in identical IEEE double ops. Built-in stddev_samp
+    would be order-dependent across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price_dec).cast("double").alias("_s1"),
+        F.sum(price_dec * price_dec).cast("double").alias("_s2"),
+    )
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n")) / (F.col("n") - 1)
+    return base.select(
+        "l_returnflag",
+        "n",
+        (F.col("_s1") / F.col("n")).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                    AS VARCHAR) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 1.5x the global average price. Expressed
+    as an aggregate cross-joined (broadcast) into the filter — the same
+    plan Catalyst builds for an uncorrelated scalar subquery."""
+    o = table(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "_avg"
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

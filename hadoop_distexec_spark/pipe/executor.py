@@ -280,6 +280,7 @@ def distexec(
     redirect_err_to_out: bool = False,
     n_tasks: int | None = None,
     log_dir: str | None = None,
+    update: bool = False,
 ) -> DataFrame:
     """Distributed per-file command execution — `hadoop distexec src dst cmd`
     (reference README.md:9-10) as a Spark job.
@@ -287,9 +288,19 @@ def distexec(
     Returns the per-file results DataFrame (RESULT_SCHEMA); FAIL rows are
     also written as text logs under ``log_dir`` (default
     ``<dst>/_distexec_logs``, reference DistExec.java:507-521).
+
+    ``update=True`` restores the incremental mode the reference dropped
+    from DistCp (src/reference/DistCp.java:1192-1237): a file is SKIPPED
+    when its destination already exists and is at least as new as the
+    source (mtime rule — exec output length is command-dependent, so
+    DistCp's length+CRC compare doesn't transfer; freshness does). The
+    check runs executor-side during the map, not as a driver pre-pass.
     """
     argv = tokenize(cmd)
-    manifest = build_manifest(spark, srcs, dst)
+    # -update re-runs must target the same layout as the first run, so the
+    # contents-into-dst root rule applies regardless of dst existence
+    # (DistCp -update semantics).
+    manifest = build_manifest(spark, srcs, dst, contents_into_dst=update)
 
     # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
     dups = (
@@ -327,6 +338,26 @@ def distexec(
 
     def run_partition(rows: Iterator[Row]) -> Iterator[Row]:
         for row in rows:
+            if update:
+                final = os.path.join(dst, row["rel_dst"])
+                src_m = row["mtime"]
+                try:
+                    if os.path.exists(final) and src_m is not None and (
+                        os.path.getmtime(final) >= src_m.timestamp()
+                    ):
+                        yield Row(
+                            src_path=row["src_path"],
+                            rel_dst=row["rel_dst"],
+                            status="SKIPPED",
+                            exit_code=None,
+                            bytes_in=0,
+                            bytes_out=0,
+                            bytes_err=0,
+                            error=None,
+                        )
+                        continue
+                except OSError:
+                    pass
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
                     row["src_path"], row["rel_dst"], dst, tmp_dir, argv, redirect_err_to_out
@@ -351,7 +382,8 @@ def distexec(
             )
 
     results = spark.createDataFrame(
-        planned.select("src_path", "rel_dst").rdd.mapPartitions(run_partition), RESULT_SCHEMA
+        planned.select("src_path", "rel_dst", "mtime").rdd.mapPartitions(run_partition),
+        RESULT_SCHEMA,
     )
     results = results.cache()
     results.count()  # materialize: executes the job, fills accumulators

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_distexec_spark.pipe.executor import distexec
+from hadoop_distexec_spark.pipe.rows import pipe_rows
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
@@ -62,6 +63,19 @@ def q_pipe_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_pipe_rows",
+    oracle="SELECT doc_id, upper(text) AS piped FROM documents",
+)
+def q_pipe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented shell pipe over a DataFrame column (`tr a-z A-Z`) —
+    the RDD.pipe execution tier, oracle-checked against SQL UPPER. This is
+    a real subprocess per partition on the executors; the ASCII fixture
+    text makes tr and UPPER agree exactly."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(8, "doc_id")
+    return pipe_rows(docs, "tr a-z A-Z", "text", "piped").select("doc_id", "piped")
 
 
 @register("q_pipe_grep", oracle=None)

@@ -43,7 +43,12 @@ def register(qid: str, oracle: Optional[str] = None, doc: str = ""):
 
 def _load_modules() -> None:
     # Import for side effect: each module registers its queries.
-    from hadoop_distexec_spark.operators import llmops, multimodal, relational  # noqa: F401
+    from hadoop_distexec_spark.operators import (  # noqa: F401
+        llmops,
+        multimodal,
+        relational,
+        relational_ext,
+    )
     from hadoop_distexec_spark.plans import manifest_plan  # noqa: F401
     from hadoop_distexec_spark.pipe import queries as pipe_queries  # noqa: F401
     from hadoop_distexec_spark.streaming import windows  # noqa: F401

@@ -89,6 +89,7 @@ def build_manifest(
     spark: SparkSession,
     srcs: list[str] | str,
     dst: str | None = None,
+    contents_into_dst: bool = False,
 ) -> DataFrame:
     """Enumerate source trees into a manifest DataFrame with rel_dst.
 
@@ -96,13 +97,21 @@ def build_manifest(
     rebased against ``src.getParent()``; in the "special" case — exactly one
     source, it is a directory, and the destination does not yet exist — the
     root is the source dir itself, so its children land directly under dst.
+
+    ``contents_into_dst`` forces the special rule even when dst exists —
+    DistCp's documented -update semantics, needed so incremental re-runs
+    map to the same destination layout as the first run.
     """
     if isinstance(srcs, str):
         srcs = [srcs]
     srcs = [os.path.abspath(s) for s in srcs]
     check_src_paths(srcs)
 
-    special = len(srcs) == 1 and os.path.isdir(srcs[0]) and (dst is None or not os.path.exists(dst))
+    special = (
+        len(srcs) == 1
+        and os.path.isdir(srcs[0])
+        and (contents_into_dst or dst is None or not os.path.exists(dst))
+    )
     sc = spark.sparkContext
 
     rows: list[tuple] = []  # (src_path, size, is_dir, mtime, root)

@@ -177,6 +177,41 @@ def test_many_files_balanced(spark, tmp_path):
         assert (dst / f"f{i:03d}.bin").read_bytes() == (src / f"f{i:03d}.bin").read_bytes()
 
 
+def test_update_mode_skips_fresh_destinations(spark, tree, tmp_path):
+    """-update incremental skip (restored from DistCp heritage,
+    src/reference/DistCp.java:1192-1237): second run skips everything; a
+    touched source re-executes."""
+    import time as _time
+
+    dst = tmp_path / "out"
+    r1 = distexec(spark, str(tree), str(dst), "cat", update=True)
+    assert r1.filter(F.col("status") == "EXECUTED").count() == 3
+    r2 = distexec(spark, str(tree), str(dst), "cat", update=True)
+    assert r2.filter(F.col("status") == "SKIPPED").count() == 3
+    _time.sleep(0.01)
+    (tree / "a.txt").write_text("changed content")
+    r3 = distexec(spark, str(tree), str(dst), "cat", update=True)
+    rows = {r["rel_dst"]: r["status"] for r in r3.collect()}
+    assert rows["a.txt"] == "EXECUTED"
+    assert rows["sub/b.txt"] == "SKIPPED"
+    assert (dst / "a.txt").read_text() == "changed content"
+
+
+def test_pipe_rows_line_filter(spark):
+    """pipe_rows: per-partition subprocess line transform, 1:1 contract."""
+    from hadoop_distexec_spark.pipe.rows import pipe_rows
+
+    df = spark.createDataFrame([(i, f"word{i}") for i in range(100)], ["id", "w"]).repartition(4)
+    out = pipe_rows(df, "tr a-z A-Z", "w", "up")
+    got = {r["id"]: r["up"] for r in out.collect()}
+    assert got == {i: f"WORD{i}" for i in range(100)}
+    # non-1:1 command (grep dropping lines) must raise, not mis-zip
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pipe_rows(df, "grep word1", "w", "up").collect()
+
+
 def test_tokenizer_and_exit_policy():
     """CommandLineUtil FSM semantics via shlex (CommandLineUtil.java:19-78)
     + grep-family exit policy (Executor.java:33-35)."""
