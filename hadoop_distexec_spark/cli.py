@@ -1,0 +1,90 @@
+"""CLI entry point — `python -m hadoop_distexec_spark SRC... DST CMD`,
+mirroring the reference tool's command line (reference README.md:9-10:
+`hadoop distexec /source /destination cat`).
+
+Argument rules follow Arguments.valueOf (reference DistExec.java:256-296):
+positional args are sources, then destination, then the exec command (last
+arg = cmd, second-to-last = dst, rest = srcs); flags `-m` (max tasks,
+DistExec.java:270-279) and `-redirectErrorToOut` (DistExec.java:71,79-88 —
+parsed-but-dead there, functional here).
+
+Exit codes mirror run() (DistExec.java:350-374):
+  0 success, -1 usage, -2 duplicate destinations, -3 invalid input,
+  -999 anything else.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError, UsageError
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(
+        prog="distexec",
+        description="Distributed per-file command execution on Spark "
+        "(positional: SRC... DST CMD, like the reference tool).",
+    )
+    ap.add_argument("-m", type=int, default=None, metavar="N", help="max number of tasks")
+    ap.add_argument(
+        "-redirectErrorToOut",
+        action="store_true",
+        dest="redirect_err_to_out",
+        help="merge child stderr into stdout instead of .stderr side files",
+    )
+    ap.add_argument("-update", action="store_true", help="skip up-to-date destinations")
+    ap.add_argument("paths", nargs="*", help="SRC... DST CMD")
+    ns = ap.parse_args(argv)
+    if len(ns.paths) < 3:
+        raise UsageError("need at least SRC DST CMD")
+    ns.srcs = ns.paths[:-2]
+    ns.dst = ns.paths[-2]
+    ns.cmd = ns.paths[-1]
+    return ns
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        ns = parse_args(argv)
+    except UsageError as e:
+        print(f"usage error: {e}", file=sys.stderr)
+        return -1
+    try:
+        from hadoop_distexec_spark.pipe.executor import distexec, metrics
+        from hadoop_distexec_spark.session import get_spark
+
+        spark = get_spark("distexec-cli")
+        results = distexec(
+            spark,
+            ns.srcs,
+            ns.dst,
+            ns.cmd,
+            redirect_err_to_out=ns.redirect_err_to_out,
+            n_tasks=ns.m,
+            update=ns.update,
+        )
+        m = metrics(results).collect()[0]
+        print(
+            f"executed={m['executed']} fail={m['fail']} skipped={m['skipped']} "
+            f"bytes_executed={m['bytes_executed']} bytes_written={m['bytes_written']}"
+        )
+        return 0
+    except DuplicationError as e:
+        print(f"duplication error: {e}", file=sys.stderr)
+        return -2
+    except InvalidInputError as e:
+        print(f"invalid input: {e}", file=sys.stderr)
+        return -3
+    except DistExecError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return -999
+    except Exception as e:  # -999 catch-all, like the reference run()
+        print(f"error: {e}", file=sys.stderr)
+        return -999
+
+
+if __name__ == "__main__":
+    sys.exit(main())

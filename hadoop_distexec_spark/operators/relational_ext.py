@@ -194,6 +194,93 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API — same Catalyst Expand
+    plan as rollup/cube, arbitrary set list."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS first_order,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order
+    FROM orders
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles + first/nth value windows (unique tiebreakers
+    everywhere, so both engines tile identically)."""
+    o = table(spark, sf_dir, "orders")
+    w_global = W.orderBy("o_totalprice", "o_orderkey")
+    w_cust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w_global).alias("price_quartile"),
+        F.first("o_orderkey").over(w_cust).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(
+            w_cust.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("second_order"),
+    )
+
+
+@register(
+    "q_sql_star",
+    oracle="""
+    SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_lineitems,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c_mktsegment, YEAR(o_orderdate)
+    """,
+)
+def q_sql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (TPC-H Q3 flavor): the engine's spark.sql path —
+    same Catalyst plan as the DataFrame API, dialect aside."""
+    for t in ("lineitem", "orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_sql_{t}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, YEAR(o_orderdate) AS order_year,
+               COUNT(*) AS n_lineitems,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM _sql_lineitem JOIN _sql_orders ON l_orderkey = o_orderkey
+                           JOIN _sql_customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY c_mktsegment, YEAR(o_orderdate)
+        """
+    )
+
+
+@register(
     "q_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -408,6 +408,7 @@ def metrics(results: DataFrame) -> DataFrame:
     return results.agg(
         F.sum(F.when(F.col("status") == "EXECUTED", 1).otherwise(0)).alias("executed"),
         F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("fail"),
+        F.sum(F.when(F.col("status") == "SKIPPED", 1).otherwise(0)).alias("skipped"),
         F.sum("bytes_in").alias("bytes_executed"),
         F.sum("bytes_out").alias("bytes_written"),
     )

@@ -1,0 +1,39 @@
+"""CLI surface: argument rules and exit codes mirror the reference
+(DistExec.java:256-296 parsing; :350-374 exit-code mapping)."""
+
+import pytest
+
+from hadoop_distexec_spark.cli import main, parse_args
+from hadoop_distexec_spark.errors import UsageError
+
+
+def test_parse_positional_rule():
+    ns = parse_args(["-m", "4", "/a", "/b", "/dst", "tr a-z A-Z"])
+    assert ns.srcs == ["/a", "/b"]
+    assert ns.dst == "/dst"
+    assert ns.cmd == "tr a-z A-Z"
+    assert ns.m == 4
+
+
+def test_parse_too_few_args():
+    with pytest.raises(UsageError):
+        parse_args(["/only", "/two"])
+
+
+def test_main_exit_codes(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f.txt").write_text("hi")
+    # success
+    assert main([str(src), str(tmp_path / "out"), "cat"]) == 0
+    assert (tmp_path / "out" / "f.txt").read_text() == "hi"
+    # usage
+    assert main(["x"]) == -1
+    # invalid input
+    assert main([str(tmp_path / "nope"), str(tmp_path / "o2"), "cat"]) == -3
+    # duplication
+    s1, s2 = tmp_path / "s1", tmp_path / "s2"
+    s1.mkdir(), s2.mkdir()
+    (s1 / "x.txt").write_text("1")
+    (s2 / "x.txt").write_text("2")
+    assert main([str(s1 / "x.txt"), str(s2 / "x.txt"), str(tmp_path / "o3"), "cat"]) == -2
