@@ -77,6 +77,59 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, MEDIA_SCHEMA)
 
 
+FRAME_BYTES = 256  # fake-codec frame size
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int"
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-ish blobs: every FRAME_BYTES-byte
+    chunk is "a frame"; emit every ``every_n``-th one. Real decoders slot
+    in where the chunking stub is — the mapInPandas fan-out (1 row in,
+    many rows out, Arrow-batched) is the part that matters at scale:
+    sampling happens *inside* the executor pass, so unsampled frames are
+    never materialized into the DataFrame.
+
+    Input columns: (doc_id: long, content: binary).
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = len(blob) // FRAME_BYTES
+                for idx in range(0, n_frames, every_n):
+                    chunk = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "frame_len": "int32"}
+            )
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(UNNEST(range(0, octet_length(encode(text)) // {FRAME_BYTES}, 4)) AS INT)
+             AS frame_idx,
+           CAST({FRAME_BYTES} AS INT) AS frame_len
+    FROM documents
+    WHERE octet_length(encode(text)) // {FRAME_BYTES} > 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end on real data: text bytes as the fake
+    video payload, every 4th 256-byte frame emitted via the mapInPandas
+    fan-out; the oracle mirrors the chunk arithmetic."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return sample_frames(docs, every_n=4)
+
+
 @register(
     "q_multimodal_meta",
     oracle="""

@@ -185,6 +185,50 @@ def streaming_tumble(events: DataFrame, *, watermark: str = "30 minutes") -> Dat
     )
 
 
+def streaming_dedup(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps keys only until the watermark
+    passes — the streaming analog of q_dedup_exact with O(window) state
+    instead of O(stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_user_stats(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + running value sum, emitted on every update.
+    This is the escape hatch for operators Spark's built-in stateful
+    aggregations can't express (arbitrary per-key state transition
+    functions); state is one row per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update_fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    import pandas as pd  # local import: executors pickle this closure
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_session(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
     """Session-window streaming aggregate (stateful)."""
     return (

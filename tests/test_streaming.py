@@ -13,8 +13,10 @@ from hadoop_distexec_spark.streaming.windows import (
     q_stream_session,
     q_stream_tumble,
     read_events_stream,
+    streaming_dedup,
     streaming_session,
     streaming_tumble,
+    streaming_user_stats,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -67,3 +69,32 @@ def test_streaming_session_append_is_finalized_subset(spark):
     missing = set(batch) - set(got)
     n_users = table(spark, SF, "events").select("user_id").distinct().count()
     assert len(missing) <= n_users
+
+
+def test_streaming_dedup_bounded_state(spark):
+    """dropDuplicatesWithinWatermark passes each unique event_id once
+    (the fixture has no dup ids, so count is preserved)."""
+    events = read_events_stream(spark, SF)
+    _run_stream(streaming_dedup(events), "dedup_out", "append")
+    n = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"]
+    assert n == table(spark, SF, "events").count()
+
+
+def test_streaming_user_stats_stateful(spark):
+    """applyInPandasWithState: final per-user running totals equal the
+    batch aggregate (update mode re-emits; take the max-count row)."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, SF)
+    _run_stream(streaming_user_stats(events), "ustats_out", "update")
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM ustats_out GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == batch
