@@ -48,6 +48,7 @@ def _load_modules() -> None:
         multimodal,
         relational,
         relational_ext,
+        skew,
     )
     from hadoop_distexec_spark.plans import manifest_plan  # noqa: F401
     from hadoop_distexec_spark.pipe import queries as pipe_queries  # noqa: F401
