@@ -194,6 +194,116 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 480000.0
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a join-side predicate: unmatched customers
+    survive with nulls (the predicate must stay in the ON clause, not a
+    WHERE — a classic outer-join semantics trap, mirrored exactly)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 480000.0)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_urgent FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+         b AS (SELECT o_custkey AS k, COUNT(*) AS n_low FROM orders
+               WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+    SELECT COALESCE(a.k, b.k) AS custkey, a.n_urgent, b.n_low
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates — both-sided null preservation."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("ak"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    b = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_low"))
+    )
+    return a.join(b, a.ak == b.bk, "full_outer").select(
+        F.coalesce("ak", "bk").alias("custkey"), "n_urgent", "n_low"
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN 'high'
+                WHEN o_totalprice > 200000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + null-handling + cast battery (CASE, NULLIF/COALESCE,
+    IF, numeric/string casts). double->int conversion goes through FLOOR
+    (Spark's cast truncates, DuckDB's rounds — FLOOR agrees everywhere
+    for the positive domain)."""
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 200000, "mid")
+        .otherwise("low")
+    )
+    return o.select(
+        "o_orderkey",
+        band.alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+            "status_or_pending"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+        F.floor("o_totalprice").alias("price_int"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+    )
+
+
+@register(
+    "q_agg_minmax",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS first_ship_ts, MAX(l_shipdate) AS last_ship_ts,
+           MIN(l_linestatus) AS min_status, MAX(l_linestatus) AS max_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over doubles, timestamps and strings — order-insensitive by
+    definition, so raw values are safe even cross-engine. (The timestamp
+    columns are the one place raw timestamps ARE exported: min/max of
+    parquet-identical instants round-trip exactly.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship_ts"),
+        F.max("l_shipdate").alias("last_ship_ts"),
+        F.min("l_linestatus").alias("min_status"),
+        F.max("l_linestatus").alias("max_status"),
+    )
+
+
+@register(
     "q_agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -22,6 +22,11 @@ def get_spark(app_name: str = "hadoop_distexec_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # fixture tables are single ~20MB parquet files; the default 128MB
+        # split size would scan them on one core. 8MB keeps local scans
+        # parallel; on a real cluster with many files this is a no-op for
+        # large inputs (files >> splits either way).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond

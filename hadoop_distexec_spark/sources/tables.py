@@ -25,9 +25,29 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine's queries may run inside a caller-provided SparkSession
+    (the driver contract passes one in). Two session confs are
+    correctness-critical and runtime-settable, so pin them here instead of
+    trusting the caller's builder:
+
+    - UTC session timezone: year()/date_trunc()/unix_timestamp() over the
+      fixture timestamps must read them as the UTC instants the oracle
+      sees, not shifted into a machine-local zone;
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark
+      otherwise refuses (PARQUET_TYPE_ILLEGAL).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf in some environments; session.py already set them
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as int64

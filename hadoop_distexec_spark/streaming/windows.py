@@ -157,6 +157,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source streaming), with the
     nanos->micros timestamp normalization applied at the source."""
+    from hadoop_distexec_spark.sources.tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     # the file stream source needs a directory; glob-filter to the events
     # table inside the sf dir
     raw = (
