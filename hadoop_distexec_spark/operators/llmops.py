@@ -222,7 +222,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature from token-hash bit votes; banded
     into 4x16-bit keys so candidate pairs come from an equi-join (documents
-    with hamming distance <= 12 reported). xxhash64 -> rows-only check."""
+    with hamming distance <= 6 reported). xxhash64 -> rows-only check."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -266,7 +266,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 12)
+        .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -247,28 +247,55 @@ def _exec_one(
 def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFrame:
     """Assign files to byte-balanced bins — the reference's greedy
     prefix-sum split planning (ExecInputFormat.getSplits,
-    DistExec.java:132-177) as a cumulative-sum window over manifest
-    *metadata* (planning-scale rows, never the data)."""
+    DistExec.java:132-177), computed as a **distributed two-phase prefix
+    sum** so it scales to manifests of hundreds of millions of files:
+
+    1. range-partition + sort the manifest by src_path (deterministic
+       global order, each partition holds a contiguous range);
+    2. per-partition byte sums come back to the driver (one long per
+       partition — tiny) and become cumulative offsets;
+    3. each partition assigns bins locally from its offset.
+
+    No single-partition window anywhere; the driver only ever sees
+    O(#partitions) numbers."""
     files = manifest.filter(~F.col("is_dir"))
+    sc = files.sparkSession.sparkContext
     if n_tasks is None:
         n_files = files.count()
-        cap = files.sparkSession.sparkContext.defaultParallelism * 4
+        cap = sc.defaultParallelism * 4
         # one map per file, capped — reference setMapCount (DistExec.java:419-426)
         n_tasks = max(1, min(n_files, cap))
-    total = files.agg(F.sum("size").alias("_total"))
-    w = W.orderBy("src_path").rowsBetween(W.unboundedPreceding, -1)
-    return (
-        files.withColumn("_cum", F.coalesce(F.sum("size").over(w), F.lit(0)))
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "bin",
-            F.least(
-                F.expr(f"_cum div greatest(cast(ceil(_total / {n_tasks}) as bigint), 1L)"),
-                F.lit(n_tasks - 1),
-            ).cast("int"),
-        )
-        .drop("_cum", "_total")
-    ), n_tasks
+
+    n_plan_parts = max(1, min(sc.defaultParallelism, n_tasks))
+    ordered = files.repartitionByRange(n_plan_parts, "src_path").sortWithinPartitions("src_path")
+    ordered = ordered.cache()
+
+    # phase 1: per-partition byte totals (index, sum)
+    part_sums = dict(
+        ordered.rdd.mapPartitionsWithIndex(
+            lambda i, rows: [(i, sum(r["size"] for r in rows))]
+        ).collect()
+    )
+    total = sum(part_sums.values())
+    target = max(1, -(-total // n_tasks))  # ceil div
+    offsets = {}
+    acc = 0
+    for i in range(max(part_sums) + 1 if part_sums else 0):
+        offsets[i] = acc
+        acc += part_sums.get(i, 0)
+
+    # phase 2: local bin assignment from the partition's global offset
+    def assign(i: int, rows: Iterator[Row]) -> Iterator[Row]:
+        cum = offsets.get(i, 0)
+        for r in rows:
+            yield Row(**{**r.asDict(), "bin": int(min(cum // target, n_tasks - 1))})
+            cum += r["size"]
+
+    schema = T.StructType([*ordered.schema.fields, T.StructField("bin", T.IntegerType(), False)])
+    planned = ordered.sparkSession.createDataFrame(
+        ordered.rdd.mapPartitionsWithIndex(assign), schema
+    )
+    return planned, n_tasks
 
 
 def distexec(

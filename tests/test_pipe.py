@@ -212,6 +212,35 @@ def test_pipe_rows_line_filter(spark):
         pipe_rows(df, "grep word1", "w", "up").collect()
 
 
+def test_split_plan_byte_balance(spark, tmp_path):
+    """The distributed prefix-sum planner reproduces the reference's
+    greedy byte-balance: every bin's byte total stays within one max-file
+    of the target (DistExec.java:149-176 invariant)."""
+    import random
+
+    from hadoop_distexec_spark.pipe.executor import plan_partitions
+    from hadoop_distexec_spark.sources.manifest import build_manifest
+
+    src = tmp_path / "many"
+    src.mkdir()
+    rng = random.Random(7)
+    sizes = [rng.randrange(1, 4096) for _ in range(200)]
+    for i, n in enumerate(sizes):
+        (src / f"f{i:03d}.bin").write_bytes(b"x" * n)
+    manifest = build_manifest(spark, str(src))
+    planned, n_tasks = plan_partitions(manifest, n_tasks=8)
+    rows = planned.collect()
+    assert len(rows) == 200
+    per_bin = {}
+    for r in rows:
+        per_bin[r["bin"]] = per_bin.get(r["bin"], 0) + r["size"]
+    total = sum(sizes)
+    target = -(-total // 8)
+    assert set(per_bin) <= set(range(8))
+    # greedy rule: a bin exceeds target by at most one file
+    assert max(per_bin.values()) <= target + max(sizes)
+
+
 def test_tokenizer_and_exit_policy():
     """CommandLineUtil FSM semantics via shlex (CommandLineUtil.java:19-78)
     + grep-family exit policy (Executor.java:33-35)."""
