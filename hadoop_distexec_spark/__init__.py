@@ -28,10 +28,12 @@ Every query operator is registered in `hadoop_distexec_spark.registry` with
 an optional DuckDB oracle SQL twin used by the correctness gate.
 """
 
-from hadoop_distexec_spark.pipe.executor import DistExecError, DuplicationError, InvalidInputError, distexec
+from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError
+from hadoop_distexec_spark.pipe.executor import distexec
+from hadoop_distexec_spark.pipe.rows import pipe_rows
 from hadoop_distexec_spark.registry import all_queries, oracle_sqls
 from hadoop_distexec_spark.session import get_spark
-from hadoop_distexec_spark.sources.manifest import build_manifest
+from hadoop_distexec_spark.sources.manifest import build_manifest, build_manifest_binaryfile
 
 __all__ = [
     "DistExecError",
@@ -39,9 +41,11 @@ __all__ = [
     "InvalidInputError",
     "all_queries",
     "build_manifest",
+    "build_manifest_binaryfile",
     "distexec",
     "get_spark",
     "oracle_sqls",
+    "pipe_rows",
 ]
 
 __version__ = "0.1.0"

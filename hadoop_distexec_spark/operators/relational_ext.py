@@ -43,7 +43,6 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot column names come out as "O_<aggname>"; normalize + recompute
     # total count from the two pivoted counts
-    cols = {c: c for c in p.columns}
     qty_o = next(c for c in p.columns if c.startswith("O_") and "sum" in c.lower())
     qty_f = next(c for c in p.columns if c.startswith("F_") and "sum" in c.lower())
     cnt_o = next(c for c in p.columns if c.startswith("O_") and "count" in c.lower())
@@ -191,6 +190,86 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_price"),
         F.sqrt(var).alias("stddev_price"),
     )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collection aggregate exported as a sorted joined string —
+    collect_set is unordered by contract, so the deterministic export is
+    sort_array + concat_ws (mirrored by ORDER BY inside string_agg)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q_agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation over the sorted values —
+    order-insensitive by definition, both engines interpolate (a+b)*f the
+    same way on identical doubles)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+@register(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'red widget') AS INT) AS dist_to_red_widget,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist
+    FROM part
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance battery (fuzzy matching is a staple of entity
+    resolution in data pipelines); integer outputs, exact both engines."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("dist_to_red_widget"),
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).alias("brand_type_dist"),
+    )
+
+
+@register(
+    "q_fn_explode",
+    oracle="""
+    SELECT vec_id, CAST(u.i - 1 AS INT) AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    WHERE vec_id < 50
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode as a first-class operator: embeddings to long form
+    (dim, value) — the layout feeding columnar vector math and the IVF
+    centroid build."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
 
 
 @register(

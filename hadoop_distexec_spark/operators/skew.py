@@ -9,7 +9,7 @@ exactly what q_join_salted checks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_distexec_spark.registry import register

@@ -55,11 +55,11 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator
 
-from pyspark.sql import DataFrame, Row, SparkSession, Window as W
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError
+from hadoop_distexec_spark.errors import DuplicationError
 from hadoop_distexec_spark.pipe.cmdline import exit_ok, tokenize
 from hadoop_distexec_spark.sources.manifest import build_manifest
 
