@@ -36,6 +36,8 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_stats",
     "q_stream_tumble",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 

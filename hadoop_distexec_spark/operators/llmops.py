@@ -345,6 +345,55 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+             / SQRT(a.norm2 * b.norm2) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+             / SQRT(a.norm2 * b.norm2) >= 0.2
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the label cell: the
+    pair join runs only within blocks (IVF-style blocking), so the
+    candidate count is sum_cell(n_c^2) instead of N^2 — the standard
+    scale shape for embedding dedup. Exact decimal dots keep the oracle
+    bit-identical."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "label"
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("emb_a"), F.col("norm2").alias("n2_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("embedding").alias("emb_b"), F.col("norm2").alias("n2_b"),
+    )
+    cosine = _spark_dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.2)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 @register("q_sim_ivf", oracle=None)
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: centroids per label cell (posexplode + avg), probe the
