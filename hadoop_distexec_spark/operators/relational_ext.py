@@ -470,6 +470,80 @@ def q_sql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_corr_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_sql_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through spark.sql — orders 1.5x above
+    *their own customer's* average. Catalyst decorrelates this into an
+    aggregate + join; no per-row re-execution anywhere."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_corr_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _corr_orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM _corr_orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) // 300) * 300 AS lo,
+             (CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) // 300) * 300 AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT UNNEST(generate_series(lo, hi, 300)) AS bucket FROM bounds
+    ),
+    agg AS (
+      SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 AS bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT g.bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           CASE WHEN a.n_events IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: build the full 5-minute grid with
+    F.sequence+explode, left-join the bucket aggregate, zero-fill gaps.
+    The grid generation is one row per bucket regardless of data volume —
+    the resample pattern that makes sparse event streams chartable."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select((F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = e.agg(
+        (F.floor(F.min(F.unix_timestamp("ts")) / 300) * 300).cast("long").alias("lo"),
+        (F.floor(F.max(F.unix_timestamp("ts")) / 300) * 300).cast("long").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(300))).alias("bucket")
+    )
+    return grid.join(hourly, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+
+
+@register(
     "q_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -244,6 +244,14 @@ def _exec_one(
     return ("FAIL", rc, pin.count, pout.count, bytes_err, msg)
 
 
+def _sum_count(rows: Iterable) -> tuple[int, int]:
+    s = c = 0
+    for r in rows:
+        s += r["size"]
+        c += 1
+    return s, c
+
+
 def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFrame:
     """Assign files to byte-balanced bins — the reference's greedy
     prefix-sum split planning (ExecInputFormat.getSplits,
@@ -260,23 +268,26 @@ def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFram
     O(#partitions) numbers."""
     files = manifest.filter(~F.col("is_dir"))
     sc = files.sparkSession.sparkContext
-    if n_tasks is None:
-        n_files = files.count()
-        cap = sc.defaultParallelism * 4
-        # one map per file, capped — reference setMapCount (DistExec.java:419-426)
-        n_tasks = max(1, min(n_files, cap))
 
-    n_plan_parts = max(1, min(sc.defaultParallelism, n_tasks))
+    n_plan_parts = max(1, sc.defaultParallelism)
     ordered = files.repartitionByRange(n_plan_parts, "src_path").sortWithinPartitions("src_path")
     ordered = ordered.cache()
 
-    # phase 1: per-partition byte totals (index, sum)
-    part_sums = dict(
-        ordered.rdd.mapPartitionsWithIndex(
-            lambda i, rows: [(i, sum(r["size"] for r in rows))]
+    # phase 1: per-partition (byte total, file count) in a single pass —
+    # also yields n_files for the DOP rule, so no separate count() job
+    part_stats = {
+        i: (s, c)
+        for i, s, c in ordered.rdd.mapPartitionsWithIndex(
+            lambda i, rows: [(i, *_sum_count(rows))]
         ).collect()
-    )
+    }
+    part_sums = {i: s for i, (s, c) in part_stats.items()}
     total = sum(part_sums.values())
+    n_files = sum(c for _, c in part_stats.values())
+    if n_tasks is None:
+        cap = sc.defaultParallelism * 4
+        # one map per file, capped — reference setMapCount (DistExec.java:419-426)
+        n_tasks = max(1, min(n_files, cap))
     target = max(1, -(-total // n_tasks))  # ceil div
     offsets = {}
     acc = 0
