@@ -71,6 +71,77 @@ def test_streaming_session_append_is_finalized_subset(spark):
     assert len(missing) <= n_users
 
 
+def test_streaming_late_data_dropped_by_watermark(spark, tmp_path):
+    """Events older than the watermark are dropped, not job-fatal — the
+    time-based analog of the reference's per-record failure tolerance
+    (SURVEY.md §2.5). Two file batches: batch 2 contains one event far
+    behind the watermark; its window must not (re)appear in append output."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, types as T
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        pdf = [(i, int((base + dt.timedelta(minutes=m)).timestamp() * 1e9), 1, "click", 1.0, "{}")
+               for i, m in rows]
+        df = spark.createDataFrame(
+            pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: events at minute 0..50 -> watermark advances to max-10min
+    write_batch("b1.parquet", [(i, m) for i, m in enumerate(range(0, 60, 10))])
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType([
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ])
+        )
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("window.start")).alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted_1 = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM late_out").collect()}
+        # batch 2: one very-late event (minute 5, far behind watermark ~min 40)
+        # and one fresh event advancing time
+        write_batch("b2.parquet", [(100, 5), (101, 70)])
+        q.processAllAvailable()
+        emitted_2 = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM late_out").collect()}
+    finally:
+        q.stop()
+    base_epoch = int(base.timestamp())
+    late_window = base_epoch + 0  # the minute-5 event falls in window [0,10)
+    # the late event must not create/update its (already-emitted) window with n=2
+    assert emitted_2.get(late_window) == emitted_1.get(late_window)
+    # progress shows the drop accounted by the watermark
+    assert len(emitted_2) >= len(emitted_1)
+
+
 def test_streaming_dedup_bounded_state(spark):
     """dropDuplicatesWithinWatermark passes each unique event_id once
     (the fixture has no dup ids, so count is preserved)."""
