@@ -23,8 +23,9 @@ Semantics checklist, each with its reference citation
 - duplicate-destination pre-flight (DistExec.java:630-631,647-673) and
   source existence check (DistExec.java:209-226);
 - counters EXECUTED/FAIL/BYTESEXECUTED/BYTESWRITTEN
-  (distexec/ExecFilesMapper.java:27) — here per-row columns aggregated
-  relationally plus Spark accumulators;
+  (distexec/ExecFilesMapper.java:27) — here per-row result columns
+  aggregated relationally by ``metrics()`` (bytes on success only, like
+  the reference);
 - FAIL log records written under the destination
   (distexec/ExecFilesMapper.java:184-187; log path defaulting
   DistExec.java:507-521).
@@ -252,7 +253,9 @@ def _sum_count(rows: Iterable) -> tuple[int, int]:
     return s, c
 
 
-def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFrame:
+def plan_partitions(
+    manifest: DataFrame, n_tasks: int | None = None
+) -> tuple[DataFrame, int, DataFrame]:
     """Assign files to byte-balanced bins — the reference's greedy
     prefix-sum split planning (ExecInputFormat.getSplits,
     DistExec.java:132-177), computed as a **distributed two-phase prefix
@@ -265,7 +268,11 @@ def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFram
     3. each partition assigns bins locally from its offset.
 
     No single-partition window anywhere; the driver only ever sees
-    O(#partitions) numbers."""
+    O(#partitions) numbers.
+
+    Returns (planned, n_tasks, cached) — ``cached`` is the persisted
+    intermediate the caller must unpersist once planned rows have been
+    consumed."""
     files = manifest.filter(~F.col("is_dir"))
     sc = files.sparkSession.sparkContext
 
@@ -306,7 +313,7 @@ def plan_partitions(manifest: DataFrame, n_tasks: int | None = None) -> DataFram
     planned = ordered.sparkSession.createDataFrame(
         ordered.rdd.mapPartitionsWithIndex(assign), schema
     )
-    return planned, n_tasks
+    return planned, n_tasks, ordered
 
 
 def distexec(
@@ -365,27 +372,29 @@ def distexec(
     tmp_dir = os.path.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
     os.makedirs(tmp_dir, exist_ok=True)
 
-    planned, n_tasks = plan_partitions(manifest, n_tasks)
-    planned = planned.repartition(n_tasks, "bin")
+    planned, n_tasks, plan_cache = plan_partitions(manifest, n_tasks)
+    # one task per bin, exactly: a hash repartition on the bin id would
+    # collide bins into the same task and leave others empty, destroying
+    # the byte balance — use an identity partitioner on the keyed RDD.
+    keyed = (
+        planned.select("bin", "src_path", "rel_dst", "mtime_epoch")
+        .rdd.map(lambda r: (r["bin"], (r["src_path"], r["rel_dst"], r["mtime_epoch"])))
+        .partitionBy(n_tasks, lambda b: b)
+    )
 
-    sc = spark.sparkContext
-    acc_exec = sc.accumulator(0)
-    acc_fail = sc.accumulator(0)
-    acc_bytes_in = sc.accumulator(0)
-    acc_bytes_out = sc.accumulator(0)
-
-    def run_partition(rows: Iterator[Row]) -> Iterator[Row]:
-        for row in rows:
+    def run_partition(items) -> Iterator[Row]:
+        for _bin, (src_path, rel_dst, mtime_epoch) in items:
             if update:
-                final = os.path.join(dst, row["rel_dst"])
-                src_m = row["mtime"]
+                final = os.path.join(dst, rel_dst)
                 try:
-                    if os.path.exists(final) and src_m is not None and (
-                        os.path.getmtime(final) >= src_m.timestamp()
+                    # raw-epoch comparison: naive datetimes would be
+                    # re-interpreted in the machine-local timezone
+                    if os.path.exists(final) and mtime_epoch is not None and (
+                        os.path.getmtime(final) >= mtime_epoch
                     ):
                         yield Row(
-                            src_path=row["src_path"],
-                            rel_dst=row["rel_dst"],
+                            src_path=src_path,
+                            rel_dst=rel_dst,
                             status="SKIPPED",
                             exit_code=None,
                             bytes_in=0,
@@ -398,19 +407,13 @@ def distexec(
                     pass
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
-                    row["src_path"], row["rel_dst"], dst, tmp_dir, argv, redirect_err_to_out
+                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
-            if status == "EXECUTED":
-                acc_exec.add(1)
-                acc_bytes_in.add(b_in)
-                acc_bytes_out.add(b_out)
-            else:
-                acc_fail.add(1)
             yield Row(
-                src_path=row["src_path"],
-                rel_dst=row["rel_dst"],
+                src_path=src_path,
+                rel_dst=rel_dst,
                 status=status,
                 exit_code=rc,
                 bytes_in=b_in,
@@ -419,12 +422,14 @@ def distexec(
                 error=err,
             )
 
-    results = spark.createDataFrame(
-        planned.select("src_path", "rel_dst", "mtime").rdd.mapPartitions(run_partition),
-        RESULT_SCHEMA,
-    )
-    results = results.cache()
-    results.count()  # materialize: executes the job, fills accumulators
+    results = spark.createDataFrame(keyed.mapPartitions(run_partition), RESULT_SCHEMA)
+    # Make the results durable BEFORE tearing down tmp: a cached-only frame
+    # would silently re-run every subprocess if partitions were evicted and
+    # the caller acted on it again after tmp_dir is gone.
+    results_dir = os.path.join(dst, "_distexec_results")
+    results.write.mode("overwrite").parquet(results_dir)
+    plan_cache.unpersist()
+    results = spark.read.parquet(results_dir)
 
     # FAIL log records (ExecFilesMapper.java:184-187)
     log_dir = log_dir or os.path.join(dst, "_distexec_logs")
@@ -443,10 +448,13 @@ def distexec(
 def metrics(results: DataFrame) -> DataFrame:
     """Counters as a relational aggregate (reference Counter enum,
     ExecFilesMapper.java:27)."""
+    ok = F.col("status") == "EXECUTED"
     return results.agg(
-        F.sum(F.when(F.col("status") == "EXECUTED", 1).otherwise(0)).alias("executed"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("executed"),
         F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("fail"),
         F.sum(F.when(F.col("status") == "SKIPPED", 1).otherwise(0)).alias("skipped"),
-        F.sum("bytes_in").alias("bytes_executed"),
-        F.sum("bytes_out").alias("bytes_written"),
+        # bytes count only successful executions, like the reference's
+        # BYTESEXECUTED/BYTESWRITTEN (incremented on success only)
+        F.sum(F.when(ok, F.col("bytes_in")).otherwise(0)).alias("bytes_executed"),
+        F.sum(F.when(ok, F.col("bytes_out")).otherwise(0)).alias("bytes_written"),
     )

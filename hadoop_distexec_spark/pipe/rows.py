@@ -48,21 +48,31 @@ def pipe_rows(df: DataFrame, cmd: str | list[str], input_col: str, output_col: s
         )
         pending: list[Row] = []
         lock = threading.Lock()
+        writer_error: list[Exception] = []
+
+        def _chain(head, rest):
+            yield head
+            yield from rest
 
         def writer():
+            # stdin MUST close on every path — a dead writer with stdin
+            # open would leave the child waiting for EOF and the reader
+            # loop below blocked forever.
             try:
                 for row in _chain(first, rows):
                     with lock:
                         pending.append(row)
                     val = row[input_col]
                     proc.stdin.write(("" if val is None else str(val)) + "\n")
-                proc.stdin.close()
             except BrokenPipeError:
                 pass
-
-        def _chain(head, rest):
-            yield head
-            yield from rest
+            except Exception as e:  # surfaced after the reader drains
+                writer_error.append(e)
+            finally:
+                try:
+                    proc.stdin.close()
+                except Exception:
+                    pass
 
         t = threading.Thread(target=writer, daemon=True)
         t.start()
@@ -72,6 +82,8 @@ def pipe_rows(df: DataFrame, cmd: str | list[str], input_col: str, output_col: s
             yield Row(**{**{n: row[n] for n in field_names}, output_col: line.rstrip("\n")})
         t.join()
         rc = proc.wait()
+        if writer_error:
+            raise RuntimeError(f"pipe input failed: {writer_error[0]!r}") from writer_error[0]
         if not exit_ok(argv, rc):
             raise RuntimeError(f"pipe command {argv} exited {rc}")
         with lock:

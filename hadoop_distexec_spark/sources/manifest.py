@@ -49,7 +49,13 @@ def make_relative(root: str, path: str) -> str | None:
     return path[len(prefix) :]
 
 
-def _stat_entry(path: str) -> tuple[str, int, bool, datetime.datetime]:
+def _stat_entry(path: str) -> tuple[str, int, bool, datetime.datetime, float, bool]:
+    """(path, size, is_dir, mtime_utc_naive, mtime_epoch, is_link).
+
+    ``mtime_epoch`` is carried separately because a *naive* datetime's
+    ``.timestamp()`` is interpreted in the machine-local timezone — the
+    -update freshness check must compare raw epochs.
+    """
     st = os.stat(path)
     is_dir = statmod.S_ISDIR(st.st_mode)
     # dirs carry size 0, matching the reference's manifest key
@@ -59,20 +65,28 @@ def _stat_entry(path: str) -> tuple[str, int, bool, datetime.datetime]:
         0 if is_dir else int(st.st_size),
         is_dir,
         datetime.datetime.fromtimestamp(st.st_mtime, tz=datetime.timezone.utc).replace(tzinfo=None),
+        float(st.st_mtime),
+        os.path.islink(path),
     )
 
 
-def _list_dir(path: str) -> list[tuple[str, int, bool, datetime.datetime]]:
-    """Executor-side: one directory's direct children."""
+def _list_dir(path: str) -> list[tuple[str, int, bool, datetime.datetime, float, bool]]:
+    """Executor-side: one directory's direct children.
+
+    PermissionError propagates: an unreadable directory must fail the job
+    (like the reference's client-side walk would), never silently vanish
+    from the manifest. Only races (entry deleted between listdir and stat)
+    are tolerated.
+    """
     out = []
     try:
         names = sorted(os.listdir(path))
-    except (FileNotFoundError, NotADirectoryError, PermissionError):
+    except (FileNotFoundError, NotADirectoryError):
         return out
     for name in names:
         try:
             out.append(_stat_entry(os.path.join(path, name)))
-        except OSError:
+        except FileNotFoundError:
             continue
     return out
 
@@ -114,7 +128,7 @@ def build_manifest(
     )
     sc = spark.sparkContext
 
-    rows: list[tuple] = []  # (src_path, size, is_dir, mtime, root)
+    rows: list[tuple] = []  # (src_path, size, is_dir, mtime, mtime_epoch, is_link, root)
     rdds = []
     for src in srcs:
         root = src if special else (os.path.dirname(src) or "/")
@@ -128,8 +142,10 @@ def build_manifest(
                 )
                 listing = listing.map(lambda e, _root=root: (*e, _root))
                 listing.persist()
-                # only directory *names* come back to the driver
-                frontier = [e[0] for e in listing.filter(lambda e: e[2]).collect()]
+                # only directory *names* come back to the driver. Symlinked
+                # dirs are recorded but never expanded — a `ln -s . loop`
+                # cycle would otherwise walk forever.
+                frontier = [e[0] for e in listing.filter(lambda e: e[2] and not e[5]).collect()]
                 rdds.append(listing)
 
     base = sc.parallelize(rows, 1)
@@ -137,21 +153,32 @@ def build_manifest(
         base = base.union(r)
 
     schema = T.StructType(
-        [*MANIFEST_SCHEMA.fields, T.StructField("root", T.StringType(), False)]
+        [
+            *MANIFEST_SCHEMA.fields,
+            T.StructField("mtime_epoch", T.DoubleType(), False),
+            T.StructField("is_link", T.BooleanType(), False),
+            T.StructField("root", T.StringType(), False),
+        ]
     )
     df = spark.createDataFrame(base, schema)
-    # rel_dst = path minus root prefix; "." for the root itself
-    # (makeRelative, DistExec.java:388-410). Pure column expressions so the
-    # projection stays in codegen.
-    rel = F.when(F.col("src_path") == F.col("root"), F.lit(".")).otherwise(
-        F.expr("substring(src_path, length(root) + 2)")
-    )
     return df.select(
         "src_path",
-        rel.alias("rel_dst"),
+        _rel_expr().alias("rel_dst"),
         "size",
         "is_dir",
         "mtime",
+        "mtime_epoch",
+    )
+
+
+def _rel_expr():
+    """Column twin of ``make_relative``: strip root + '/' (just '/' when
+    the root IS '/'), '.' for the root itself. Pure string expression, so
+    the projection stays in codegen."""
+    return F.when(F.col("src_path") == F.col("root"), F.lit(".")).otherwise(
+        F.expr(
+            "substring(src_path, length(root) + (CASE WHEN root = '/' THEN 1 ELSE 2 END))"
+        )
     )
 
 

@@ -64,6 +64,56 @@ def test_size_stats_match_walk(spark, tree):
     assert agg["byte_count"] == 7
 
 
+def test_symlink_cycle_terminates(spark, tmp_path):
+    """A `ln -s . loop` cycle must not walk forever: symlinked dirs are
+    recorded but never expanded."""
+    import os
+
+    t = tmp_path / "tree"
+    t.mkdir()
+    (t / "a.txt").write_text("x")
+    os.symlink(".", t / "loop")
+    m = build_manifest(spark, str(t))
+    rows = {r["src_path"]: r for r in m.collect()}
+    # root + a.txt + the loop entry itself; nothing under loop/
+    assert len(rows) == 3
+    assert not any("/loop/" in p for p in rows)
+
+
+def test_rel_expr_handles_root_slash(spark):
+    """The column rebase must match make_relative when root == '/'
+    (the '+2' prefix-strip would eat one extra character)."""
+    from hadoop_distexec_spark.sources.manifest import _rel_expr
+
+    df = spark.createDataFrame(
+        [("/data/a.txt", "/"), ("/data/a.txt", "/data"), ("/data", "/data")],
+        "src_path string, root string",
+    )
+    got = [r[0] for r in df.select(_rel_expr()).collect()]
+    assert got == ["data/a.txt", "a.txt", "."]
+    for src, root in [("/data/a.txt", "/"), ("/data/a.txt", "/data")]:
+        assert make_relative(root, src) in got
+
+
+def test_unreadable_dir_fails_job(spark, tmp_path):
+    """PermissionError must fail the walk (reference client-walk behavior),
+    never silently drop a subtree."""
+    import os
+    import pytest as _pytest
+
+    t = tmp_path / "tree"
+    (t / "locked").mkdir(parents=True)
+    (t / "locked" / "secret.txt").write_text("s")
+    os.chmod(t / "locked", 0o000)
+    try:
+        if os.access(t / "locked", os.R_OK):  # running as root: chmod is a no-op
+            _pytest.skip("cannot create unreadable dir as root")
+        with _pytest.raises(Exception):
+            build_manifest(spark, str(t)).collect()
+    finally:
+        os.chmod(t / "locked", 0o755)
+
+
 def test_uri_list_source(spark, tmp_path):
     lst = tmp_path / "uris.txt"
     lst.write_text("/data/a.txt\n/data/b.txt\n\n  /data/c.txt \n")

@@ -177,6 +177,29 @@ def test_many_files_balanced(spark, tmp_path):
         assert (dst / f"f{i:03d}.bin").read_bytes() == (src / f"f{i:03d}.bin").read_bytes()
 
 
+def test_metrics_bytes_count_success_only(spark, tree, tmp_path):
+    """A command that pumps bytes then fails must not contribute to
+    bytes_executed/bytes_written (reference increments byte counters on
+    success only, ExecFilesMapper.java:115,152)."""
+    res = distexec(spark, str(tree), str(tmp_path / "out"), "sh -c 'cat > /dev/null; exit 3'")
+    m = metrics(res).collect()[0]
+    assert m["fail"] == 3 and m["executed"] == 0
+    assert m["bytes_executed"] == 0 and m["bytes_written"] == 0
+
+
+def test_results_survive_reuse_after_run(spark, tree, tmp_path):
+    """The returned results frame is durable: re-filtering/re-counting it
+    later must not re-execute subprocesses (tmp dir is gone by then)."""
+    dst = tmp_path / "out"
+    res = distexec(spark, str(tree), str(dst), "cat")
+    marker = dst / "a.txt"
+    first = marker.stat().st_mtime_ns
+    # act on the frame repeatedly — durable parquet, no recompute
+    assert res.filter(F.col("status") == "EXECUTED").count() == 3
+    assert res.count() == 3
+    assert marker.stat().st_mtime_ns == first  # no re-run touched outputs
+
+
 def test_update_mode_skips_fresh_destinations(spark, tree, tmp_path):
     """-update incremental skip (restored from DistCp heritage,
     src/reference/DistCp.java:1192-1237): second run skips everything; a
@@ -228,8 +251,9 @@ def test_split_plan_byte_balance(spark, tmp_path):
     for i, n in enumerate(sizes):
         (src / f"f{i:03d}.bin").write_bytes(b"x" * n)
     manifest = build_manifest(spark, str(src))
-    planned, n_tasks = plan_partitions(manifest, n_tasks=8)
+    planned, n_tasks, cached = plan_partitions(manifest, n_tasks=8)
     rows = planned.collect()
+    cached.unpersist()
     assert len(rows) == 200
     per_bin = {}
     for r in rows:
