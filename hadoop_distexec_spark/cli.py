@@ -35,6 +35,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="merge child stderr into stdout instead of .stderr side files",
     )
     ap.add_argument("-update", action="store_true", help="skip up-to-date destinations")
+    ap.add_argument(
+        "-timeout",
+        type=float,
+        default=None,
+        dest="cmd_timeout",
+        metavar="SEC",
+        help="per-file command timeout in seconds (straggler guard; expired files FAIL)",
+    )
     ap.add_argument("paths", nargs="*", help="SRC... DST CMD")
     ns = ap.parse_args(argv)
     if len(ns.paths) < 3:
@@ -65,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
             redirect_err_to_out=ns.redirect_err_to_out,
             n_tasks=ns.m,
             update=ns.update,
+            cmd_timeout=ns.cmd_timeout,
         )
         m = metrics(results).collect()[0]
         print(

@@ -192,12 +192,15 @@ def _exec_one(
     tmp_dir: str,
     argv: list[str],
     redirect_err_to_out: bool,
+    timeout: float | None = None,
 ) -> tuple[str, int | None, int, int, int, str | None]:
     """Run one file through the child process.
 
     Returns (status, exit_code, bytes_in, bytes_out, bytes_err, error).
     Orchestration mirrors ExecFilesMapper.execution()
-    (ExecFilesMapper.java:82-154).
+    (ExecFilesMapper.java:82-154). ``timeout`` (seconds) is a straggler
+    guard the reference doesn't have (it relied on the MR task timeout):
+    on expiry the child is killed and the file FAILs, job continues.
     """
     final = os.path.join(dst_root, rel_dst) if rel_dst != "." else dst_root
     uniq = uuid.uuid4().hex[:12]
@@ -225,7 +228,15 @@ def _exec_one(
         pumps.append(perr)
     for p in pumps:
         p.start()
-    rc = proc.wait()
+    try:
+        rc = proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        for p in pumps:
+            p.join(PUMP_JOIN_TIMEOUT)
+        _cleanup([tmp_out, tmp_err])
+        return ("FAIL", None, pin.count, pout.count, 0, f"timeout after {timeout}s, killed")
     for p in pumps:
         p.join(PUMP_JOIN_TIMEOUT)
 
@@ -326,6 +337,7 @@ def distexec(
     n_tasks: int | None = None,
     log_dir: str | None = None,
     update: bool = False,
+    cmd_timeout: float | None = None,
 ) -> DataFrame:
     """Distributed per-file command execution — `hadoop distexec src dst cmd`
     (reference README.md:9-10) as a Spark job.
@@ -407,7 +419,7 @@ def distexec(
                     pass
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
-                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out
+                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out, cmd_timeout
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)

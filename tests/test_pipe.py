@@ -177,6 +177,22 @@ def test_many_files_balanced(spark, tmp_path):
         assert (dst / f"f{i:03d}.bin").read_bytes() == (src / f"f{i:03d}.bin").read_bytes()
 
 
+def test_cmd_timeout_kills_straggler(spark, tree, tmp_path):
+    """A hung command is killed at cmd_timeout, FAILs that file only, and
+    the job completes (straggler guard; the reference relied on the MR
+    task timeout)."""
+    import time as _time
+
+    t0 = _time.time()
+    res = distexec(
+        spark, str(tree / "a.txt"), str(tmp_path / "out"), "sleep 300", cmd_timeout=2.0
+    )
+    rows = res.collect()
+    assert _time.time() - t0 < 60  # did not wait out the sleep
+    assert len(rows) == 1 and rows[0]["status"] == "FAIL"
+    assert "timeout" in rows[0]["error"]
+
+
 def test_metrics_bytes_count_success_only(spark, tree, tmp_path):
     """A command that pumps bytes then fails must not contribute to
     bytes_executed/bytes_written (reference increments byte counters on
