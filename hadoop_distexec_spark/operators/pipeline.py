@@ -1,0 +1,321 @@
+"""Training-data pipeline operators (SURVEY.md §2.5 north-star surface,
+second batch): deterministic train/test splitting, PII redaction, document
+chunking, sequence packing, and dedup-cluster construction via connected
+components over near-dup pairs.
+
+These extend the LLM-pipeline family in ``llmops.py`` with the corpus-prep
+steps that sit between "near-dup pairs found" and "training shards written":
+pairs -> clusters -> canonical keep-list, documents -> chunks -> packed
+sequences, plus the split/redact passes every corpus run needs.
+
+The reference (kadwanev/hadoop-distexec) has no relational surface at all
+(map-only job, DistExec.java:452); this whole family is [EXT] per SURVEY §2.5.
+
+Scale design (100 TB of documents):
+- split/redact/chunk are pure per-row codegen expressions — zero shuffles;
+- sequence packing's window cumsum is the oracle-checkable correctness
+  baseline of the same greedy prefix-sum the pipe executor already runs
+  distributed (pipe/executor.py plan_partitions' two-phase prefix sum);
+- connected components is iterative min-label propagation: each round is
+  one equi-join + one hash aggregate on the edge list, converging in
+  O(graph diameter) rounds — the standard Spark shape for dedup-cluster
+  construction (large-star/small-star is the same loop with smarter edge
+  rewrites). Lineage is truncated per round with localCheckpoint so plans
+  don't grow with iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark.operators.llmops import _SHINGLES_SQL, MAX_SHINGLE_DF
+from hadoop_distexec_spark.registry import register
+from hadoop_distexec_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# deterministic train/test split
+# ---------------------------------------------------------------------------
+
+# two lowercase hex chars of md5 compare lexicographically as their byte
+# value in both engines: <= '19' keeps 0x00..0x19 = 26/256 ~ 10.2% as test
+_TEST_CEIL = "19"
+
+
+@register(
+    "q_split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_TEST_CEIL}'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split: md5 of the stable doc key,
+    first two hex chars as the bucket, lexicographic threshold for ~10%
+    test. Pure per-row expression (no shuffle, no RNG): the same doc lands
+    in the same split on every run, any cluster size, both engines."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    return docs.select(
+        "doc_id",
+        bucket.alias("hash_bucket"),
+        F.when(bucket <= _TEST_CEIL, "test").otherwise("train").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(LEN(regexp_extract_all(text, '{_LONGNUM_RE}')) AS INT) AS n_longnums,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: email / phone / long-digit-run patterns counted
+    and replaced with typed placeholders, applied in a fixed order (email
+    before phone before bare number runs, so a broader pattern never eats a
+    narrower one's match). Patterns stay in the RE2 ∩ Java-regex common
+    dialect so both engines match identical spans. Zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n_longnums"),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 256
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS BIGINT)))
+               AS chunk_id
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}) AS chunk,
+           length(substr(text, CAST(chunk_id * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS}))
+             AS n_chars_chunk
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking (the context-window prep step):
+    sequence + explode into CHUNK_CHARS-char slices. Per-row explode, no
+    shuffle; at 100 TB the explode multiplies rows ~len/CHUNK inside the
+    scan stage and downstream consumers repartition as needed."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(f"substring(text, CAST(chunk_id * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS})").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("n_chars_chunk", F.length("chunk").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 4096
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) AS pack_id,
+           CAST(cum_before - (CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) * {PACK_TOKENS})
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs in stable doc_id order, exclusive
+    running token count, pack = floor(cum/PACK_TOKENS) — each training pack
+    gets ~PACK_TOKENS tokens. This is the same greedy prefix-sum the pipe
+    split planner runs (DistExec.java:149-176 re-expressed relationally);
+    the single-partition window here is the oracle-checkable correctness
+    baseline, and pipe/executor.py plan_partitions is the distributed
+    two-phase-prefix-sum twin used at scale."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    pack = F.floor(F.col("cum_before") / PACK_TOKENS)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("cum_before") - pack * PACK_TOKENS).alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation: ``nodes`` is (doc_id), ``edges`` is
+    (doc_a, doc_b) undirected; returns (doc_id, component) where component
+    is the minimum doc_id reachable from doc_id.
+
+    Each round: symmetric edge join against current labels -> per-node min
+    neighbor label -> least(own, neighbor). Converges in O(diameter)
+    rounds; every round is one shuffle on doc_id. localCheckpoint after
+    each round truncates lineage so the plan stays O(1) deep regardless of
+    iteration count (without it round k replays rounds 1..k-1)."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = new.filter(F.col("new_component") < F.col("component")).count()
+        labels = new.select(
+            "doc_id", F.col("new_component").alias("component")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+# near-dup edges = the q_dedup_ngram pair set (jaccard >= 0.1); the oracle
+# recomputes the same pairs and takes the transitive closure recursively
+_NGRAM_PAIRS_SQL = f"""
+  keep AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+  ),
+  s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+  rawpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ),
+  pairs AS (
+    SELECT doc_a, doc_b FROM rawpairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+  )
+"""
+
+
+@register(
+    "q_dedup_groups",
+    oracle="WITH RECURSIVE "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ",\n"
+    + _NGRAM_PAIRS_SQL
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the n-gram-Jaccard
+    near-dup pair graph (edges = q_dedup_ngram pairs). component = min
+    doc_id in the cluster, i.e. the canonical representative a keep-list
+    would retain; singleton docs are their own component. Iterative
+    min-label propagation on Spark; DuckDB oracles it with a recursive-CTE
+    transitive closure — genuinely iterative, yet still hash-checkable."""
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    edges = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, edges)
+    return labels.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("long")
+    )

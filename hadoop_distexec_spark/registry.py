@@ -46,6 +46,7 @@ def _load_modules() -> None:
     from hadoop_distexec_spark.operators import (  # noqa: F401
         llmops,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         skew,
