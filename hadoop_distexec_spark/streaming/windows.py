@@ -244,3 +244,71 @@ def streaming_session(events: DataFrame, *, watermark: str = "30 minutes") -> Da
             "n_events",
         )
     )
+
+
+def streaming_join(
+    clicks: DataFrame, purchases: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: click -> purchase attribution per user
+    within 30 minutes. Both sides carry watermarks and the join condition
+    time-bounds the match, so each side's state store holds only rows
+    younger than (watermark + join window) — the bounded-state contract
+    stream-stream joins require. At scale this is one shuffle per side on
+    user_id, state sized by the time bound, not the stream length."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
+def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str):
+    """foreachBatch parquet sink: the escape hatch for sinks Spark lacks a
+    native connector for. Each micro-batch lands as an idempotent
+    append keyed by batch_id (re-delivered batches overwrite their own
+    partition, giving effectively-exactly-once output on top of the
+    at-least-once replay contract) — the streaming analog of the pipe
+    executor's tmp+rename per-file commit."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

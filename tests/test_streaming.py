@@ -169,3 +169,56 @@ def test_streaming_user_stats_stateful(spark):
         for r in table(spark, SF, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == batch
+
+
+def test_streaming_join_matches_batch(spark):
+    """Stream-stream click->purchase attribution: the streaming join over
+    the full file (append mode, all watermarks passed at EOF... join rows
+    are emitted as both sides arrive) must equal the equivalent batch
+    join."""
+    from hadoop_distexec_spark.streaming.windows import streaming_join
+
+    events = read_events_stream(spark, SF)
+    _run_stream(streaming_join(events, events), "sjoin_out", "append")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM sjoin_out").collect()
+    }
+    e = table(spark, SF, "events")
+    c = e.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS cts"
+    )
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS pts"
+    )
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert batch, "fixture produced no click->purchase pairs"
+    assert got == batch
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, tmp_path):
+    """foreachBatch parquet sink: rows land partitioned by batch id, and
+    the union of batches equals the stream input exactly once."""
+    from hadoop_distexec_spark.streaming.windows import write_stream_foreach_batch
+
+    events = read_events_stream(spark, SF).select("event_id", "user_id", "value")
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = write_stream_foreach_batch(events, out, chk)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert "_batch_id" in written.columns
+    assert written.count() == table(spark, SF, "events").count()
+    assert written.select("event_id").distinct().count() == written.count()
