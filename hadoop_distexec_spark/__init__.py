@@ -31,6 +31,7 @@ an optional DuckDB oracle SQL twin used by the correctness gate.
 from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError
 from hadoop_distexec_spark.pipe.executor import distexec
 from hadoop_distexec_spark.pipe.rows import pipe_rows
+from hadoop_distexec_spark.pipe.sync import sync_deletes
 from hadoop_distexec_spark.registry import all_queries, oracle_sqls
 from hadoop_distexec_spark.session import get_spark
 from hadoop_distexec_spark.sources.manifest import build_manifest, build_manifest_binaryfile
@@ -46,6 +47,7 @@ __all__ = [
     "get_spark",
     "oracle_sqls",
     "pipe_rows",
+    "sync_deletes",
 ]
 
 __version__ = "0.1.0"
