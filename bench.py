@@ -38,6 +38,10 @@ HEADLINE = [
     "q_stream_tumble",
     "q_asof_join",
     "q_range_join",
+    "q_dedup_embed",
+    "q_dedup_groups",
+    "q_doc_chunks",
+    "q_split_train_test",
 ]
 
 

@@ -380,7 +380,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join runs only within blocks (IVF-style blocking), so the
     candidate count is sum_cell(n_c^2) instead of N^2 — the standard
     scale shape for embedding dedup. Exact decimal dots keep the oracle
-    bit-identical."""
+    bit-identical.
+
+    Perf: the exact-decimal dot is ~10x the cost of a plain double dot
+    (interpreted decimal(30,16) arithmetic per element), so candidates are
+    prefiltered with a double-precision cosine at threshold-1e-6 and the
+    exact decimal cosine is evaluated only for survivors (projection after
+    filter => Catalyst never computes it for rejected pairs). The 1e-6
+    margin is >>1000x the worst-case double-vs-decimal rounding gap for
+    64-dim unit-scale vectors, so the final decimal filter is unchanged."""
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "label"
     )
@@ -398,10 +406,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), "label",
         F.col("embedding").alias("emb_b"), F.col("norm2").alias("n2_b"),
     )
+    dbl_dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dbl_cos = dbl_dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     cosine = _spark_dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(dbl_cos >= 0.2 - 1e-6)  # cheap prefilter; see docstring
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= 0.2)
         .select("vec_a", "vec_b", "cosine")

@@ -229,10 +229,13 @@ def connected_components(
     rounds; every round is one shuffle on doc_id. localCheckpoint after
     each round truncates lineage so the plan stays O(1) deep regardless of
     iteration count (without it round k replays rounds 1..k-1)."""
+    # materialize the edge list BEFORE symmetrizing: the union's two
+    # branches would otherwise each re-execute the (expensive) upstream
+    # pair-mining plan — Spark does not dedupe identical subplans
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr = (
@@ -241,6 +244,10 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
+        # checkpoint FIRST, then derive both the convergence count and the
+        # next labels from the materialized result — otherwise the round's
+        # join+agg would execute twice (once for the count, once for the
+        # checkpoint)
         new = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -250,11 +257,10 @@ def connected_components(
                 ),
                 "component",
             )
+            .localCheckpoint(eager=True)
         )
         changed = new.filter(F.col("new_component") < F.col("component")).count()
-        labels = new.select(
-            "doc_id", F.col("new_component").alias("component")
-        ).localCheckpoint(eager=True)
+        labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     return labels
