@@ -633,3 +633,62 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
     )
+
+
+WINNOW_K = 8  # chars per k-gram
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             UNNEST(range(1, CAST(length(text) - {WINNOW_K} + 2 AS BIGINT))) AS p
+      FROM documents WHERE length(text) >= {WINNOW_K}
+    ),
+    h AS (
+      SELECT doc_id, p, md5(substr(text, CAST(p AS INT), {WINNOW_K})) AS kh
+      FROM pos
+    ),
+    w AS (
+      SELECT doc_id,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM w
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprinting
+    scheme of Schleimer/Wilkerson/Aiken's MOSS, SIGMOD'03): hash every
+    WINNOW_K-char k-gram, keep the minimum hash of each WINNOW_W-wide
+    window of consecutive positions, emit the distinct minima per doc.
+    Near-identical documents share most fingerprints, and a fingerprint
+    equi-join finds overlap without any pair enumeration.
+
+    The classic algorithm uses a *rolling* hash to make single-core
+    hashing O(n); distributed, that serial recurrence is the wrong shape —
+    hashing each k-gram independently (md5, codegen, embarrassingly
+    parallel, and shared bit-for-bit with DuckDB) gives the same
+    fingerprint set with no cross-row dependency. The position explode is
+    ~len(text) rows per doc inside the scan stage; the window min reuses
+    the per-doc hash partitioning."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= WINNOW_K)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1)).alias("p"),
+    )
+    kh = pos.select(
+        "doc_id", "p", F.md5(F.encode(F.expr(f"substring(text, p, {WINNOW_K})"), "UTF-8")).alias("kh")
+    )
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    return kh.select("doc_id", F.min("kh").over(w).alias("fp")).distinct()
