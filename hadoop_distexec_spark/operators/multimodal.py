@@ -154,3 +154,72 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     return extract_media_meta(docs)
+
+
+RESIZE_SCHEMA = "doc_id long, content binary, width int, height int"
+
+
+def resize_image(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: binary in -> binary out with new dimensions.
+
+    STUB compute (no codecs in this container): the "resized" payload is
+    the blob truncated/cycled to exactly width*height bytes — a
+    deterministic, size-correct fake for PIL's ``Image.resize``. The
+    Spark-side contract is the real part: binary->binary through Arrow
+    batches, output rows 1:1 with input, constant output size per row (the
+    property a downstream training loader relies on).
+
+    Input columns: (doc_id: long, content: binary).
+    """
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize(blob: bytes) -> bytes:
+                if not blob:
+                    return bytes(target)
+                reps = -(-target // len(blob))  # ceil
+                return (blob * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": pdf["content"].map(_resize),
+                    "width": width,
+                    "height": height,
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = "doc_id long, feature array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction plumbing: binary in -> float vector out (the
+    embed-the-image step of a multimodal pipeline).
+
+    STUB compute: byte-histogram features (dim buckets over byte values,
+    L1-normalized) — deterministic, numpy-vectorized inside the Arrow
+    batch, and shaped exactly like a real encoder output
+    (``array<float>`` column ready for the similarity operators in
+    llmops). Swap the histogram for an ONNX/torch call on a real cluster;
+    schema, batching and downstream consumers are unchanged.
+    """
+    import numpy as np
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                hist = np.bincount(arr // (256 // dim), minlength=dim).astype(np.float32)
+                feats.append(hist / hist.sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
+
+    return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
