@@ -36,6 +36,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     ap.add_argument("-update", action="store_true", help="skip up-to-date destinations")
     ap.add_argument(
+        "-delete",
+        action="store_true",
+        dest="delete",
+        help="after the run, delete dst entries no source maps to "
+        "(DistCp -delete heritage; implies the -update layout)",
+    )
+    ap.add_argument(
         "-timeout",
         type=float,
         default=None,
@@ -65,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         from hadoop_distexec_spark.session import get_spark
 
         spark = get_spark("distexec-cli")
+        # the run's root rule depends on whether dst existed BEFORE the run
+        # (DistExec.java:545,553); capture it now so a later -delete sync
+        # rebases against the same layout
+        import os
+
+        dst_preexisted = os.path.exists(ns.dst)
         results = distexec(
             spark,
             ns.srcs,
@@ -76,9 +89,20 @@ def main(argv: list[str] | None = None) -> int:
             cmd_timeout=ns.cmd_timeout,
         )
         m = metrics(results).collect()[0]
+        n_deleted = 0
+        if ns.delete:
+            from hadoop_distexec_spark.pipe.sync import sync_deletes
+
+            n_deleted = sync_deletes(
+                spark,
+                ns.srcs,
+                ns.dst,
+                contents_into_dst=(ns.update or not dst_preexisted),
+            ).count()
         print(
             f"executed={m['executed']} fail={m['fail']} skipped={m['skipped']} "
             f"bytes_executed={m['bytes_executed']} bytes_written={m['bytes_written']}"
+            + (f" deleted={n_deleted}" if ns.delete else "")
         )
         return 0
     except DuplicationError as e:

@@ -37,3 +37,20 @@ def test_main_exit_codes(tmp_path):
     (s1 / "x.txt").write_text("1")
     (s2 / "x.txt").write_text("2")
     assert main([str(s1 / "x.txt"), str(s2 / "x.txt"), str(tmp_path / "o3"), "cat"]) == -2
+
+
+def test_cli_delete_syncs_strays(spark, tmp_path):
+    import os
+
+    from hadoop_distexec_spark.cli import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("data\n")
+    dst = str(tmp_path / "dst")
+    assert main([str(src), dst, "cat"]) == 0
+    with open(os.path.join(dst, "stray.bin"), "w") as f:
+        f.write("x")
+    assert main(["-update", "-delete", str(src), dst, "cat"]) == 0
+    assert not os.path.exists(os.path.join(dst, "stray.bin"))
+    assert open(os.path.join(dst, "a.txt")).read() == "data\n"
