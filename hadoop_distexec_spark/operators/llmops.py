@@ -145,8 +145,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist, same reasoning as q_dedup_minhash."""
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
-    keep = s.groupBy("shingle").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("shingle")
-    s = s.join(keep, "shingle")
+    # The df cap keeps shingles with count <= MAX_SHINGLE_DF — i.e. almost
+    # all of them. Joining against that "keep" set would shuffle the whole
+    # shingle table twice; instead materialize the complement (the hot stop
+    # list, bounded above by |shingle rows| / MAX_SHINGLE_DF, tiny at any
+    # scale) and broadcast anti-join it, leaving s unshuffled and cached.
+    hot = s.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
+    s = s.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -236,7 +236,12 @@ def connected_components(
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    # Only edge endpoints can ever change label — singletons are their own
+    # component by definition. Propagate over the (usually far smaller)
+    # touched-node set and join the untouched majority back at the end:
+    # per-round cost scales with |edge endpoints|, not |corpus|.
+    touched = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    labels = touched.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -263,7 +268,9 @@ def connected_components(
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
-    return labels
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
 
 
 # near-dup edges = the q_dedup_ngram pair set (jaccard >= 0.1); the oracle
