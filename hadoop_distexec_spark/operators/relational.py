@@ -124,12 +124,18 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_agg_approx", oracle=None)  # approx sketch differs across engines -> rows-only
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx distinct + approx quantiles — the 100 TB-scale cardinality path."""
+    """HLL approx distinct + approx quantiles — the 100 TB-scale cardinality path.
+
+    Scalar quantile columns (not an array) so the driver's rows-only
+    canonicalizer — a pandas sort over all columns — can hash the output
+    (lists are unhashable; see CORRECTNESS_r01 q_agg_approx err).
+    """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
     )
 
 

@@ -43,22 +43,72 @@ def register(qid: str, oracle: Optional[str] = None, doc: str = ""):
 
 def _load_modules() -> None:
     # Import for side effect: each module registers its queries.
-    from hadoop_distexec_spark.operators import (  # noqa: F401
-        llmops,
-        multimodal,
-        pipeline,
-        relational,
-        relational_ext,
-        skew,
-    )
+    #
+    # ORDER MATTERS: the driver's CORRECTNESS harness checks queries in
+    # registration order with a bounded entry budget (r01 stopped at 50 of
+    # 76). Register the SURVEY §2 [REF] reference-parity core first
+    # (manifest/pipe/streaming), then the relational surface, then the LLM
+    # extras — so the rows that prove reference parity are always inside
+    # the driver's window (VERDICT r01 "Next round" item 2).
     from hadoop_distexec_spark.plans import manifest_plan  # noqa: F401
     from hadoop_distexec_spark.pipe import queries as pipe_queries  # noqa: F401
     from hadoop_distexec_spark.streaming import windows  # noqa: F401
+    from hadoop_distexec_spark.operators import (  # noqa: F401
+        relational,
+        relational_ext,
+        skew,
+        pipeline,
+        multimodal,
+        llmops,
+    )
+
+
+# Driver-facing registration order. The driver's CORRECTNESS harness checks
+# queries in the order `queries()` yields them, with a bounded entry budget
+# (r01 witnessed only the first 50 of 76). This list pins the window to the
+# ids that most need a driver-witnessed row:
+#   1. the SURVEY §2 [REF] reference-parity core (manifest/pipe/streaming),
+#   2. ids with NO green CORRECTNESS row from any prior round
+#      (relational_ext SQL/outer-join/salted family; r01 stopped before them),
+#   3. q_agg_approx (r01's one red row — must be re-witnessed),
+#   4. the core relational surface.
+# Ids not listed keep registration order after these; all of them hold green
+# r01 rows and remain covered by the byte-identical local oracle gate
+# (tests/test_oracle_parity.py) every session.
+_PRIORITY: list[str] = [
+    # --- §2 [REF] core: manifest / pipe / streaming ---
+    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
+    "q_proj_manifest", "q_dup_check", "q_split_plan",
+    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
+    "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    # --- never driver-witnessed (r01 window ended at 50) ---
+    "q_fn_levenshtein", "q_fn_explode", "q_fn_cond",
+    "q_join_left_outer", "q_join_full_outer", "q_join_salted",
+    "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile",
+    "q_sql_star", "q_sql_corr_subquery", "q_ts_gapfill", "q_scalar_subquery",
+    # --- r01 red row: re-witness with the scalar-column fix ---
+    "q_agg_approx",
+    # --- new this round ---
+    "q_stream_smoke", "q_pack_sequences_dist",
+    # --- core relational (green r01; keep as many in-window as fit) ---
+    "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
+    "q_join_multi",
+    "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
+    "q_set_union", "q_set_except", "q_set_intersect",
+    "q_asof_join", "q_range_join", "q_pivot", "q_unpivot",
+    "q_fn_string",
+]
 
 
 def specs() -> dict[str, QuerySpec]:
     _load_modules()
-    return dict(_REGISTRY)
+    rank = {qid: i for i, qid in enumerate(_PRIORITY)}
+    insertion = {qid: i for i, qid in enumerate(_REGISTRY)}
+    ordered = sorted(
+        _REGISTRY, key=lambda q: (rank.get(q, len(rank)), insertion[q])
+    )
+    return {qid: _REGISTRY[qid] for qid in ordered}
 
 
 def all_queries() -> dict[str, QueryFn]:
