@@ -29,6 +29,7 @@ an optional DuckDB oracle SQL twin used by the correctness gate.
 """
 
 from hadoop_distexec_spark.errors import DistExecError, DuplicationError, InvalidInputError
+from hadoop_distexec_spark.fs import FileSystem, FsspecFS, LocalFS, MappedFS, resolve_fs
 from hadoop_distexec_spark.pipe.executor import distexec
 from hadoop_distexec_spark.pipe.rows import pipe_rows
 from hadoop_distexec_spark.pipe.sync import sync_deletes
@@ -39,8 +40,13 @@ from hadoop_distexec_spark.sources.manifest import build_manifest, build_manifes
 __all__ = [
     "DistExecError",
     "DuplicationError",
+    "FileSystem",
+    "FsspecFS",
     "InvalidInputError",
+    "LocalFS",
+    "MappedFS",
     "all_queries",
+    "resolve_fs",
     "build_manifest",
     "build_manifest_binaryfile",
     "distexec",

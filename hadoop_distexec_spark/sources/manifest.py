@@ -17,13 +17,13 @@ from __future__ import annotations
 
 import datetime
 import os
-import stat as statmod
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hadoop_distexec_spark.errors import InvalidInputError
+from hadoop_distexec_spark.fs import FileSystem, resolve_fs
 
 MANIFEST_SCHEMA = T.StructType(
     [
@@ -49,28 +49,32 @@ def make_relative(root: str, path: str) -> str | None:
     return path[len(prefix) :]
 
 
-def _stat_entry(path: str) -> tuple[str, int, bool, datetime.datetime, float, bool]:
+def _stat_entry(
+    path: str, fs: FileSystem
+) -> tuple[str, int, bool, datetime.datetime | None, float | None, bool]:
     """(path, size, is_dir, mtime_utc_naive, mtime_epoch, is_link).
 
     ``mtime_epoch`` is carried separately because a *naive* datetime's
     ``.timestamp()`` is interpreted in the machine-local timezone — the
-    -update freshness check must compare raw epochs.
+    -update freshness check must compare raw epochs. Object stores may
+    report no mtime at all -> both fields None (and -update re-executes).
     """
-    st = os.stat(path)
-    is_dir = statmod.S_ISDIR(st.st_mode)
+    st = fs.stat(path)
     # dirs carry size 0, matching the reference's manifest key
     # (DistExec.java:592: dirs are written with a 0 size key).
-    return (
-        path,
-        0 if is_dir else int(st.st_size),
-        is_dir,
-        datetime.datetime.fromtimestamp(st.st_mtime, tz=datetime.timezone.utc).replace(tzinfo=None),
-        float(st.st_mtime),
-        os.path.islink(path),
+    mtime = (
+        datetime.datetime.fromtimestamp(st.mtime_epoch, tz=datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+        if st.mtime_epoch is not None
+        else None
     )
+    return (path, 0 if st.is_dir else st.size, st.is_dir, mtime, st.mtime_epoch, st.is_link)
 
 
-def _list_dir(path: str) -> list[tuple[str, int, bool, datetime.datetime, float, bool]]:
+def _list_dir(
+    path: str, fs: FileSystem
+) -> list[tuple[str, int, bool, datetime.datetime | None, float | None, bool]]:
     """Executor-side: one directory's direct children.
 
     PermissionError propagates: an unreadable directory must fail the job
@@ -80,21 +84,21 @@ def _list_dir(path: str) -> list[tuple[str, int, bool, datetime.datetime, float,
     """
     out = []
     try:
-        names = sorted(os.listdir(path))
+        children = fs.listdir(path)
     except (FileNotFoundError, NotADirectoryError):
         return out
-    for name in names:
+    for child in children:
         try:
-            out.append(_stat_entry(os.path.join(path, name)))
+            out.append(_stat_entry(child, fs))
         except FileNotFoundError:
             continue
     return out
 
 
-def check_src_paths(srcs: list[str]) -> None:
+def check_src_paths(srcs: list[str], fs: FileSystem | None = None) -> None:
     """Every source must exist; all misses accumulated before raising
     (reference checkSrcPath, DistExec.java:209-226)."""
-    missing = [s for s in srcs if not os.path.exists(s)]
+    missing = [s for s in srcs if not resolve_fs(s, fs).exists(s)]
     if missing:
         raise InvalidInputError(missing)
 
@@ -104,6 +108,7 @@ def build_manifest(
     srcs: list[str] | str,
     dst: str | None = None,
     contents_into_dst: bool = False,
+    fs: FileSystem | None = None,
 ) -> DataFrame:
     """Enumerate source trees into a manifest DataFrame with rel_dst.
 
@@ -115,30 +120,37 @@ def build_manifest(
     ``contents_into_dst`` forces the special rule even when dst exists —
     DistCp's documented -update semantics, needed so incremental re-runs
     map to the same destination layout as the first run.
+
+    ``fs`` selects the filesystem (default: resolved per-path from the URI
+    scheme — local, or fsspec for hdfs/s3/..., matching the reference's
+    ``path.getFileSystem`` dispatch at DistExec.java:229). The instance is
+    captured in executor closures, so it must pickle.
     """
     if isinstance(srcs, str):
         srcs = [srcs]
-    srcs = [os.path.abspath(s) for s in srcs]
-    check_src_paths(srcs)
+    src_fs = resolve_fs(srcs[0], fs)
+    srcs = [src_fs.normalize(s) for s in srcs]
+    check_src_paths(srcs, src_fs)
+    dst_fs = resolve_fs(dst, fs) if dst is not None else src_fs
 
     special = (
         len(srcs) == 1
-        and os.path.isdir(srcs[0])
-        and (contents_into_dst or dst is None or not os.path.exists(dst))
+        and src_fs.stat(srcs[0]).is_dir
+        and (contents_into_dst or dst is None or not dst_fs.exists(dst))
     )
     sc = spark.sparkContext
 
     rows: list[tuple] = []  # (src_path, size, is_dir, mtime, mtime_epoch, is_link, root)
     rdds = []
     for src in srcs:
-        root = src if special else (os.path.dirname(src) or "/")
-        entry = _stat_entry(src)
+        root = src if special else (src_fs.dirname(src) or "/")
+        entry = _stat_entry(src, src_fs)
         rows.append((*entry, root))
         if entry[2]:  # directory: BFS fan-out on executors
             frontier = [src]
             while frontier:
                 listing = sc.parallelize(frontier, max(1, min(len(frontier), 256))).flatMap(
-                    _list_dir
+                    lambda p, _fs=src_fs: _list_dir(p, _fs)
                 )
                 listing = listing.map(lambda e, _root=root: (*e, _root))
                 listing.persist()
@@ -155,7 +167,8 @@ def build_manifest(
     schema = T.StructType(
         [
             *MANIFEST_SCHEMA.fields,
-            T.StructField("mtime_epoch", T.DoubleType(), False),
+            # nullable: object-store backends may not report mtimes
+            T.StructField("mtime_epoch", T.DoubleType(), True),
             T.StructField("is_link", T.BooleanType(), False),
             T.StructField("root", T.StringType(), False),
         ]
