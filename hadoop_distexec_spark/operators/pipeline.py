@@ -212,6 +212,94 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_distributed(
+    docs: DataFrame, pack_tokens: int = PACK_TOKENS, n_parts: int | None = None
+) -> DataFrame:
+    """Distributed twin of ``q_pack_sequences`` — the same greedy global
+    prefix sum with **no single-partition window** (VERDICT r01 scale-killer
+    #1), using the two-phase shape of ``plan_partitions``
+    (pipe/executor.py; reference ExecInputFormat DistExec.java:149-176):
+
+    1. range-partition by doc_id (contiguous ranges, global order across
+       partitions) and pin the assignment with an eager localCheckpoint —
+       spark_partition_id must be identical for the sums pass and the
+       final pass;
+    2. per-partition token totals to the driver: O(#partitions) longs;
+    3. exclusive cumsum *within* each partition (the window is keyed by
+       part_id, so Catalyst plans a parallel hash-partitioned window, not
+       a global sort) + the partition's broadcast global offset.
+
+    Bit-identical to the windowed baseline: integer token counts, same
+    doc_id total order.
+    """
+    spark = docs.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    ranged = (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("part_id", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["part_id"]: r["s"]
+        for r in ranged.groupBy("part_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    acc = 0
+    offset_rows = []
+    for pid in sorted(sums):
+        offset_rows.append((pid, acc))
+        acc += sums[pid]
+    offsets = spark.createDataFrame(offset_rows, "part_id INT, part_offset BIGINT")
+
+    w = W.partitionBy("part_id").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("part_offset")
+    pack = F.floor(cum_before / pack_tokens)
+    return (
+        ranged.join(F.broadcast(offsets), "part_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            pack.alias("pack_id"),
+            (cum_before - pack * pack_tokens).alias("pack_offset"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences_dist",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) AS pack_id,
+           CAST(cum_before - (CAST(floor(cum_before / {PACK_TOKENS}) AS BIGINT) * {PACK_TOKENS})
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, distributed: identical output to q_pack_sequences
+    (same oracle, hash-checked) from a plan whose only exchanges are the
+    doc_id range partitioning and a per-partition-keyed window — survives a
+    10^9-row corpus where the windowed baseline's single global sort task
+    would not."""
+    return pack_sequences_distributed(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -268,6 +356,15 @@ def connected_components(
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence would silently emit
+        # SPLIT clusters (component diameter > max_iter): fail loudly
+        # rather than hand a wrong keep-list downstream (ADVICE r01 #1)
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the pair "
+            "graph has a component with a larger diameter"
+        )
     return nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
     )

@@ -55,6 +55,23 @@ def test_corpus_prep_ops_are_shuffle_free(spark):
         assert "Exchange" not in plan, f"{qid} gained a shuffle:\n{plan[:500]}"
 
 
+def test_pack_sequences_dist_no_global_window(spark):
+    """The distributed packer must plan a hash-partitioned window (keyed by
+    part_id), never the baseline's single-partition global sort — and its
+    offsets join must stay a broadcast."""
+    plan = _plan(spark, "q_pack_sequences_dist")
+    assert "Exchange SinglePartition" not in plan, plan[:800]
+    assert "hashpartitioning(part_id" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_dist_matches_baseline(spark):
+    """Two-phase prefix sum == windowed baseline, bit for bit."""
+    a = SPECS["q_pack_sequences"].fn(spark, SF_ORACLE)
+    b = SPECS["q_pack_sequences_dist"].fn(spark, SF_ORACLE)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_chunking_prunes_scan(spark):
     # q_doc_chunks must not read the documents columns it doesn't use
     plan = _plan(spark, "q_doc_chunks")
