@@ -34,7 +34,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         dest="redirect_err_to_out",
         help="merge child stderr into stdout instead of .stderr side files",
     )
-    ap.add_argument("-update", action="store_true", help="skip up-to-date destinations")
+    ap.add_argument(
+        "-update",
+        nargs="?",
+        const="mtime",
+        default=False,
+        choices=["mtime", "hash"],
+        help="skip up-to-date destinations: mtime freshness (default) or "
+        "content-hash compare against the previous run's _distexec_state",
+    )
     ap.add_argument(
         "-delete",
         action="store_true",

@@ -47,6 +47,7 @@ speculative execution must stay off, DistExec.java:443-445).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -94,8 +95,21 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("bytes_out", T.LongType(), False),
         T.StructField("bytes_err", T.LongType(), False),
         T.StructField("error", T.StringType(), True),
+        # content hash of the source; populated only under update="hash"
+        T.StructField("src_md5", T.StringType(), True),
     ]
 )
+
+
+def _md5_of(fs: FileSystem, path: str) -> str:
+    h = hashlib.md5()
+    with fs.open(path, "rb", buffering=BUF_SIZE) as f:
+        while True:
+            chunk = f.read(BUF_SIZE)
+            if not chunk:
+                break
+            h.update(chunk)
+    return h.hexdigest()
 
 
 @dataclass
@@ -363,9 +377,10 @@ def distexec(
     redirect_err_to_out: bool = False,
     n_tasks: int | None = None,
     log_dir: str | None = None,
-    update: bool = False,
+    update: bool | str = False,
     cmd_timeout: float | None = None,
     fs: FileSystem | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Distributed per-file command execution — `hadoop distexec src dst cmd`
     (reference README.md:9-10) as a Spark job.
@@ -374,12 +389,21 @@ def distexec(
     also written as text logs under ``log_dir`` (default
     ``<dst>/_distexec_logs``, reference DistExec.java:507-521).
 
-    ``update=True`` restores the incremental mode the reference dropped
-    from DistCp (src/reference/DistCp.java:1192-1237): a file is SKIPPED
-    when its destination already exists and is at least as new as the
-    source (mtime rule — exec output length is command-dependent, so
-    DistCp's length+CRC compare doesn't transfer; freshness does). The
-    check runs executor-side during the map, not as a driver pre-pass.
+    ``update=True`` (or ``"mtime"``) restores the incremental mode the
+    reference dropped from DistCp (src/reference/DistCp.java:1192-1237): a
+    file is SKIPPED when its destination already exists and is at least as
+    new as the source (mtime rule — exec output length is
+    command-dependent, so DistCp's length+CRC compare doesn't transfer;
+    freshness does). The check runs executor-side during the map, not as a
+    driver pre-pass.
+
+    ``update="hash"`` is the content-true variant of DistCp's
+    ``needsUpdate`` length+CRC compare (DistCp.java:333-337,1192-1237): the
+    run persists each source's md5 in a ``_distexec_state`` parquet under
+    dst (override with ``state_dir``; required for filesystems Spark can't
+    write), and a re-run SKIPs a file whose *content* hash is unchanged and
+    whose destination exists — a touched-but-unchanged source does not
+    re-execute. Costs one extra read of each source per run.
 
     ``fs`` overrides filesystem resolution for both sides; by default each
     path's URI scheme picks the FS (local, or fsspec for remote schemes),
@@ -387,10 +411,31 @@ def distexec(
     (DistExec.java:229). src and dst may live on different filesystems.
     """
     argv = tokenize(cmd)
+    update_mode = {False: None, True: "mtime", "mtime": "mtime", "hash": "hash"}.get(update)
+    if update_mode is None and update:
+        raise ValueError(f"update must be False, True, 'mtime' or 'hash', got {update!r}")
+    update = bool(update_mode)
     if isinstance(srcs, str):
         srcs = [srcs]
     src_fs = resolve_fs(srcs[0], fs)
     dst_fs = resolve_fs(dst, fs)
+
+    if update_mode == "hash":
+        if state_dir is None:
+            if not _spark_native(dst):
+                raise ValueError(
+                    "update='hash' needs a Spark-writable state_dir when dst "
+                    f"scheme is not Spark-native ({dst!r})"
+                )
+            state_dir = dst_fs.join(dst, "_distexec_state")
+        try:
+            prev_state = spark.read.parquet(state_dir).select(
+                "rel_dst", F.col("src_md5").alias("prev_md5")
+            )
+        except Exception:  # first run: no state yet
+            prev_state = None
+    else:
+        prev_state = None
     # -update re-runs must target the same layout as the first run, so the
     # contents-into-dst root rule applies regardless of dst existence
     # (DistCp -update semantics).
@@ -426,40 +471,63 @@ def distexec(
     dst_fs.mkdirs(tmp_dir)
 
     planned, n_tasks, plan_cache = plan_partitions(manifest, n_tasks)
+    to_run = planned.select("bin", "src_path", "rel_dst", "mtime_epoch")
+    if prev_state is not None:
+        # prior content hashes ride along with the plan rows (one equi-join
+        # on the unique rel_dst — no driver-side state map)
+        to_run = to_run.join(prev_state, "rel_dst", "left")
+    else:
+        to_run = to_run.withColumn("prev_md5", F.lit(None).cast("string"))
     # one task per bin, exactly: a hash repartition on the bin id would
     # collide bins into the same task and leave others empty, destroying
     # the byte balance — use an identity partitioner on the keyed RDD.
     keyed = (
-        planned.select("bin", "src_path", "rel_dst", "mtime_epoch")
-        .rdd.map(lambda r: (r["bin"], (r["src_path"], r["rel_dst"], r["mtime_epoch"])))
+        to_run.rdd.map(
+            lambda r: (r["bin"], (r["src_path"], r["rel_dst"], r["mtime_epoch"], r["prev_md5"]))
+        )
         .partitionBy(n_tasks, lambda b: b)
     )
 
     def run_partition(items) -> Iterator[Row]:
-        for _bin, (src_path, rel_dst, mtime_epoch) in items:
+        def result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, md5):
+            return Row(
+                src_path=src_path,
+                rel_dst=rel_dst,
+                status=status,
+                exit_code=rc,
+                bytes_in=b_in,
+                bytes_out=b_out,
+                bytes_err=b_err,
+                error=err,
+                src_md5=md5,
+            )
+
+        for _bin, (src_path, rel_dst, mtime_epoch, prev_md5) in items:
+            src_md5 = None
             if update:
                 final = dst_fs.join(dst, rel_dst)
                 try:
-                    # raw-epoch comparison: naive datetimes would be
-                    # re-interpreted in the machine-local timezone
-                    dst_mtime = (
-                        dst_fs.stat(final).mtime_epoch if dst_fs.exists(final) else None
-                    )
-                    if (
-                        dst_mtime is not None
-                        and mtime_epoch is not None
-                        and dst_mtime >= mtime_epoch
-                    ):
-                        yield Row(
-                            src_path=src_path,
-                            rel_dst=rel_dst,
-                            status="SKIPPED",
-                            exit_code=None,
-                            bytes_in=0,
-                            bytes_out=0,
-                            bytes_err=0,
-                            error=None,
+                    skip = False
+                    if update_mode == "hash":
+                        # content compare — DistCp needsUpdate's intent
+                        # (DistCp.java:333-337) with md5 instead of
+                        # length+CRC (exec output length is command-
+                        # dependent; only source content identity matters)
+                        src_md5 = _md5_of(src_fs, src_path)
+                        skip = prev_md5 is not None and src_md5 == prev_md5 and dst_fs.exists(final)
+                    else:
+                        # raw-epoch comparison: naive datetimes would be
+                        # re-interpreted in the machine-local timezone
+                        dst_mtime = (
+                            dst_fs.stat(final).mtime_epoch if dst_fs.exists(final) else None
                         )
+                        skip = (
+                            dst_mtime is not None
+                            and mtime_epoch is not None
+                            and dst_mtime >= mtime_epoch
+                        )
+                    if skip:
+                        yield result(src_path, rel_dst, "SKIPPED", None, 0, 0, 0, None, src_md5)
                         continue
                 except OSError:
                     pass
@@ -470,16 +538,7 @@ def distexec(
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
-            yield Row(
-                src_path=src_path,
-                rel_dst=rel_dst,
-                status=status,
-                exit_code=rc,
-                bytes_in=b_in,
-                bytes_out=b_out,
-                bytes_err=b_err,
-                error=err,
-            )
+            yield result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, src_md5)
 
     results = spark.createDataFrame(keyed.mapPartitions(run_partition), RESULT_SCHEMA)
     # Make the results durable BEFORE tearing down tmp: a cached-only frame
@@ -495,6 +554,14 @@ def distexec(
     results.write.mode("overwrite").parquet(results_dir)
     plan_cache.unpersist()
     results = spark.read.parquet(results_dir)
+
+    if update_mode == "hash":
+        # persist content hashes for the next run: EXECUTED rows carry the
+        # md5 computed during this run; SKIPPED rows re-assert the prior
+        # one; FAIL rows are dropped so they re-execute next time
+        results.filter(
+            F.col("src_md5").isNotNull() & (F.col("status") != "FAIL")
+        ).select("src_path", "rel_dst", "src_md5").write.mode("overwrite").parquet(state_dir)
 
     # FAIL log records (ExecFilesMapper.java:184-187)
     log_dir = log_dir or dst_fs.join(dst, "_distexec_logs")

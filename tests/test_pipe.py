@@ -236,6 +236,49 @@ def test_update_mode_skips_fresh_destinations(spark, tree, tmp_path):
     assert (dst / "a.txt").read_text() == "changed content"
 
 
+def test_update_hash_mode_content_compare(spark, tree, tmp_path):
+    """update='hash' compares source *content* (DistCp needsUpdate intent,
+    src/reference/DistCp.java:333-337,1192-1237): a touched-but-unchanged
+    source is SKIPPED where mtime mode would re-execute; a content change
+    re-executes; FAIL rows drop out of the state so they retry."""
+    import time as _time
+
+    dst = tmp_path / "out"
+    r1 = distexec(spark, str(tree), str(dst), "cat", update="hash")
+    assert r1.filter(F.col("status") == "EXECUTED").count() == 3
+    assert (dst / "_distexec_state").is_dir()
+
+    # touch without changing bytes: newer mtime, same content
+    _time.sleep(0.01)
+    content = (tree / "a.txt").read_text()
+    (tree / "a.txt").write_text(content)
+    out_mtime = (dst / "a.txt").stat().st_mtime_ns
+
+    r2 = distexec(spark, str(tree), str(dst), "cat", update="hash")
+    assert r2.filter(F.col("status") == "SKIPPED").count() == 3
+    assert (dst / "a.txt").stat().st_mtime_ns == out_mtime  # untouched
+
+    # same touch under mtime mode DOES re-execute (the documented contrast)
+    r3 = distexec(spark, str(tree), str(dst), "cat", update="mtime")
+    rows = {r["rel_dst"]: r["status"] for r in r3.collect()}
+    assert rows["a.txt"] == "EXECUTED"
+
+    # real content change under hash mode re-executes just that file
+    (tree / "a.txt").write_text("brand new bytes")
+    r4 = distexec(spark, str(tree), str(dst), "cat", update="hash")
+    rows4 = {r["rel_dst"]: r["status"] for r in r4.collect()}
+    assert rows4["a.txt"] == "EXECUTED"
+    assert rows4["sub/b.txt"] == "SKIPPED"
+    assert (dst / "a.txt").read_text() == "brand new bytes"
+
+
+def test_update_rejects_bad_mode(spark, tree, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="update must be"):
+        distexec(spark, str(tree), str(tmp_path / "o"), "cat", update="crc")
+
+
 def test_pipe_rows_line_filter(spark):
     """pipe_rows: per-partition subprocess line transform, 1:1 contract."""
     from hadoop_distexec_spark.pipe.rows import pipe_rows
