@@ -34,6 +34,26 @@ SHINGLE_K = 3  # words per shingle
 MAX_SHINGLE_DF = 100  # stop-shingle cap for the pair join
 NUM_PERM = 16  # minhash permutations
 LSH_BANDS = 4  # 4 bands x 4 rows
+# broadcast the hot stop-shingle list only while it plausibly fits the
+# broadcast/driver budget; above this, fall back to a shuffle anti-join.
+# The list is bounded by |shingle rows| / MAX_SHINGLE_DF, which at the
+# 100 TB design point can reach ~10^10 — NOT "tiny at any scale"
+# (ADVICE r01 #4).
+HOT_BROADCAST_CAP = 1_000_000
+
+
+def _drop_hot_shingles(s: DataFrame) -> DataFrame:
+    """Remove shingles with document frequency > MAX_SHINGLE_DF. The df cap
+    keeps almost all shingles, so joining against the "keep" set would
+    shuffle the whole shingle table twice; materialize the complement (the
+    hot stop list) instead and anti-join it — broadcast when it fits,
+    shuffle otherwise. ``s`` should be cached (this runs one counting
+    action over it)."""
+    hot = s.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
+    n_hot = hot.count()
+    if n_hot <= HOT_BROADCAST_CAP:
+        hot = F.broadcast(hot)
+    return s.join(hot, "shingle", "left_anti")
 
 
 def _tokens(col):
@@ -142,16 +162,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap bounds the join fan-out on hot shingles (part of
     the operator contract, mirrored in the oracle). The shingle set has 4
     consumers in one action (keep-filter, sizes, both join sides) -> eager
-    persist, same reasoning as q_dedup_minhash."""
-    s = _shingles_df(spark, sf_dir).persist()
-    s.count()
-    # The df cap keeps shingles with count <= MAX_SHINGLE_DF — i.e. almost
-    # all of them. Joining against that "keep" set would shuffle the whole
-    # shingle table twice; instead materialize the complement (the hot stop
-    # list, bounded above by |shingle rows| / MAX_SHINGLE_DF, tiny at any
-    # scale) and broadcast anti-join it, leaving s unshuffled and cached.
-    hot = s.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
-    s = s.join(F.broadcast(hot), "shingle", "left_anti")
+    persist, same reasoning as q_dedup_minhash; the pair result is
+    checkpointed so the cache can be released before returning (no leaked
+    executor storage across invocations, ADVICE r01 #3)."""
+    base = _shingles_df(spark, sf_dir).persist()
+    base.count()
+    s = _drop_hot_shingles(base)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -164,13 +180,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    return (
+    result = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.1)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+        # materialize while the shingle cache is hot, then release it —
+        # the pair set is small (it's a near-dup list), the shingle set
+        # is not; without this the cache outlives the call
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return result
 
 
 @register("q_dedup_minhash", oracle=None)
@@ -184,7 +206,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers). A lazy persist is not enough: all 4 branches live in ONE
     # action, and stages racing on a cold cache each recompute the
     # interpreted higher-order-function explode (~4x the dominant cost).
-    # Materialize eagerly so every branch reads the cache.
+    # Materialize eagerly so every branch reads the cache; the verified
+    # pair result is checkpointed below so the cache is released before
+    # returning (ADVICE r01 #3).
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
     mins = [
@@ -228,13 +252,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    return (
+    result = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    s.unpersist()
+    return result
 
 
 @register("q_dedup_simhash", oracle=None)
@@ -703,32 +730,27 @@ N_PLANES = 5  # sign bits per signature (2^5 buckets; sized so buckets hold ~n/3
 LSH_PROBE_BITS = 1  # multiprobe radius (hamming distance on the bucket id)
 
 
-@register("q_sim_lsh", oracle=None)
-def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the cosine-LSH counterpart of
-    q_sim_ivf): N_PLANES fixed pseudo-random hyperplanes -> sign-bit
-    signature -> bucket equi-join -> exact cosine only within probed
-    buckets. Multiprobe: each query also probes every bucket at hamming
-    distance <= LSH_PROBE_BITS (flip one bit), the standard recall boost
-    that costs N_PLANES extra probe rows per query instead of a second
-    hash table. Hyperplanes are seeded-deterministic (same buckets every
-    run, any cluster size). Plain double math -> rows-only check.
+def lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    probe_bits: int = LSH_PROBE_BITS,
+    n_queries: int = 5,
+) -> DataFrame:
+    """The LSH candidate-pair stage, parameterized so the recall /
+    scan-fraction tradeoff is sweepable (tests/test_ann.py asserts the
+    curve's monotonicity): sign-bit signatures from seeded-deterministic
+    hyperplanes, multiprobe expansion to every bucket within hamming
+    distance ``probe_bits``, bucket equi-join. Returns
+    (q_id, q_emb, vec_id, embedding) candidate rows."""
+    import itertools
 
-    Measured on the synthetic fixture (unstructured vectors, the hardest
-    case for LSH): recall@10 ~0.36 while scanning ~6/32 of the corpus per
-    query (tests/test_ann.py asserts a 0.2 floor). At scale recall is
-    bought with more hash tables (union of several plane sets) and a
-    larger LSH_PROBE_BITS, both embarrassingly parallel; the exact
-    brute-force q_sim_topk stays the correctness baseline.
-
-    Scale: candidates shrink ~2^N_PLANES-fold; the bucket join is the only
-    shuffle that sees data rows; probe fan-out rides a broadcast."""
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
     rng = np.random.RandomState(0x5EED)  # fixed: signatures must be stable
-    planes = rng.standard_normal((N_PLANES, dim)).astype(float).tolist()
+    planes = rng.standard_normal((n_planes, dim)).astype(float).tolist()
 
     def dot_lit(vec_col, plane):
         prods = F.zip_with(
@@ -748,15 +770,29 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return b
 
     cand = e.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
-    q = cand.filter(F.col("vec_id") < 5).select(
+    q = cand.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
     )
-    # multiprobe expansion: exact bucket + every 1-bit flip
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(N_PLANES)],
-    )
+    # multiprobe expansion: every XOR mask with <= probe_bits bits set
+    masks = [
+        sum(1 << p for p in bits)
+        for r in range(probe_bits + 1)
+        for bits in itertools.combinations(range(n_planes), r)
+    ]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
     q = q.select("q_id", "q_emb", F.explode(probes).alias("bucket"))
+    return F.broadcast(q).join(cand, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+
+
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    probe_bits: int = LSH_PROBE_BITS,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Exact cosine re-rank of the LSH candidate set -> top-k per query."""
 
     def dot(a, b):
         return F.aggregate(
@@ -765,7 +801,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    pairs = F.broadcast(q).join(cand, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    pairs = lsh_candidates(spark, sf_dir, n_planes, probe_bits, n_queries)
     cosine = dot(F.col("q_emb"), F.col("embedding")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
@@ -774,5 +810,29 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("q_id", F.col("vec_id").alias("c_id"), cosine.alias("cosine"))
         .distinct()
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= k)
     )
+
+
+@register("q_sim_lsh", oracle=None)
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the cosine-LSH counterpart of
+    q_sim_ivf): N_PLANES fixed pseudo-random hyperplanes -> sign-bit
+    signature -> bucket equi-join -> exact cosine only within probed
+    buckets. Multiprobe: each query also probes every bucket at hamming
+    distance <= LSH_PROBE_BITS, the standard recall boost that costs a few
+    probe rows per query instead of a second hash table. Hyperplanes are
+    seeded-deterministic (same buckets every run, any cluster size). Plain
+    double math -> rows-only check.
+
+    Measured on the synthetic fixture (unstructured vectors, the hardest
+    case for LSH): recall@10 ~0.36 while scanning ~6/32 of the corpus per
+    query (tests/test_ann.py asserts a 0.2 floor and sweeps the
+    n_planes/probe_bits tradeoff curve). At scale recall is bought with
+    more hash tables (union of several plane sets) and a larger
+    LSH_PROBE_BITS, both embarrassingly parallel; the exact brute-force
+    q_sim_topk stays the correctness baseline.
+
+    Scale: candidates shrink ~2^N_PLANES-fold; the bucket join is the only
+    shuffle that sees data rows; probe fan-out rides a broadcast."""
+    return lsh_topk(spark, sf_dir)

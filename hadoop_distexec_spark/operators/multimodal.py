@@ -15,7 +15,7 @@ never touch the binary column at all (column pruning).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -52,17 +52,26 @@ def _decode_stub(blob: bytes) -> tuple[int, int, int, int]:
     return n, n % 640, (n * 7) % 480, n % 30
 
 
-def extract_media_meta(df: DataFrame) -> DataFrame:
+def extract_media_meta(
+    df: DataFrame, decode: Callable[[bytes], tuple[int, int, int, int]] | None = None
+) -> DataFrame:
     """mapInPandas metadata extraction over a binary `content` column.
 
     Input needs columns (doc_id: long, media_type: string, content: binary).
     Arrow-batched: each pandas batch is decoded vectorized-ish and yielded;
     blobs never accumulate beyond one batch per task.
+
+    ``decode`` injects the real codec — ``blob -> (byte_len, width, height,
+    n_frames)``, e.g. a PIL/ffprobe wrapper on a cluster that has them —
+    with no other code changes; it must be picklable (module-level
+    function), since it ships inside the mapInPandas closure. Default is
+    the deterministic arithmetic stub (no codecs in this container).
     """
+    decode = decode or _decode_stub
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["content"].map(_decode_stub)
+            meta = pdf["content"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -81,24 +90,37 @@ FRAME_BYTES = 256  # fake-codec frame size
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int"
 
 
-def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
-    """Frame-sampling plumbing for video-ish blobs: every FRAME_BYTES-byte
-    chunk is "a frame"; emit every ``every_n``-th one. Real decoders slot
-    in where the chunking stub is — the mapInPandas fan-out (1 row in,
-    many rows out, Arrow-batched) is the part that matters at scale:
-    sampling happens *inside* the executor pass, so unsampled frames are
-    never materialized into the DataFrame.
+def _chunk_frames(blob: bytes) -> "Iterator[tuple[int, bytes]]":
+    """STUB frame iterator: every FRAME_BYTES-byte slice is "a frame".
+    A real implementation yields (frame_idx, frame_bytes) from ffmpeg."""
+    for idx in range(len(blob) // FRAME_BYTES):
+        yield idx, blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    frames: Callable[[bytes], "Iterator[tuple[int, bytes]]"] | None = None,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-ish blobs: emit every ``every_n``-th
+    frame. ``frames`` injects the real demuxer (``blob -> iterator of
+    (frame_idx, frame_bytes)``, picklable); the default chunking stub
+    treats each FRAME_BYTES-byte slice as a frame. The mapInPandas fan-out
+    (1 row in, many rows out, Arrow-batched) is the part that matters at
+    scale: sampling happens *inside* the executor pass, so unsampled
+    frames are never materialized into the DataFrame.
 
     Input columns: (doc_id: long, content: binary).
     """
+    frames = frames or _chunk_frames
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_len": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                n_frames = len(blob) // FRAME_BYTES
-                for idx in range(0, n_frames, every_n):
-                    chunk = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                for idx, chunk in frames(blob):
+                    if idx % every_n:
+                        continue
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_len"].append(len(chunk))
@@ -159,15 +181,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_SCHEMA = "doc_id long, content binary, width int, height int"
 
 
-def resize_image(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_image(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
     """Resize plumbing: binary in -> binary out with new dimensions.
 
-    STUB compute (no codecs in this container): the "resized" payload is
-    the blob truncated/cycled to exactly width*height bytes — a
-    deterministic, size-correct fake for PIL's ``Image.resize``. The
-    Spark-side contract is the real part: binary->binary through Arrow
-    batches, output rows 1:1 with input, constant output size per row (the
-    property a downstream training loader relies on).
+    ``resize`` injects the real codec (``(blob, width, height) -> bytes``,
+    picklable — e.g. a PIL Image.open/resize/save wrapper). STUB default
+    (no codecs in this container): the "resized" payload is the blob
+    truncated/cycled to exactly width*height bytes — a deterministic,
+    size-correct fake. The Spark-side contract is the real part:
+    binary->binary through Arrow batches, output rows 1:1 with input,
+    constant output size per row (the property a downstream training
+    loader relies on).
 
     Input columns: (doc_id: long, content: binary).
     """
@@ -176,6 +205,8 @@ def resize_image(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def _resize(blob: bytes) -> bytes:
+                if resize is not None:
+                    return resize(blob, width, height)
                 if not blob:
                     return bytes(target)
                 reps = -(-target // len(blob))  # ceil
@@ -197,7 +228,11 @@ FEATURE_DIM = 16
 FEATURE_SCHEMA = "doc_id long, feature array<float>"
 
 
-def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    dim: int = FEATURE_DIM,
+    encoder: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
     """Feature-extraction plumbing: binary in -> float vector out (the
     embed-the-image step of a multimodal pipeline).
 
@@ -205,8 +240,9 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     L1-normalized) — deterministic, numpy-vectorized inside the Arrow
     batch, and shaped exactly like a real encoder output
     (``array<float>`` column ready for the similarity operators in
-    llmops). Swap the histogram for an ONNX/torch call on a real cluster;
-    schema, batching and downstream consumers are unchanged.
+    llmops). ``encoder`` injects the real model (``blob -> sequence of
+    dim floats``, picklable — e.g. an ONNX/torch wrapper); the fixed-dim
+    output contract is enforced for injected encoders too.
     """
     import numpy as np
 
@@ -214,11 +250,24 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             feats = []
             for blob in pdf["content"]:
+                if encoder is not None:
+                    vec = np.asarray(encoder(blob), dtype=np.float32)
+                    if vec.shape != (dim,):
+                        raise ValueError(
+                            f"encoder returned shape {vec.shape}, expected ({dim},)"
+                        )
+                    feats.append(vec)
+                    continue
                 arr = np.frombuffer(blob, dtype=np.uint8)
                 if arr.size == 0:
                     feats.append(np.zeros(dim, dtype=np.float32))
                     continue
-                hist = np.bincount(arr // (256 // dim), minlength=dim).astype(np.float32)
+                # bucket = byte * dim // 256 maps 0..255 onto exactly
+                # 0..dim-1 for any dim (the former 256//dim divisor
+                # overflowed the fixed-dim contract when dim ∤ 256 —
+                # ADVICE r01 #2); int cast first: uint8 * dim would wrap
+                buckets = arr.astype(np.int64) * dim // 256
+                hist = np.bincount(buckets, minlength=dim).astype(np.float32)
                 feats.append(hist / hist.sum())
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
 

@@ -149,6 +149,33 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stream_smoke", oracle=None)
+def q_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming execution under the driver harness
+    (VERDICT r01 next-round #10): readStream over the events parquet ->
+    watermarked 10-minute tumbling aggregate -> memory sink, bounded by an
+    availableNow trigger (process everything available, then stop). The
+    batch result comes back as the memory-sink table — rows-only check
+    (the streaming runtime, not the arithmetic, is what's under test; the
+    arithmetic twin q_stream_tumble is hash-checked against DuckDB)."""
+    import uuid
+
+    name = f"stream_smoke_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tumble(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # genuine Structured Streaming wrappers (exercised by tests/test_streaming.py)
 # ---------------------------------------------------------------------------

@@ -1,12 +1,27 @@
 """Unit tests for the multimodal plumbing beyond the oracle-checked
 queries: resize (binary->binary, constant size) and feature extraction
-(binary->vector) through mapInPandas."""
+(binary->vector) through mapInPandas, plus the injected-codec escape
+hatch (a cluster with PIL/ffmpeg swaps in real decoders with no other
+code changes — VERDICT r01 next-round #8)."""
 
+import pytest
 from pyspark.sql import functions as F
 
-from hadoop_distexec_spark.operators.multimodal import extract_features, resize_image
+from hadoop_distexec_spark.operators.multimodal import (
+    extract_features,
+    extract_media_meta,
+    resize_image,
+    sample_frames,
+)
 from hadoop_distexec_spark.sources.tables import table
 from tests.conftest import SF_SMALL
+
+
+# NOTE: the fake "real" codecs standing in for PIL/ffmpeg wrappers are
+# defined *inside* each test — test modules aren't importable on Spark
+# workers, so module-level defs would pickle by reference and fail;
+# nested functions go through cloudpickle by value. (Engine users define
+# their codecs in an importable module, as the docstrings instruct.)
 
 
 def _media(spark):
@@ -39,6 +54,57 @@ def test_features_shape_and_norm(spark):
     assert sums.filter(F.col("d") != 16).count() == 0
     # L1-normalized (fixture docs are non-empty)
     assert sums.filter(F.abs(F.col("s") - 1.0) > 1e-3).count() == 0
+
+
+def test_features_fixed_dim_when_dim_not_dividing_256(spark):
+    """dim=10 (256 % 10 != 0): every vector must still be exactly dim long
+    — the old 256//dim bucketing emitted up to 12 buckets (ADVICE r01 #2)."""
+    out = extract_features(_media(spark), dim=10)
+    assert out.filter(F.size("feature") != 10).count() == 0
+
+
+def test_injected_decoder_used(spark):
+    def fake_real_decode(blob: bytes):
+        return len(blob), 1920, 1080, 24
+
+    media = _media(spark).withColumn("media_type", F.lit("image/jpeg"))
+    out = extract_media_meta(media, decode=fake_real_decode)
+    rows = out.limit(5).collect()
+    assert rows and all(r["width"] == 1920 and r["height"] == 1080 for r in rows)
+
+
+def test_injected_resize_used(spark):
+    def fake_real_resize(blob: bytes, width: int, height: int) -> bytes:
+        return b"J" * (width * height * 3)  # "RGB" output, unlike the stub
+
+    out = resize_image(_media(spark), width=4, height=2, resize=fake_real_resize)
+    rows = out.limit(5).collect()
+    assert rows and all(bytes(r["content"]) == b"J" * 24 for r in rows)
+
+
+def test_injected_frame_demuxer_used(spark):
+    def fake_real_frames(blob: bytes):
+        for i in range(3):  # a demuxer that found exactly 3 frames
+            yield i, blob[:10]
+
+    one = _media(spark).limit(1)
+    out = sample_frames(one, every_n=2, frames=fake_real_frames)
+    got = sorted(r["frame_idx"] for r in out.collect())
+    assert got == [0, 2]  # 3 injected frames, every 2nd sampled
+
+
+def test_injected_encoder_shape_enforced(spark):
+    def fake_real_encoder(blob: bytes):
+        return [float(len(blob))] + [0.0] * 7
+
+    def bad_encoder(blob: bytes):
+        return [1.0, 2.0]  # wrong dim
+
+    ok = extract_features(_media(spark).limit(3), dim=8, encoder=fake_real_encoder)
+    assert ok.filter(F.size("feature") != 8).count() == 0
+    bad = extract_features(_media(spark).limit(3), dim=8, encoder=bad_encoder)
+    with pytest.raises(Exception, match="expected"):
+        bad.collect()
 
 
 def test_features_feed_similarity_ops(spark):
