@@ -51,6 +51,27 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(DistCp -delete heritage; implies the -update layout)",
     )
     ap.add_argument(
+        "-p",
+        action="store_true",
+        dest="preserve",
+        help="preserve source permission bits + mtime on destinations "
+        "(DistCp -p heritage, finalize pass)",
+    )
+    ap.add_argument(
+        "-filelimit",
+        type=int,
+        default=None,
+        metavar="N",
+        help="copy at most the first N files (DistCp heritage)",
+    )
+    ap.add_argument(
+        "-sizelimit",
+        type=int,
+        default=None,
+        metavar="BYTES",
+        help="copy at most the first BYTES of input (DistCp heritage)",
+    )
+    ap.add_argument(
         "-timeout",
         type=float,
         default=None,
@@ -95,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
             n_tasks=ns.m,
             update=ns.update,
             cmd_timeout=ns.cmd_timeout,
+            filelimit=ns.filelimit,
+            sizelimit=ns.sizelimit,
+            preserve=ns.preserve,
         )
         m = metrics(results).collect()[0]
         n_deleted = 0

@@ -44,6 +44,7 @@ class FileStat:
     is_dir: bool
     mtime_epoch: Optional[float]
     is_link: bool = False
+    mode: Optional[int] = None  # POSIX permission bits; None where absent
 
 
 class FileSystem:
@@ -78,6 +79,15 @@ class FileSystem:
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
 
+    # -- attribute preservation (the -p pass, reference DistCp heritage
+    #    DistCp.java:662-712); optional: object stores have no POSIX modes --
+
+    def set_mode(self, path: str, mode: int) -> None:
+        raise NotImplementedError(f"{type(self).__name__} cannot set permissions")
+
+    def set_mtime(self, path: str, mtime_epoch: float) -> None:
+        raise NotImplementedError(f"{type(self).__name__} cannot set mtimes")
+
     # -- path algebra (URIs are posix-joined on the path part) --
 
     def join(self, base: str, *parts: str) -> str:
@@ -107,6 +117,7 @@ class LocalFS(FileSystem):
             is_dir=statmod.S_ISDIR(st.st_mode),
             mtime_epoch=float(st.st_mtime),
             is_link=os.path.islink(path),
+            mode=st.st_mode & 0o7777,
         )
 
     def listdir(self, path):
@@ -126,6 +137,12 @@ class LocalFS(FileSystem):
 
     def rmtree(self, path):
         shutil.rmtree(path, ignore_errors=True)
+
+    def set_mode(self, path, mode):
+        os.chmod(path, mode)
+
+    def set_mtime(self, path, mtime_epoch):
+        os.utime(path, (mtime_epoch, mtime_epoch))
 
     def join(self, base, *parts):
         return os.path.join(base, *parts)
@@ -187,6 +204,12 @@ class MappedFS(FileSystem):
 
     def rmtree(self, path):
         self._local.rmtree(self._to_local(path))
+
+    def set_mode(self, path, mode):
+        self._local.set_mode(self._to_local(path), mode)
+
+    def set_mtime(self, path, mtime_epoch):
+        self._local.set_mtime(self._to_local(path), mtime_epoch)
 
 
 @dataclass

@@ -227,6 +227,7 @@ def _exec_one(
     timeout: float | None = None,
     src_fs: FileSystem | None = None,
     dst_fs: FileSystem | None = None,
+    preserve: bool = False,
 ) -> tuple[str, int | None, int, int, int, str | None]:
     """Run one file through the child process.
 
@@ -289,6 +290,15 @@ def _exec_one(
             _commit(tmp_out, final, dst_fs)
             if perr:
                 _commit(tmp_err, final + ".stderr", dst_fs)
+            if preserve and dst_fs.exists(final):  # lazy create => maybe no file
+                try:
+                    st = src_fs.stat(src_path)
+                    if st.mode is not None:
+                        dst_fs.set_mode(final, st.mode)
+                    if st.mtime_epoch is not None:
+                        dst_fs.set_mtime(final, st.mtime_epoch)
+                except NotImplementedError:
+                    pass  # filesystem has no POSIX attributes (object store)
             return ("EXECUTED", rc, pin.count, pout.count, bytes_err, None)
         except OSError as e:
             errors.append(e)
@@ -368,6 +378,61 @@ def plan_partitions(
     return planned, n_tasks, ordered
 
 
+def limit_manifest(
+    manifest: DataFrame,
+    filelimit: int | None = None,
+    sizelimit: int | None = None,
+) -> DataFrame:
+    """DistCp's ``-filelimit N`` / ``-sizelimit N`` manifest truncation
+    (src/reference/DistCp.java:773-778, dropped by the reference tool):
+    keep files, in deterministic src_path order, while the running file
+    count stays < filelimit and the running byte total stays <= sizelimit.
+
+    Distributed with the same two-phase prefix-sum shape as
+    ``plan_partitions`` — per-partition (count, bytes) offsets to the
+    driver, local cumulative filter on executors — so truncating a
+    10^8-file manifest never funnels rows through one task. Directory
+    records are kept (empty-dir preservation is orthogonal to the copy
+    budget, and dropping a parent dir of a kept file would be wrong).
+    """
+    if filelimit is None and sizelimit is None:
+        return manifest
+    files = manifest.filter(~F.col("is_dir"))
+    dirs = manifest.filter(F.col("is_dir"))
+    sc = files.sparkSession.sparkContext
+
+    n_parts = max(1, sc.defaultParallelism)
+    ordered = files.repartitionByRange(n_parts, "src_path").sortWithinPartitions("src_path")
+    part_stats = {
+        i: (s, c)
+        for i, s, c in ordered.rdd.mapPartitionsWithIndex(
+            lambda i, rows: [(i, *_sum_count(rows))]
+        ).collect()
+    }
+    size_off, count_off, acc_s, acc_c = {}, {}, 0, 0
+    for i in range(max(part_stats) + 1 if part_stats else 0):
+        size_off[i], count_off[i] = acc_s, acc_c
+        s, c = part_stats.get(i, (0, 0))
+        acc_s += s
+        acc_c += c
+
+    def cut(i: int, rows: Iterator[Row]) -> Iterator[Row]:
+        cum_s, cum_c = size_off.get(i, 0), count_off.get(i, 0)
+        for r in rows:
+            if filelimit is not None and cum_c >= filelimit:
+                return
+            if sizelimit is not None and cum_s + r["size"] > sizelimit:
+                return
+            yield r
+            cum_s += r["size"]
+            cum_c += 1
+
+    kept = files.sparkSession.createDataFrame(
+        ordered.rdd.mapPartitionsWithIndex(cut), ordered.schema
+    )
+    return kept.unionByName(dirs)
+
+
 def distexec(
     spark: SparkSession,
     srcs: list[str] | str,
@@ -381,6 +446,9 @@ def distexec(
     cmd_timeout: float | None = None,
     fs: FileSystem | None = None,
     state_dir: str | None = None,
+    filelimit: int | None = None,
+    sizelimit: int | None = None,
+    preserve: bool = False,
 ) -> DataFrame:
     """Distributed per-file command execution — `hadoop distexec src dst cmd`
     (reference README.md:9-10) as a Spark job.
@@ -409,6 +477,13 @@ def distexec(
     path's URI scheme picks the FS (local, or fsspec for remote schemes),
     matching the reference's per-path ``getFileSystem`` dispatch
     (DistExec.java:229). src and dst may live on different filesystems.
+
+    ``filelimit``/``sizelimit`` truncate the manifest DistCp-style (see
+    ``limit_manifest``). ``preserve`` restores DistCp's ``-p`` finalize
+    pass (DistCp.java:662-712, dropped by the reference): each EXECUTED
+    destination gets the source's permission bits and mtime, applied
+    executor-side right after the commit rename; filesystems without
+    POSIX attributes (object stores) skip it silently.
     """
     argv = tokenize(cmd)
     update_mode = {False: None, True: "mtime", "mtime": "mtime", "hash": "hash"}.get(update)
@@ -440,6 +515,7 @@ def distexec(
     # contents-into-dst root rule applies regardless of dst existence
     # (DistCp -update semantics).
     manifest = build_manifest(spark, srcs, dst, contents_into_dst=update, fs=fs)
+    manifest = limit_manifest(manifest, filelimit, sizelimit)
 
     # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
     dups = (
@@ -534,7 +610,7 @@ def distexec(
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
                     src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out,
-                    cmd_timeout, src_fs, dst_fs,
+                    cmd_timeout, src_fs, dst_fs, preserve,
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)

@@ -272,6 +272,48 @@ def test_update_hash_mode_content_compare(spark, tree, tmp_path):
     assert (dst / "a.txt").read_text() == "brand new bytes"
 
 
+def test_preserve_mode_and_mtime(spark, tree, tmp_path):
+    """-p finalize pass (DistCp heritage, src/reference/DistCp.java:662-712):
+    destination files get the source's permission bits and mtime."""
+    import os as _os
+
+    src_file = tree / "a.txt"
+    _os.chmod(src_file, 0o750)
+    _os.utime(src_file, (1_600_000_000, 1_600_000_000))
+    dst = tmp_path / "out"
+    res = distexec(spark, str(tree), str(dst), "cat", preserve=True)
+    assert res.filter(F.col("status") == "FAIL").count() == 0
+    st = (dst / "a.txt").stat()
+    assert st.st_mode & 0o7777 == 0o750
+    assert abs(st.st_mtime - 1_600_000_000) < 1
+    # without -p the mode is the process default, not the source's
+    res2 = distexec(spark, str(tree), str(tmp_path / "out2"), "cat")
+    assert res2.count() == 3
+    assert (tmp_path / "out2" / "a.txt").stat().st_mode & 0o7777 != 0o750
+
+
+def test_filelimit_truncates_prefix(spark, tree, tmp_path):
+    """-filelimit keeps only the first N files in src_path order
+    (src/reference/DistCp.java:773-778); dirs are unaffected."""
+    res = distexec(spark, str(tree), str(tmp_path / "out"), "cat", filelimit=2)
+    done = sorted(r["rel_dst"] for r in res.filter(F.col("status") == "EXECUTED").collect())
+    # src_path order: a.txt, nomatch.txt, sub/b.txt -> first two kept
+    assert done == ["a.txt", "nomatch.txt"]
+    assert (tmp_path / "out" / "empty_dir").is_dir()  # dirs preserved
+
+
+def test_sizelimit_truncates_prefix(spark, tree, tmp_path):
+    """-sizelimit stops at the first file that would cross the byte
+    budget; everything after the cut is dropped (strict prefix)."""
+    # file sizes in src_path order: a.txt=23, nomatch.txt=20, sub/b.txt=31
+    res = distexec(spark, str(tree), str(tmp_path / "out"), "cat", sizelimit=43)
+    done = sorted(r["rel_dst"] for r in res.filter(F.col("status") == "EXECUTED").collect())
+    assert done == ["a.txt", "nomatch.txt"]
+    res2 = distexec(spark, str(tree), str(tmp_path / "out2"), "cat", sizelimit=42)
+    done2 = sorted(r["rel_dst"] for r in res2.filter(F.col("status") == "EXECUTED").collect())
+    assert done2 == ["a.txt"]  # nomatch.txt would cross 42 -> cut there
+
+
 def test_update_rejects_bad_mode(spark, tree, tmp_path):
     import pytest as _pytest
 
