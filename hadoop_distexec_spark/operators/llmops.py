@@ -836,3 +836,151 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates shrink ~2^N_PLANES-fold; the bucket join is the only
     shuffle that sees data rows; probe fan-out rides a broadcast."""
     return lsh_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics (vocabulary / n-grams / repetition / length profile)
+# ---------------------------------------------------------------------------
+
+
+def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram) with multiplicity — unlike ``_shingles_df`` this is
+    NOT distinct (corpus counting needs occurrences) and uses K=2. Same
+    codegen shape: posexplode + window lead (HOFs stay interpreted)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toks = docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok").over(w)
+    return (
+        toks.select("doc_id", F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .select("doc_id", "bigram")
+    )
+
+
+_VOCAB_K = 100
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM t WHERE tok <> ''
+    GROUP BY tok ORDER BY tf DESC, tok LIMIT {_VOCAB_K}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: term frequency + document frequency for the
+    top-{K} tokens — the vocabulary-building / BPE-seeding pass of a
+    training corpus. Classic wordcount shape: explode inside the scan
+    stage, one partial+final hash aggregate, partial top-k
+    (TakeOrderedAndProject — no global sort). Deterministic tiebreak
+    (tf desc, token asc) so both engines cut the same head."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(_VOCAB_K)
+    )
+
+
+@register(
+    "q_ngram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n FROM b
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT {_VOCAB_K}
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts, top-{K}: the n-gram language-model /
+    contamination-check accounting pass. Bigrams materialize inside the
+    scan stage (posexplode + lead, all codegen); one hash aggregate; the
+    head is a partial top-k, never a global sort."""
+    b = _bigrams_df(spark, sf_dir)
+    return (
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(_VOCAB_K)
+    )
+
+
+@register(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT bigram) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS rep_ratio
+    FROM b GROUP BY doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: repeated-bigram ratio per document — the
+    boilerplate/spam signal corpus filters threshold on (a doc whose
+    bigrams are mostly duplicates is template noise). Exact integer
+    counts; the ratio is one IEEE division, bit-identical across engines.
+    One aggregate keyed by doc_id; the bigram explode reuses the
+    per-doc partitioning, so no extra shuffle."""
+    b = _bigrams_df(spark, sf_dir)
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("bigram").cast("double") / F.count(F.lit(1))
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "q_len_hist",
+    oracle="""
+    SELECT CAST((length(text) // 100) * 100 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_docs,
+           CAST(MIN(length(text)) AS INT) AS min_len,
+           CAST(MAX(length(text)) AS INT) AS max_len
+    FROM documents GROUP BY 1
+    """,
+)
+def q_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the length-profile
+    pass behind truncation / packing / outlier policies. Pure integer
+    bucketing + one hash aggregate; at 100 TB this is a full scan of one
+    pruned column and a ~10^3-group aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.floor(F.length("text") / 100) * 100).cast("long").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )

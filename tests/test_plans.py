@@ -72,6 +72,20 @@ def test_pack_sequences_dist_matches_baseline(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_corpus_stats_plans(spark):
+    """Vocabulary/n-gram heads must be partial top-k (never a global
+    sort); the length histogram must prune to the text column and run a
+    two-phase aggregate."""
+    for qid in ("q_vocab_topk", "q_ngram_counts"):
+        plan = _plan(spark, qid)
+        assert "TakeOrderedAndProject" in plan, f"{qid} lost partial top-k"
+        assert "Exchange SinglePartition" not in plan, f"{qid} gained a global sort"
+    plan = _plan(spark, "q_len_hist")
+    assert plan.count("HashAggregate") >= 2
+    i = plan.find("ReadSchema")
+    assert "text" in plan[i : i + 120] and "lang" not in plan[i : i + 120]
+
+
 def test_chunking_prunes_scan(spark):
     # q_doc_chunks must not read the documents columns it doesn't use
     plan = _plan(spark, "q_doc_chunks")
