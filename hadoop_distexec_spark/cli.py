@@ -51,6 +51,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(DistCp -delete heritage; implies the -update layout)",
     )
     ap.add_argument(
+        "-f",
+        dest="uri_list",
+        default=None,
+        metavar="URILIST",
+        help="read source paths (one per line) from this file instead of "
+        "positional SRC args — DistCp's -f, dead code in the reference "
+        "(fetchFileList, DistExec.java:188-204), functional here",
+    )
+    ap.add_argument(
         "-p",
         action="store_true",
         dest="preserve",
@@ -81,9 +90,20 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     ap.add_argument("paths", nargs="*", help="SRC... DST CMD")
     ns = ap.parse_args(argv)
-    if len(ns.paths) < 3:
-        raise UsageError("need at least SRC DST CMD")
-    ns.srcs = ns.paths[:-2]
+    if ns.uri_list is not None:
+        if len(ns.paths) < 2:
+            raise UsageError("need DST CMD with -f")
+        from hadoop_distexec_spark.fs import resolve_fs
+
+        with resolve_fs(ns.uri_list).open(ns.uri_list, "rb") as fh:
+            ns.srcs = [ln.strip() for ln in fh.read().decode("utf-8").splitlines() if ln.strip()]
+        if not ns.srcs:
+            raise UsageError(f"-f {ns.uri_list}: no source paths in file")
+        ns.srcs += ns.paths[:-2]  # positionals may supplement the list
+    else:
+        if len(ns.paths) < 3:
+            raise UsageError("need at least SRC DST CMD")
+        ns.srcs = ns.paths[:-2]
     ns.dst = ns.paths[-2]
     ns.cmd = ns.paths[-1]
     return ns

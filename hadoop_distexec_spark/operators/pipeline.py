@@ -429,3 +429,65 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn(
         "cluster_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus prep composition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    q AS (
+      SELECT d.doc_id,
+             regexp_split_to_array(trim(d.text), '\\s+') AS toks
+      FROM documents d JOIN canon USING (doc_id)
+    ),
+    f AS (
+      SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens
+      FROM q
+      WHERE LEN(toks) >= 5
+        AND CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) >= 0.3
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_TEST_CEIL}'
+                THEN 'test' ELSE 'train' END AS split
+    FROM f
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep stages composed end-to-end — the shape of a real
+    training-data run, hash-checked as one plan: exact dedup keep-list
+    (min doc_id per normalized-md5 fingerprint) -> quality gate (length
+    floor + uniqueness ratio) -> deterministic train/test split with token
+    accounting.
+
+    One plan, three shuffles (dedup agg, keep-list semi-join, nothing
+    else — quality and split are per-row codegen): demonstrates that the
+    registered operators are composable stages, not isolated demos. At
+    100 TB each stage keeps its own scale shape; the semi-join on doc_id
+    rides the dedup agg's partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8"))
+    canon = (
+        docs.groupBy(fp.alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id", "left_semi")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = kept.select("doc_id", F.size(toks).cast("long").alias("n_tokens"),
+                    (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("_uniq"))
+    f = q.filter((F.col("n_tokens") >= 5) & (F.col("_uniq") >= 0.3))
+    bucket = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket <= _TEST_CEIL, "test").otherwise("train").alias("split"),
+    )

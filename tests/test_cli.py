@@ -39,6 +39,36 @@ def test_main_exit_codes(tmp_path):
     assert main([str(s1 / "x.txt"), str(s2 / "x.txt"), str(tmp_path / "o3"), "cat"]) == -2
 
 
+def test_parse_uri_list_flag(tmp_path):
+    """-f reads sources from a file (fetchFileList, dead in the reference
+    DistExec.java:188-204, functional here); positionals may supplement."""
+    lst = tmp_path / "sources.txt"
+    lst.write_text("/a\n\n  /b  \n")
+    ns = parse_args(["-f", str(lst), "/dst", "cat"])
+    assert ns.srcs == ["/a", "/b"]
+    assert ns.dst == "/dst" and ns.cmd == "cat"
+    ns2 = parse_args(["-f", str(lst), "/c", "/dst", "cat"])
+    assert ns2.srcs == ["/a", "/b", "/c"]
+    with pytest.raises(UsageError):
+        parse_args(["-f", str(lst), "/only_dst"])
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n")
+    with pytest.raises(UsageError):
+        parse_args(["-f", str(empty), "/dst", "cat"])
+
+
+def test_main_uri_list_runs(tmp_path):
+    s1, s2 = tmp_path / "s1", tmp_path / "s2"
+    s1.mkdir(), s2.mkdir()
+    (s1 / "a.txt").write_text("one")
+    (s2 / "b.txt").write_text("two")
+    lst = tmp_path / "lst.txt"
+    lst.write_text(f"{s1}\n{s2}\n")
+    assert main(["-f", str(lst), str(tmp_path / "out"), "cat"]) == 0
+    assert (tmp_path / "out" / "s1" / "a.txt").read_text() == "one"
+    assert (tmp_path / "out" / "s2" / "b.txt").read_text() == "two"
+
+
 def test_cli_delete_syncs_strays(spark, tmp_path):
     import os
 
