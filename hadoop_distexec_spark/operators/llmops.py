@@ -984,3 +984,166 @@ def q_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).alias("min_len"),
         F.max(F.length("text")).alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination / entropy / sampling
+# ---------------------------------------------------------------------------
+
+DECONTAM_MOD = 97  # fixture stand-in for "doc is in the eval benchmark"
+
+
+@register(
+    "q_decontam",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    ev AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % {DECONTAM_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, shingle FROM shingles WHERE doc_id % {DECONTAM_MOD} <> 0
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM tr JOIN ev USING (shingle) GROUP BY doc_id
+    )
+    SELECT doc_id, n_contaminated, n_shingles,
+           CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+    FROM hits JOIN tot USING (doc_id)
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    {SHINGLE_K}-gram shingles with the eval set (here: doc_id %
+    DECONTAM_MOD == 0 stands in for benchmark membership). The standard
+    pretraining-hygiene pass: shingle both sides, equi-join on shingle,
+    report per-doc hit counts + contamination ratio.
+
+    Scale shape: the eval side of a real decontamination run is a
+    benchmark suite — MBs, not TBs — so its distinct-shingle set is
+    broadcast and the 100 TB training side never shuffles for the join
+    (plan: Exchange only for the two doc_id aggregates, which share
+    partitioning). The shingle set feeds both sides in one action ->
+    eager persist, released after a localCheckpoint of the (small)
+    flagged-doc result, same lifecycle as q_dedup_ngram."""
+    base = _shingles_df(spark, sf_dir).persist()
+    base.count()
+    is_eval = F.col("doc_id") % DECONTAM_MOD == 0
+    ev = base.filter(is_eval).select("shingle").distinct()
+    tr = base.filter(~is_eval)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    result = (
+        hits.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return result
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    withp AS (
+      SELECT doc_id, c,
+             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_unique,
+           CAST(CAST(-SUM(CAST(p * ln(p) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+             AS entropy
+    FROM withp GROUP BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the
+    perplexity-proxy quality signal (low entropy = repetitive/templated
+    text, a standard corpus-filter feature alongside q_quality_score and
+    q_repetition). p*ln(p) terms are per-row IEEE (deterministic), then
+    decimal-cast before the sum so the reduction is order-insensitive
+    (functions/numeric.py rules 1/3). Shape: explode -> (doc_id, tok)
+    hash aggregate -> window sum over doc_id -> final doc_id aggregate;
+    the window and both aggregates share the doc_id partitioning, so one
+    Exchange after the explode serves all three at any scale."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Repartition the (small) doc rows by doc_id BEFORE the explode: a
+    # HashPartitioning(doc_id) satisfies the (doc_id, tok) clustering of
+    # the first aggregate AND the doc_id window/aggregate after it, so the
+    # whole query runs on one Exchange of doc rows instead of two
+    # Exchanges of exploded token rows.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.sum("c").over(W.partitionBy("doc_id"))
+    term = (p * F.log(p)).cast("decimal(28,12)")
+    return (
+        cnt.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (-F.sum("term")).cast("double").alias("entropy"),
+        )
+    )
+
+
+# per-stratum sampling rates as 8-hex-digit md5-prefix thresholds:
+# keep doc iff substr(md5(text),1,8) < threshold(lang). String comparison of
+# lowercase hex is identical in Spark and DuckDB, so the sample is
+# deterministic and engine-portable with no float conversion at all.
+# 0x80000000/2^32 = 0.5 for the majority class, 0x33333333/2^32 ~ 0.2 rest.
+SAMPLE_THRESHOLDS = {"en": "80000000"}
+SAMPLE_DEFAULT_THRESHOLD = "33333333"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, SUBSTR(md5(text), 1, 8) AS bucket
+    FROM documents
+    WHERE SUBSTR(md5(text), 1, 8) <
+          CASE lang WHEN 'en' THEN '{SAMPLE_THRESHOLDS["en"]}'
+                    ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (50% en, ~20%
+    rest) via md5-prefix thresholding — the hash-salted twin of
+    df.sampleBy(), but reproducible across engines AND across runs/retries
+    (rand()-based sampling is neither; a retried task would resample).
+    Content-hash bucketing also means the sample is stable under
+    re-partitioning and appends — the property you want when drawing a
+    held-out slice from a growing 100 TB corpus. Pure per-row codegen
+    predicate, zero shuffles, filter applied before any downstream work."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 8)
+    thresh = F.when(
+        F.col("lang") == "en", F.lit(SAMPLE_THRESHOLDS["en"])
+    ).otherwise(F.lit(SAMPLE_DEFAULT_THRESHOLD))
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < thresh
+    )

@@ -567,3 +567,103 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# gap threshold for batch sessionization (micros); 30 min, the classic default
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    brk AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN prev_us IS NULL OR tus - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM lagged
+    ),
+    tagged AS (
+      SELECT user_id, tus,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) AS session_seq
+      FROM brk
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    >30-min inactivity gaps (lag -> break flag -> running sum -> group).
+    The streaming twin is q_stream_session (session_window); this is the
+    backfill/batch form. One shuffle on user_id; the two windows and the
+    final groupBy all share that partitioning (single Exchange in the
+    plan), so at 100 TB the cost is one repartition of the event log plus
+    a per-user sort — the plan you'd want. Timestamps exported as epoch
+    micros (functions/numeric.py rule 4); (tus, event_id) is the unique
+    window tiebreaker (rule 5)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("tus") - prev > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = e.withColumn("is_start", is_start).withColumn(
+        "session_seq", F.sum("is_start").over(w)
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w7 AS VARCHAR) AS DOUBLE)
+             AS mov_sum7,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w7 AS VARCHAR) AS DOUBLE)
+             / COUNT(*) OVER w7 AS mov_avg7,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id)
+             AS pct_rank
+    FROM events
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS-frame windows: 7-row moving sum/average per user plus
+    percent_rank — the frame-clause band of the window surface (the
+    default-frame forms are q_win_running/q_win_rank). Both windows
+    partition on user_id, so one Exchange serves them; the moving sum is
+    decimal-cast before summing (order-insensitive, functions/numeric.py
+    rule 1) and percent_rank orders by the unique (value, event_id) pair so
+    both engines assign identical ranks."""
+    e = table(spark, sf_dir, "events")
+    w7 = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-6, 0)
+    )
+    wp = W.partitionBy("user_id").orderBy("value", "event_id")
+    mov_sum = F.sum(F.col("value").cast("decimal(18,4)")).over(w7).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        mov_sum.alias("mov_sum7"),
+        (mov_sum / F.count(F.lit(1)).over(w7)).alias("mov_avg7"),
+        F.percent_rank().over(wp).alias("pct_rank"),
+    )

@@ -92,3 +92,30 @@ def test_chunking_prunes_scan(spark):
     i = plan.find("ReadSchema")
     assert "text" in plan[i : i + 200]
     assert "lang" not in plan[i : i + 200]
+
+
+def test_sessionize_single_exchange(spark):
+    # lag window + running-sum window + groupBy all share the user_id
+    # partitioning: exactly one Exchange in the plan
+    plan = _plan(spark, "q_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_win_frame_single_exchange(spark):
+    plan = _plan(spark, "q_win_frame")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_token_entropy_single_exchange(spark):
+    # repartition(doc_id) before the explode satisfies the (doc_id, tok)
+    # aggregate, the doc_id window, and the doc_id aggregate — one shuffle
+    # of doc rows, zero shuffles of exploded token rows
+    plan = _plan(spark, "q_token_entropy")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sample_stratified_shuffle_free(spark):
+    plan = _plan(spark, "q_sample_stratified")
+    assert "Exchange" not in plan
+    i = plan.find("ReadSchema")
+    assert "embedding" not in plan[i : i + 300]  # only documents columns
