@@ -1147,3 +1147,138 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < thresh
     )
+
+
+TFIDF_TOPN = 3  # top terms exported per document
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM cnt GROUP BY tok
+    ),
+    nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM cnt
+    ),
+    scored AS (
+      SELECT c.doc_id, c.tok,
+             (CAST(c.c AS DOUBLE) / SUM(c.c) OVER (PARTITION BY c.doc_id))
+               * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      FROM cnt c JOIN dfreq USING (tok) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, CAST(rnk AS INT) AS rnk, tfidf
+    FROM ranked WHERE rnk <= {TFIDF_TOPN}
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPN} TF-IDF terms per document — the classic keyword /
+    topic-signal extraction over a corpus. tf = c/n_doc_tokens, idf =
+    ln(N/df), both per-row IEEE (functions/numeric.py rule 3); ranking
+    breaks tfidf ties on the token string so both engines agree.
+
+    Scale shape: the doc-side flow (token counts, per-doc total, final
+    rank) all runs on one doc_id Exchange (repartition before the
+    explode). The document-frequency side is a token-keyed aggregate
+    whose result is the corpus *vocabulary* — broadcast here; at 100 TB
+    vocab (10^7-10^8 terms, GBs) drop the hint and let it shuffle-join
+    on tok, or df-cap the vocabulary first as _drop_hot_shingles does."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # (doc_id, tok, c) feeds three branches (tf/rank path, document
+    # frequency, corpus doc count): eager persist so the scan + explode +
+    # first aggregate run once, not three times (lazy persist recomputes
+    # under one action); released after the small top-N result is
+    # checkpointed — the q_dedup_ngram lifecycle.
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    cnt.count()
+    dfreq = cnt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = cnt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = F.col("c").cast("double") / F.sum("c").over(W.partitionBy("doc_id"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (
+        cnt.withColumn("tf", tf)
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "tok", (F.col("tf") * idf).alias("tfidf"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    )
+    result = (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TFIDF_TOPN)
+        .select("doc_id", "tok", "rnk", "tfidf")
+        .localCheckpoint(eager=True)
+    )
+    cnt.unpersist()
+    return result
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, UNNEST(embedding) AS x FROM embeddings
+    ),
+    wa AS (
+      SELECT vec_id, label, CAST(x AS DOUBLE) AS x,
+             CAST(MAX(ABS(x)) OVER (PARTITION BY vec_id) AS DOUBLE) AS amax
+      FROM ex
+    ),
+    q AS (
+      SELECT vec_id, label, amax,
+             CAST(round(x / (amax / 127.0)) AS BIGINT) AS qv
+      FROM wa WHERE amax > 0
+    )
+    SELECT vec_id, label,
+           MAX(amax) / 127.0 AS scale,
+           CAST(SUM(qv) AS BIGINT) AS checksum,
+           CAST(SUM(qv * qv) AS BIGINT) AS q_norm2,
+           CAST(COUNT(*) AS INT) AS n_dims
+    FROM q GROUP BY vec_id, label
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage /
+    bandwidth scale path for ANN (4x smaller than float32, int-dot
+    kernels). Per-vector absmax scale, quantized values summarized as
+    exact-integer checksum + squared norm (scalar outputs keep the
+    driver's canonicalizer off array columns; the quantized array itself
+    is a trivial re-projection of the same expressions).
+
+    Determinism: round() is ties-away-from-zero in both engines; all
+    per-row float math follows functions/numeric.py rule 3; the integer
+    aggregates are exact. Shape: posexplode + absmax window + final
+    aggregate all share one vec_id Exchange — all codegen, no
+    interpreted higher-order functions in the hot path."""
+    e = table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "x"))
+    amax = F.max(F.abs("x")).over(W.partitionBy("vec_id")).cast("double")
+    q = (
+        ex.withColumn("xd", F.col("x").cast("double"))
+        .withColumn("amax", amax)
+        .filter(F.col("amax") > 0)
+        .withColumn("qv", F.round(F.col("xd") / (F.col("amax") / 127.0)).cast("long"))
+    )
+    return q.groupBy("vec_id", "label").agg(
+        (F.max("amax") / 127.0).alias("scale"),
+        F.sum("qv").alias("checksum"),
+        F.sum(F.col("qv") * F.col("qv")).alias("q_norm2"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+    )

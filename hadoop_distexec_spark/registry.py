@@ -93,7 +93,7 @@ _PRIORITY: list[str] = [
     "q_vocab_topk", "q_ngram_counts", "q_repetition", "q_len_hist",
     "q_corpus_pipeline",
     "q_sessionize", "q_win_frame", "q_decontam", "q_token_entropy",
-    "q_sample_stratified",
+    "q_sample_stratified", "q_tfidf", "q_embed_quantize",
     # --- core relational (green r01; keep as many in-window as fit) ---
     "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",

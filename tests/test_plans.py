@@ -119,3 +119,22 @@ def test_sample_stratified_shuffle_free(spark):
     assert "Exchange" not in plan
     i = plan.find("ReadSchema")
     assert "embedding" not in plan[i : i + 300]  # only documents columns
+
+
+def test_embed_quantize_single_exchange(spark):
+    plan = _plan(spark, "q_embed_quantize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_checkpointed_and_bounded(spark):
+    # q_tfidf materializes via localCheckpoint (token-count cache released
+    # before return) and exports at most TFIDF_TOPN rows per doc
+    from hadoop_distexec_spark.operators.llmops import TFIDF_TOPN
+
+    df = SPECS["q_tfidf"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # checkpointed result, not a live lineage
+    from pyspark.sql import functions as F
+
+    mx = df.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= TFIDF_TOPN
