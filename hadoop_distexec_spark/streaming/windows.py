@@ -158,22 +158,7 @@ def q_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch result comes back as the memory-sink table — rows-only check
     (the streaming runtime, not the arithmetic, is what's under test; the
     arithmetic twin q_stream_tumble is hash-checked against DuckDB)."""
-    import uuid
-
-    name = f"stream_smoke_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_tumble(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_bounded(streaming_tumble(read_events_stream(spark, sf_dir)), "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -339,3 +324,48 @@ def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def _run_bounded(df: DataFrame, mode: str) -> "DataFrame":
+    """Run a streaming DataFrame to exhaustion of the available input
+    (availableNow trigger) into a uniquely-named memory sink and return
+    the sink table. The bounded-smoke harness shared by the q_stream_*
+    registry entries."""
+    import uuid
+
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register("q_stream_join_smoke", oracle=None)
+def q_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join executed by the real streaming runtime under the
+    driver harness: click->purchase attribution with watermarks on both
+    sides and a time-bounded join condition (bounded state stores). The
+    arithmetic twin is checked in tests/test_streaming.py against the
+    equivalent batch join; here the rows-only check witnesses the
+    streaming execution path itself."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_bounded(streaming_join(ev, ev), "append")
+
+
+@register("q_stream_stateful_smoke", oracle=None)
+def q_stream_stateful_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the driver
+    harness: per-user running count/sum state across micro-batches in
+    update mode. This is the arbitrary-stateful tier the brief names for
+    operators Spark's built-ins can't express; state lives in the state
+    store keyed by user, not in Python memory."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_bounded(streaming_user_stats(ev), "update")
