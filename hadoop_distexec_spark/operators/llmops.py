@@ -1282,3 +1282,143 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qv") * F.col("qv")).alias("q_norm2"),
         F.count(F.lit(1)).cast("int").alias("n_dims"),
     )
+
+
+INCR_NEW_SOURCE = "src19"  # fixture stand-in for "today's ingest batch"
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="WITH "
+    + _SHINGLES_SQL
+    + f""",
+    keep AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    s AS (
+      SELECT sh.doc_id, sh.shingle, d.source
+      FROM shingles sh JOIN keep USING (shingle)
+      JOIN documents d ON d.doc_id = sh.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id, COUNT(*) AS n_shared
+      FROM s n JOIN s h ON n.shingle = h.shingle
+      WHERE n.source = '{INCR_NEW_SOURCE}' AND h.source <> '{INCR_NEW_SOURCE}'
+      GROUP BY n.doc_id, h.doc_id
+    ),
+    scored AS (
+      SELECT new_id, hist_id, n_shared,
+             CAST(n_shared AS DOUBLE) / (sn.n_sh + sh2.n_sh - n_shared) AS jaccard
+      FROM pairs
+      JOIN sizes sn ON sn.doc_id = new_id
+      JOIN sizes sh2 ON sh2.doc_id = hist_id
+    ),
+    best AS (
+      SELECT new_id, hist_id, n_shared, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, hist_id) AS rnk
+      FROM scored
+    )
+    SELECT new_id AS doc_id, hist_id AS match_doc_id, n_shared, jaccard
+    FROM best WHERE rnk = 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-time) near-dedup: for each document of today's
+    batch (source == INCR_NEW_SOURCE), the best-matching historical
+    document by shingle Jaccard — the daily-pipeline counterpart of the
+    full-corpus q_dedup_ngram pass (a real ingest gate thresholds the
+    returned jaccard; returning the best match keeps the policy outside
+    the operator).
+
+    Scale shape: identical to q_dedup_ngram — df-capped shingles bound the
+    equi-join fan-out — except the pair join is new x history instead of a
+    self-join, so its size is |batch shingles| x collisions, proportional
+    to the DAILY batch, not the corpus. The history side is touched only
+    through the shingle equi-join; no full-history shuffle. Source labels
+    ride the doc_id-partitioned shingle build (one extra co-partitioned
+    join)."""
+    base = _shingles_df(spark, sf_dir).persist()
+    base.count()
+    s = _drop_hot_shingles(base)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = s.join(src, "doc_id")
+    is_new = F.col("source") == INCR_NEW_SOURCE
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    new_s = s.filter(is_new).select(F.col("doc_id").alias("new_id"), "shingle")
+    hist_s = s.filter(~is_new).select(F.col("doc_id").alias("hist_id"), "shingle")
+    pairs = (
+        new_s.join(hist_s, "shingle")
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("_na"))
+    sh2 = sizes.select(F.col("doc_id").alias("hist_id"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("n_shared")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), "hist_id")
+    )
+    result = (
+        pairs.join(sn, "new_id")
+        .join(sh2, "hist_id")
+        .withColumn("jaccard", jac)
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("hist_id").alias("match_doc_id"),
+            "n_shared",
+            "jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return result
+
+
+RAG_TOPN = 3  # retrieved docs per query
+
+
+@register(
+    "q_rag_retrieval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm2 AS q_n2 FROM e WHERE vec_id < 5),
+    p AS (
+      SELECT q_id, e.vec_id AS c_id,
+             {_DEC_DOT.format(a='q_emb', b='e.embedding')} / SQRT(q_n2 * e.norm2) AS cosine
+      FROM q CROSS JOIN e WHERE e.vec_id <> q_id
+    ),
+    r AS (SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+          FROM p WHERE cosine IS NOT NULL)
+    SELECT r.q_id, CAST(r.rnk AS INT) AS rnk, r.c_id AS doc_id, r.cosine,
+           d.lang, d.source, d.n_chars
+    FROM r JOIN documents d ON d.doc_id = r.c_id
+    WHERE r.rnk <= {RAG_TOPN}
+    """,
+)
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval composition (the RAG shape): nearest-neighbor search over
+    the embedding table, then hydrate each hit with its document metadata.
+    Reuses q_sim_topk's exact-decimal ranking (the oracle-identical
+    baseline; q_sim_ivf/q_sim_lsh are the drop-in ANN scale paths) and
+    joins the tiny top-k hit list broadcast against documents — at 100 TB
+    the document table never shuffles to serve a retrieval."""
+    hits = q_sim_topk(spark, sf_dir).filter(F.col("rnk") <= RAG_TOPN)
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "lang", "source", "n_chars"
+    )
+    return (
+        docs.join(
+            F.broadcast(hits.withColumnRenamed("c_id", "doc_id")), "doc_id"
+        )
+        .select("q_id", "rnk", "doc_id", "cosine", "lang", "source", "n_chars")
+    )
