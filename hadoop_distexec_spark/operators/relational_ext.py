@@ -667,3 +667,57 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mov_sum / F.count(F.lit(1)).over(w7)).alias("mov_avg7"),
         F.percent_rank().over(wp).alias("pct_rank"),
     )
+
+
+# bucket width for the equi-join rewrite of the interval join; each interval
+# [lo, hi) expands to ceil((hi-lo)/W) bucket rows
+_RANGE_BUCKET_W = 25.0
+
+
+@register(
+    "q_range_join_bucketed",
+    oracle=f"""
+    SELECT band_id, event_type, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events JOIN {_BANDS_SQL}
+      ON value >= CAST(lo AS DOUBLE) AND value < CAST(hi AS DOUBLE)
+    GROUP BY band_id, event_type
+    """,
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-big scale path for the interval join: bucketize the value
+    axis (width _RANGE_BUCKET_W), expand each interval to the buckets it
+    covers, equi-join on the bucket id, then apply the exact range filter
+    as a residual predicate. Each point lands in exactly one bucket so no
+    dedup is needed, and the result is identical to q_range_join's
+    inequality form — same oracle SQL, bit for bit.
+
+    Why it matters: Spark executes a plain inequality join as
+    BroadcastNestedLoopJoin, which requires one side to fit in memory. The
+    bucket rewrite turns it into a shuffled equi-join (hash-partitioned,
+    AQE-skewable) that works when BOTH sides are 100 TB-large — the same
+    trick q_stream_slide's window enumeration uses in time space. The
+    interval side grows by its bucket fan-out (bounded by interval length
+    / W), the point side by 0."""
+    e = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    nb = F.ceil(
+        (F.col("hi").cast("double") - F.col("lo").cast("double")) / _RANGE_BUCKET_W
+    ).cast("long")
+    first = F.floor(F.col("lo").cast("double") / _RANGE_BUCKET_W).cast("long")
+    bands_b = bands.select(
+        "band_id",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        F.explode(F.sequence(first, first + nb)).alias("bucket"),
+    )
+    e_b = e.withColumn(
+        "bucket", F.floor(F.col("value") / _RANGE_BUCKET_W).cast("long")
+    )
+    joined = e_b.join(bands_b, "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

@@ -138,3 +138,11 @@ def test_tfidf_checkpointed_and_bounded(spark):
 
     mx = df.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert mx <= TFIDF_TOPN
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    # the bucket rewrite must hash-join (shuffleable at big-big scale),
+    # never fall back to a nested-loop inequality join
+    plan = _plan(spark, "q_range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on bucket
