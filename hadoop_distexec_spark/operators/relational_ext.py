@@ -721,3 +721,104 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q_latest_by_key",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, tus AS last_ts_us,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rnk = 1
+    """,
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction — the upsert/changelog/SCD pattern
+    (dedupe an event log to current state). One user_id shuffle; at scale
+    this is the standard log-compaction pass before serving state, and
+    AQE's skew split handles hot keys. (event_id DESC is the deterministic
+    tiebreaker for same-microsecond events.)"""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'orders_rows' AS metric, COUNT(*) AS value FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_distinct_custkey', COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'orders_fk_violations', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_rows', COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range', COUNT(*) FROM lineitem
+      WHERE l_quantity <= 0 OR l_quantity > 50
+    UNION ALL
+    SELECT 'events_null_user', COUNT(*) FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'documents_empty_text', COUNT(*) FROM documents
+      WHERE LENGTH(TRIM(text)) = 0
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: row counts, null counts, distinct
+    cardinality, referential-integrity violations (orders->customer
+    anti-join), domain-range checks — the constraint/expectation pass a
+    production pipeline runs before publishing a dataset. Each metric is
+    a partial-aggregable scan (the FK check is a broadcast-able anti-join
+    against the key column only); metrics union into one (metric, value)
+    frame so downstream alerting diffs a single tiny table."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    fk = o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+    parts = [
+        one("orders_rows", o),
+        one("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
+        o.agg(F.countDistinct("o_custkey").alias("value")).select(
+            F.lit("orders_distinct_custkey").alias("metric"), "value"
+        ),
+        one("orders_fk_violations", fk),
+        one("lineitem_rows", li),
+        one(
+            "lineitem_qty_out_of_range",
+            li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)),
+        ),
+        one("events_null_user", e.filter(F.col("user_id").isNull())),
+        one("documents_empty_text", d.filter(F.length(F.trim("text")) == 0)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
