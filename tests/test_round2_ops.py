@@ -1,0 +1,126 @@
+"""Invariant tests for the round-2 operator additions — properties the
+oracle hash-compare can't express (cross-query consistency, bounds)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark import registry
+from tests.conftest import SF_ORACLE
+
+SPECS = registry.specs()
+
+
+def _run(spark, qid):
+    return SPECS[qid].fn(spark, SF_ORACLE)
+
+
+def test_sessionize_conserves_events(spark):
+    """Session event counts must sum to the event-log row count, and every
+    session must be non-empty with start <= end."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    sess = _run(spark, "q_sessionize")
+    total = table(spark, SF_ORACLE, "events").count()
+    agg = sess.agg(
+        F.sum("n_events").alias("n"),
+        F.min(F.col("session_end_us") - F.col("session_start_us")).alias("min_span"),
+        F.min("n_events").alias("min_events"),
+    ).collect()[0]
+    assert agg["n"] == total
+    assert agg["min_events"] >= 1
+    assert agg["min_span"] >= 0
+
+
+def test_latest_by_key_one_row_per_user(spark):
+    latest = _run(spark, "q_latest_by_key")
+    assert latest.count() == latest.select("user_id").distinct().count()
+
+
+def test_decontam_never_flags_eval_docs(spark):
+    from hadoop_distexec_spark.operators.llmops import DECONTAM_MOD
+
+    out = _run(spark, "q_decontam")
+    assert out.filter(F.col("doc_id") % DECONTAM_MOD == 0).count() == 0
+    # contamination is a ratio of counted shingles: always in (0, 1]
+    bounds = out.agg(
+        F.min("contamination").alias("lo"), F.max("contamination").alias("hi")
+    ).collect()[0]
+    assert 0 < bounds["lo"] and bounds["hi"] <= 1.0
+
+
+def test_dedup_incremental_only_new_batch(spark):
+    from hadoop_distexec_spark.operators.llmops import INCR_NEW_SOURCE
+    from hadoop_distexec_spark.sources.tables import table
+
+    out = _run(spark, "q_dedup_incremental")
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    joined = out.join(docs, "doc_id")
+    assert joined.filter(F.col("source") != INCR_NEW_SOURCE).count() == 0
+    # best-match semantics: at most one row per new doc
+    assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_embed_quantize_bounds(spark):
+    """Quantized values live in [-127, 127]; checksum and norm must obey
+    the implied bounds; scale is positive."""
+    out = _run(spark, "q_embed_quantize")
+    chk = out.filter(
+        (F.abs(F.col("checksum")) > 127 * F.col("n_dims"))
+        | (F.col("q_norm2") > 127 * 127 * F.col("n_dims"))
+        | (F.col("q_norm2") < 0)
+        | (F.col("scale") <= 0)
+    )
+    assert chk.count() == 0
+
+
+def test_token_entropy_bounds(spark):
+    """0 <= entropy <= ln(n_unique) (uniform bound), and single-token docs
+    have exactly zero entropy."""
+    out = _run(spark, "q_token_entropy")
+    bad = out.filter(
+        (F.col("entropy") < -1e-9)
+        | (F.col("entropy") > F.log(F.col("n_unique").cast("double")) + 1e-9)
+    )
+    assert bad.count() == 0
+    assert out.filter((F.col("n_unique") == 1) & (F.col("entropy") != 0.0)).count() == 0
+
+
+def test_tfidf_ranks_contiguous(spark):
+    """Ranks per doc are 1..k with no gaps."""
+    out = _run(spark, "q_tfidf")
+    agg = out.groupBy("doc_id").agg(
+        F.min("rnk").alias("lo"), F.max("rnk").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_sample_stratified_rates(spark):
+    """The en stratum samples at ~2.5x the default stratum rate (0.5 vs
+    0.2); assert the realized rates land in generous windows."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    out = _run(spark, "q_sample_stratified")
+    docs = table(spark, SF_ORACLE, "documents")
+    tot = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    en_rate = got.get("en", 0) / tot["en"]
+    rest_rate = sum(v for k, v in got.items() if k != "en") / sum(
+        v for k, v in tot.items() if k != "en"
+    )
+    assert 0.35 <= en_rate <= 0.65
+    assert 0.1 <= rest_rate <= 0.3
+
+
+def test_range_join_bucketed_matches_inequality_form(spark):
+    a = sorted(map(tuple, _run(spark, "q_range_join").collect()))
+    b = sorted(map(tuple, _run(spark, "q_range_join_bucketed").collect()))
+    assert a == b
+
+
+def test_rag_retrieval_hydrates_topk(spark):
+    from hadoop_distexec_spark.operators.llmops import RAG_TOPN
+
+    out = _run(spark, "q_rag_retrieval")
+    per_q = out.groupBy("q_id").count()
+    assert per_q.filter(F.col("count") != RAG_TOPN).count() == 0
+    assert out.filter(F.col("lang").isNull()).count() == 0
