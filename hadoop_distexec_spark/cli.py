@@ -34,13 +34,21 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         dest="redirect_err_to_out",
         help="merge child stderr into stdout instead of .stderr side files",
     )
+    # -update must stay a bare flag (DistCp grammar: `distexec -update SRC
+    # DST CMD`) — an optional-value form (nargs='?') would greedily consume
+    # the first positional as its value. The hash mode rides a separate
+    # -updatemode flag.
     ap.add_argument(
         "-update",
-        nargs="?",
-        const="mtime",
-        default=False,
+        action="store_true",
+        dest="update_flag",
+        help="skip up-to-date destinations (see -updatemode)",
+    )
+    ap.add_argument(
+        "-updatemode",
+        default="mtime",
         choices=["mtime", "hash"],
-        help="skip up-to-date destinations: mtime freshness (default) or "
+        help="how -update decides freshness: mtime (default) or "
         "content-hash compare against the previous run's _distexec_state",
     )
     ap.add_argument(
@@ -106,6 +114,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         ns.srcs = ns.paths[:-2]
     ns.dst = ns.paths[-2]
     ns.cmd = ns.paths[-1]
+    ns.update = ns.updatemode if ns.update_flag else False
     return ns
 
 
@@ -123,10 +132,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("distexec-cli")
         # the run's root rule depends on whether dst existed BEFORE the run
         # (DistExec.java:545,553); capture it now so a later -delete sync
-        # rebases against the same layout
-        import os
+        # rebases against the same layout. Resolve through the FS layer —
+        # os.path.exists on a remote URI is always False and would make
+        # -delete sync against the wrong layout (deleting fresh outputs).
+        from hadoop_distexec_spark.fs import resolve_fs
 
-        dst_preexisted = os.path.exists(ns.dst)
+        dst_preexisted = resolve_fs(ns.dst).exists(ns.dst)
         results = distexec(
             spark,
             ns.srcs,

@@ -206,7 +206,21 @@ def resize_image(
         for pdf in batches:
             def _resize(blob: bytes) -> bytes:
                 if resize is not None:
-                    return resize(blob, width, height)
+                    out = resize(blob, width, height)
+                    # enforce the constant-stride contract for injected
+                    # codecs too (same spirit as extract_features' encoder
+                    # shape check): raw pixel payloads are width*height x
+                    # a whole number of channels; a compressed/variable-
+                    # length encoding would silently break downstream
+                    # fixed-stride loaders
+                    if len(out) == 0 or len(out) % target != 0:
+                        raise ValueError(
+                            f"injected resize returned {len(out)} bytes — "
+                            f"not a positive multiple of width*height="
+                            f"{target}; expected a raw pixel payload, not "
+                            "a compressed encoding"
+                        )
+                    return out
                 if not blob:
                     return bytes(target)
                 reps = -(-target // len(blob))  # ceil

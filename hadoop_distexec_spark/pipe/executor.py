@@ -50,7 +50,6 @@ from __future__ import annotations
 import hashlib
 import os
 import subprocess
-import tempfile
 import threading
 import time
 import uuid
@@ -63,7 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hadoop_distexec_spark.errors import DuplicationError
-from hadoop_distexec_spark.fs import FileSystem, resolve_fs
+from hadoop_distexec_spark.fs import FileSystem, executor_mutation_safe, resolve_fs
 from hadoop_distexec_spark.pipe.cmdline import exit_ok, tokenize
 from hadoop_distexec_spark.sources.manifest import build_manifest
 
@@ -297,8 +296,13 @@ def _exec_one(
                         dst_fs.set_mode(final, st.mode)
                     if st.mtime_epoch is not None:
                         dst_fs.set_mtime(final, st.mtime_epoch)
-                except NotImplementedError:
-                    pass  # filesystem has no POSIX attributes (object store)
+                except (NotImplementedError, OSError):
+                    # best-effort finalize: the output is already committed
+                    # (renamed into place), so a vanished/unreadable source
+                    # or an attribute-less store must not flip the row to
+                    # FAIL — that would discard a good output and (under
+                    # update='hash') force a pointless re-execution
+                    pass
             return ("EXECUTED", rc, pin.count, pout.count, bytes_err, None)
         except OSError as e:
             errors.append(e)
@@ -402,7 +406,18 @@ def limit_manifest(
     sc = files.sparkSession.sparkContext
 
     n_parts = max(1, sc.defaultParallelism)
-    ordered = files.repartitionByRange(n_parts, "src_path").sortWithinPartitions("src_path")
+    # Pin partition identity before the two passes: the offsets pass and
+    # the cut pass below both drive ordered.rdd, and an unmaterialized
+    # repartitionByRange re-executes per action with sampled range
+    # boundaries — the two jobs could land boundary rows in different
+    # partitions, applying offsets to the wrong contents (and re-running
+    # the manifest walk). Same eager-checkpoint rule as
+    # pack_sequences_distributed / plan_partitions.
+    ordered = (
+        files.repartitionByRange(n_parts, "src_path")
+        .sortWithinPartitions("src_path")
+        .localCheckpoint(eager=True)
+    )
     part_stats = {
         i: (s, c)
         for i, s, c in ordered.rdd.mapPartitionsWithIndex(
@@ -492,7 +507,6 @@ def distexec(
     update = bool(update_mode)
     if isinstance(srcs, str):
         srcs = [srcs]
-    src_fs = resolve_fs(srcs[0], fs)
     dst_fs = resolve_fs(dst, fs)
 
     if update_mode == "hash":
@@ -536,12 +550,22 @@ def distexec(
     # manifest records, created executor-side. No ordering needed —
     # mkdirs creates parents and is idempotent — and no driver collect:
     # a 100 TB tree can hold 10^7+ directories (VERDICT r01, wrong #3).
-    def _mk_dirs(rows) -> None:
-        for r in rows:
-            if r["rel_dst"] and r["rel_dst"] != ".":
-                dst_fs.mkdirs(dst_fs.join(dst, r["rel_dst"]))
+    # Executor-side only when executors actually share dst's store
+    # (remote FS, or LocalFS under a local master); otherwise apply from
+    # the driver via toLocalIterator — same guard as sync_deletes
+    # (ADVICE r01 #5: executor-local os.* on a cluster hits worker disks).
+    def _mk_one(rel: str) -> None:
+        if rel and rel != ".":
+            dst_fs.mkdirs(dst_fs.join(dst, rel))
 
-    manifest.filter(F.col("is_dir")).select("rel_dst").foreachPartition(_mk_dirs)
+    dir_rows = manifest.filter(F.col("is_dir")).select("rel_dst")
+    if executor_mutation_safe(spark, dst_fs):
+        dir_rows.foreachPartition(
+            lambda rows: [_mk_one(r["rel_dst"]) for r in rows]
+        )
+    else:
+        for r in dir_rows.toLocalIterator():
+            _mk_one(r["rel_dst"])
 
     tmp_dir = dst_fs.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
     dst_fs.mkdirs(tmp_dir)
@@ -565,6 +589,18 @@ def distexec(
     )
 
     def run_partition(items) -> Iterator[Row]:
+        # per-SOURCE filesystem, resolved from each file's own URI scheme
+        # (reference: srcstat.getPath().getFileSystem(job),
+        # ExecFilesMapper.java:114) — a -f list may mix local and remote
+        # sources; one scheme -> one FS instance per task
+        fs_cache: dict[str, FileSystem] = {}
+
+        def _sfs(p: str) -> FileSystem:
+            sch = urlsplit(p).scheme
+            if sch not in fs_cache:
+                fs_cache[sch] = resolve_fs(p, fs)
+            return fs_cache[sch]
+
         def result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, md5):
             return Row(
                 src_path=src_path,
@@ -589,7 +625,7 @@ def distexec(
                         # (DistCp.java:333-337) with md5 instead of
                         # length+CRC (exec output length is command-
                         # dependent; only source content identity matters)
-                        src_md5 = _md5_of(src_fs, src_path)
+                        src_md5 = _md5_of(_sfs(src_path), src_path)
                         skip = prev_md5 is not None and src_md5 == prev_md5 and dst_fs.exists(final)
                     else:
                         # raw-epoch comparison: naive datetimes would be
@@ -610,7 +646,7 @@ def distexec(
             try:
                 status, rc, b_in, b_out, b_err, err = _exec_one(
                     src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out,
-                    cmd_timeout, src_fs, dst_fs, preserve,
+                    cmd_timeout, _sfs(src_path), dst_fs, preserve,
                 )
             except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
                 status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
@@ -621,15 +657,19 @@ def distexec(
     # would silently re-run every subprocess if partitions were evicted and
     # the caller acted on it again after tmp_dir is gone. The ledger lives
     # under dst when Spark's Hadoop layer can write that scheme (local,
-    # hdfs, s3a, ...); for other FileSystem impls it spills to driver-local
-    # scratch — it is O(#files) metadata, not data.
+    # hdfs, s3a, ...). For other FileSystem impls, pin the computed rows
+    # with an eager localCheckpoint — executors cannot be assumed to share
+    # a driver-local scratch dir, so a parquet round-trip through
+    # tempfile.mkdtemp would land the parts on worker disks and the
+    # driver's read-back would see an empty directory.
     if _spark_native(dst):
         results_dir = dst_fs.join(dst, "_distexec_results")
+        results.write.mode("overwrite").parquet(results_dir)
+        plan_cache.unpersist()
+        results = spark.read.parquet(results_dir)
     else:
-        results_dir = tempfile.mkdtemp(prefix="distexec_results_")
-    results.write.mode("overwrite").parquet(results_dir)
-    plan_cache.unpersist()
-    results = spark.read.parquet(results_dir)
+        results = results.localCheckpoint(eager=True)
+        plan_cache.unpersist()
 
     if update_mode == "hash":
         # persist content hashes for the next run: EXECUTED rows carry the
@@ -652,7 +692,14 @@ def distexec(
             log_lines.write.mode("overwrite").text(log_dir)
         else:
             # fs-routed distributed text sink: one part file per partition,
-            # written executor-side through the FileSystem interface
+            # written executor-side through the FileSystem interface.
+            # Clear prior parts first — the uuid-named append would
+            # otherwise accumulate stale FAIL records across runs, where
+            # the Spark-native branch's mode("overwrite") replaces them.
+            try:
+                dst_fs.rmtree(log_dir)
+            except (FileNotFoundError, OSError):
+                pass
             dst_fs.mkdirs(log_dir)
 
             def _write_log(rows) -> None:

@@ -128,21 +128,25 @@ def build_manifest(
     """
     if isinstance(srcs, str):
         srcs = [srcs]
-    src_fs = resolve_fs(srcs[0], fs)
-    srcs = [src_fs.normalize(s) for s in srcs]
-    check_src_paths(srcs, src_fs)
-    dst_fs = resolve_fs(dst, fs) if dst is not None else src_fs
+    # Resolve the filesystem PER SOURCE (reference: each path gets its own
+    # getFileSystem, DistExec.java:229) — a -f URI list can legitimately
+    # mix file:// and s3:// lines, and normalizing an s3 URI through the
+    # local FS would mangle it into <cwd>/s3:/bucket.
+    src_fss = [resolve_fs(s, fs) for s in srcs]
+    srcs = [sfs.normalize(s) for sfs, s in zip(src_fss, srcs)]
+    check_src_paths(srcs, fs)
+    dst_fs = resolve_fs(dst, fs) if dst is not None else src_fss[0]
 
     special = (
         len(srcs) == 1
-        and src_fs.stat(srcs[0]).is_dir
+        and src_fss[0].stat(srcs[0]).is_dir
         and (contents_into_dst or dst is None or not dst_fs.exists(dst))
     )
     sc = spark.sparkContext
 
     rows: list[tuple] = []  # (src_path, size, is_dir, mtime, mtime_epoch, is_link, root)
     rdds = []
-    for src in srcs:
+    for src, src_fs in zip(srcs, src_fss):
         root = src if special else (src_fs.dirname(src) or "/")
         entry = _stat_entry(src, src_fs)
         rows.append((*entry, root))

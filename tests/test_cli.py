@@ -84,3 +84,32 @@ def test_cli_delete_syncs_strays(spark, tmp_path):
     assert main(["-update", "-delete", str(src), dst, "cat"]) == 0
     assert not os.path.exists(os.path.join(dst, "stray.bin"))
     assert open(os.path.join(dst, "a.txt")).read() == "data\n"
+
+
+def test_bare_update_before_positionals(tmp_path):
+    """DistCp grammar regression: `distexec -update SRC DST CMD` must parse
+    with SRC as a source, not as -update's value (the nargs='?' form
+    greedily ate the first positional)."""
+    from hadoop_distexec_spark.cli import parse_args
+
+    ns = parse_args(["-update", str(tmp_path), str(tmp_path / "out"), "cat"])
+    assert ns.update == "mtime"
+    assert ns.srcs == [str(tmp_path)]
+
+    ns = parse_args(["-update", "-updatemode", "hash", str(tmp_path), str(tmp_path / "out"), "cat"])
+    assert ns.update == "hash"
+
+    ns = parse_args([str(tmp_path), str(tmp_path / "out"), "cat"])
+    assert ns.update is False
+
+
+def test_update_hash_via_cli_skips(tmp_path):
+    """-update -updatemode hash end-to-end: second run skips everything."""
+    from hadoop_distexec_spark.cli import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("payload\n")
+    dst = str(tmp_path / "out")
+    assert main([str(src), dst, "cat"]) == 0
+    assert main(["-update", "-updatemode", "hash", str(src), dst, "cat"]) == 0
