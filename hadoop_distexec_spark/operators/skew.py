@@ -63,3 +63,65 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: group by (keys + salt) first so a
+    hot key's rows spread over n_salts reducers, then combine the partial
+    results in a tiny second aggregate on the true keys. Works for any
+    algebraic aggregate expressed as (partial expr, combine expr) pairs in
+    ``aggs``: [(partial_col_alias, partial_expr, combine_expr)].
+
+    Spark's hash aggregate is already two-phase (map-side partial), which
+    handles most skew; the explicit salt matters when a single key's
+    post-combine partial rows still overwhelm one reducer — the classic
+    "one key is 30% of the data" shape.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+                  F.lit(n_salts)).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[p.alias(name) for name, p, _ in aggs])
+    )
+    return partial.groupBy(*keys).agg(*[c(name).alias(name) for name, _, c in aggs])
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem status aggregate executed through the explicit salt:
+    partial aggregate on (keys, salt), combine on keys. The oracle is the
+    PLAIN group-by — salting redistributes the shuffle, never the result.
+    Decimal partial sums stay decimal until the final combine, so the
+    two-phase path is bit-identical to the one-phase one."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [
+        ("n_items", F.count(F.lit(1)), lambda c: F.sum(c)),
+        (
+            "sum_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+            lambda c: F.sum(c),
+        ),
+    ]
+    out = salted_agg(li, ["l_returnflag", "l_linestatus"], aggs)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_items",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
