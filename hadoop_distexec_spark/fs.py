@@ -50,6 +50,14 @@ class FileStat:
 class FileSystem:
     """The operations the executor needs — nothing more."""
 
+    def handles(self, path: str) -> bool:
+        """Whether this FS claims ``path``'s URI scheme. ``resolve_fs``
+        consults this so an explicitly-passed FS serves only its own
+        scheme in mixed-scheme runs (Hadoop's per-path getFileSystem
+        dispatch); the base default claims everything, preserving the
+        single-FS behavior for custom implementations."""
+        return True
+
     def open(self, path: str, mode: str = "rb", buffering: int = -1) -> BinaryIO:
         raise NotImplementedError
 
@@ -102,6 +110,10 @@ class FileSystem:
 
 
 class LocalFS(FileSystem):
+    def handles(self, path: str) -> bool:
+        scheme = urlsplit(path).scheme
+        return scheme in ("", "file") or len(scheme) == 1  # 1: drive letter
+
     """``os``-backed local/NFS filesystem — the default fast path."""
 
     def open(self, path, mode="rb", buffering=-1):
@@ -164,6 +176,9 @@ class MappedFS(FileSystem):
     """
 
     scheme: str
+
+    def handles(self, path: str) -> bool:
+        return urlsplit(path).scheme == self.scheme
     root: str
     _local: LocalFS = field(default_factory=LocalFS, repr=False)
 
@@ -219,6 +234,9 @@ class FsspecFS(FileSystem):
 
     protocol: str
     options: dict = field(default_factory=dict)
+
+    def handles(self, path: str) -> bool:
+        return urlsplit(path).scheme == self.protocol
 
     def __getstate__(self):
         return {"protocol": self.protocol, "options": self.options}
@@ -296,10 +314,13 @@ def executor_mutation_safe(spark, fs: FileSystem) -> bool:
 
 
 def resolve_fs(path: str, fs: FileSystem | None = None) -> FileSystem:
-    """FS for ``path``: an explicit ``fs`` wins; no scheme (or file://) is
-    local; any other scheme goes to fsspec. Mirrors the reference's
-    ``path.getFileSystem(conf)`` dispatch (DistExec.java:229)."""
-    if fs is not None:
+    """FS for ``path``: an explicit ``fs`` wins for the schemes it claims
+    (``FileSystem.handles``); otherwise no scheme (or file://) is local and
+    any other scheme goes to fsspec. Mirrors the reference's per-path
+    ``path.getFileSystem(conf)`` dispatch (DistExec.java:229) — in a
+    mixed-scheme run (e.g. a -f list of file:// and mock:// lines with an
+    explicit MappedFS) each path reaches the store that owns it."""
+    if fs is not None and fs.handles(path):
         return fs
     scheme = urlsplit(path).scheme
     if scheme in ("", "file") or len(scheme) == 1:  # len==1: windows drive letter

@@ -145,3 +145,26 @@ def test_sync_deletes_over_mock_fs(spark, mockfs):
     assert not mockfs.exists("mock://out/stale.txt")
     assert not mockfs.exists("mock://out/stale_dir")
     assert mockfs.exists("mock://out/a.txt")  # survivors untouched
+
+
+def test_distexec_mixed_scheme_sources(spark, mockfs, tmp_path):
+    """A multi-source run mixing a local dir and a mock:// tree (the -f
+    URI-list shape): each source must resolve its OWN filesystem — the
+    round-1 code normalized every source through srcs[0]'s FS, mangling
+    the other scheme's URIs."""
+    local_src = tmp_path / "ltree"
+    local_src.mkdir()
+    (local_src / "a.txt").write_text("local\n")
+    mockfs.mkdirs("mock://store/rtree")
+    with mockfs.open("mock://store/rtree/b.txt", "wb") as f:
+        f.write(b"remote\n")
+
+    dst = str(tmp_path / "out")
+    from hadoop_distexec_spark import distexec
+
+    res = distexec(spark, [str(local_src), "mock://store/rtree"], dst, "cat", fs=mockfs)
+    by_rel = {r["rel_dst"]: r["status"] for r in res.collect()}
+    assert by_rel["ltree/a.txt"] == "EXECUTED"
+    assert by_rel["rtree/b.txt"] == "EXECUTED"
+    assert (tmp_path / "out" / "ltree" / "a.txt").read_text() == "local\n"
+    assert (tmp_path / "out" / "rtree" / "b.txt").read_text() == "remote\n"
