@@ -81,7 +81,7 @@ _PRIORITY: list[str] = [
     "q_proj_manifest", "q_dup_check", "q_split_plan",
     "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
     "q_stream_tumble", "q_stream_slide", "q_stream_session",
-    "q_stream_join_smoke", "q_stream_stateful_smoke",
+    "q_stream_join_smoke", "q_stream_stateful_smoke", "q_stream_dedup_smoke",
     # --- never driver-witnessed (r01 window ended at 50) ---
     "q_fn_levenshtein", "q_fn_explode", "q_fn_cond",
     "q_join_left_outer", "q_join_full_outer", "q_join_salted",

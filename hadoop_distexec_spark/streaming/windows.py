@@ -369,3 +369,17 @@ def q_stream_stateful_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     store keyed by user, not in Python memory."""
     ev = read_events_stream(spark, sf_dir)
     return _run_bounded(streaming_user_stats(ev), "update")
+
+
+@register("q_stream_dedup_smoke", oracle=None)
+def q_stream_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) under the
+    driver harness: bounded-state dedup of the event stream — keys are
+    held only until the watermark passes, the streaming analog of
+    q_dedup_exact. Rows-only (the runtime path is what's witnessed;
+    event_id is unique in the fixture so the row count equals the
+    input count)."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_bounded(
+        streaming_dedup(ev).select("event_id", "user_id", "event_type"), "append"
+    )
