@@ -124,3 +124,32 @@ def test_rag_retrieval_hydrates_topk(spark):
     per_q = out.groupBy("q_id").count()
     assert per_q.filter(F.col("count") != RAG_TOPN).count() == 0
     assert out.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_priority_ids_all_registered():
+    """Every id in the registry's _PRIORITY window must be a registered
+    query — a typo would silently drop it out of the driver's bounded
+    CORRECTNESS window."""
+    from hadoop_distexec_spark.registry import _PRIORITY
+
+    known = set(SPECS)
+    missing = [q for q in _PRIORITY if q not in known]
+    assert not missing, f"_PRIORITY ids not registered: {missing}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
+
+
+def test_priority_window_holds_round2_ids():
+    """All round-2 ids (new or never driver-witnessed) must sit inside the
+    first 50 registry entries — the observed driver CORRECTNESS budget."""
+    ids = list(SPECS)
+    window = set(ids[:50])
+    must_witness = [
+        "q_scan_manifest", "q_split_plan", "q_stream_tumble", "q_agg_approx",
+        "q_sessionize", "q_win_frame", "q_decontam", "q_token_entropy",
+        "q_sample_stratified", "q_tfidf", "q_embed_quantize",
+        "q_dedup_incremental", "q_rag_retrieval", "q_range_join_bucketed",
+        "q_latest_by_key", "q_dq_profile",
+        "q_stream_join_smoke", "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+    ]
+    out = [q for q in must_witness if q not in window]
+    assert not out, f"ids fell out of the driver's 50-entry window: {out}"
