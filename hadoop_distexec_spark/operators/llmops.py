@@ -1422,3 +1422,107 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "rnk", "doc_id", "cosine", "lang", "source", "n_chars")
     )
+
+
+PMI_WINDOW = 2  # skip-gram co-occurrence distance (adjacent + one apart)
+PMI_MIN_COUNT = 5  # drop noise pairs below this count
+PMI_TOPN = 100
+
+
+@register(
+    "q_cooc_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok, u.pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents) d,
+           (SELECT UNNEST(t) AS tok, UNNEST(range(1, len(t) + 1)) AS pos) u
+    ),
+    pairs_raw AS (
+      SELECT doc_id, tok AS a,
+             LEAD(tok, 1) OVER w AS b1,
+             LEAD(tok, 2) OVER w AS b2
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT a, b1 AS b FROM pairs_raw WHERE b1 IS NOT NULL
+        UNION ALL
+        SELECT a, b2 AS b FROM pairs_raw WHERE b2 IS NOT NULL
+      )
+    ),
+    pc AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+    uc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+    utot AS (SELECT COUNT(*) AS n_toks FROM toks),
+    scored AS (
+      SELECT a, b, n_ab,
+             ln( (CAST(n_ab AS DOUBLE) / n_pairs)
+                 / ( (CAST(ua.n_tok AS DOUBLE) / n_toks)
+                   * (CAST(ub.n_tok AS DOUBLE) / n_toks) ) ) AS pmi
+      FROM pc JOIN uc ua ON pc.a = ua.tok
+              JOIN uc ub ON pc.b = ub.tok
+              CROSS JOIN tot CROSS JOIN utot
+      WHERE n_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT a, b, n_ab, pmi
+    FROM scored ORDER BY pmi DESC, a, b LIMIT {PMI_TOPN}
+    """,
+)
+def q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence statistics over a
+    skip-gram window (distance <= PMI_WINDOW) — the corpus-level
+    association table behind tokenizer merges, collocation detection and
+    embedding diagnostics. PMI = ln(p(a,b) / (p(a)p(b))), per-row IEEE
+    math on exact counts (functions/numeric.py rule 3), top-N with full
+    (pmi, a, b) tiebreak so both engines agree.
+
+    Shape: posexplode + window leads ride one doc_id Exchange (the
+    _shingles_df trick); pair and unigram counts are two-phase hash
+    aggregates; the scalar totals broadcast; the final top-N is a
+    TakeOrderedAndProject (partial top-N per partition, no global sort).
+    At 100 TB the pair-count table is vocab² *bounded by the observed
+    window pairs* (PMI_WINDOW x corpus tokens), the same scale class as
+    the bigram LM counts in q_ngram_counts."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"b{i}") for i in range(1, PMI_WINDOW + 1)]
+    raw = toks.select(F.col("tok").alias("a"), *leads)
+    pairs = None
+    for i in range(1, PMI_WINDOW + 1):
+        p = raw.filter(F.col(f"b{i}").isNotNull()).select("a", F.col(f"b{i}").alias("b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    # toks feeds pair mining AND unigram counts AND the two totals: persist
+    # once, release after the (tiny, top-N) result is checkpointed
+    toks = toks.persist()
+    toks.count()
+    # re-derive pairs from the persisted token table
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_toks = toks.count()
+    n_pairs = pairs.count()
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.lit(n_pairs))
+        / (
+            (F.col("_na").cast("double") / F.lit(n_toks))
+            * (F.col("_nb").cast("double") / F.lit(n_toks))
+        )
+    )
+    ua = uc.select(F.col("tok").alias("a"), F.col("n_tok").alias("_na"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("n_tok").alias("_nb"))
+    result = (
+        pc.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(PMI_TOPN)
+        .localCheckpoint(eager=True)
+    )
+    toks.unpersist()
+    return result

@@ -96,7 +96,7 @@ _PRIORITY: list[str] = [
     "q_sessionize", "q_win_frame", "q_decontam", "q_token_entropy",
     "q_sample_stratified", "q_tfidf", "q_embed_quantize",
     "q_dedup_incremental", "q_rag_retrieval", "q_range_join_bucketed",
-    "q_latest_by_key", "q_dq_profile",
+    "q_latest_by_key", "q_dq_profile", "q_cooc_pmi",
     # --- core relational (green r01; keep as many in-window as fit) ---
     "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
