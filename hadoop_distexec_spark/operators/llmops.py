@@ -1526,3 +1526,215 @@ def q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# text normalization / containment dedup / BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id, md5(norm) AS norm_fp,
+           length(text) AS n_chars_raw, length(norm) AS n_chars_norm
+    FROM n
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the canonical form fed to fuzzy dedup so that
+    near-identical documents differing only in case/punctuation/spacing
+    collide (the CCNet/Gopher-style preprocessing step upstream of
+    q_dedup_exact's md5 key). Exported as the md5 of the normalized text
+    plus before/after lengths: md5 is the one hash both engines share
+    bit-for-bit, and hashing sidesteps whitespace canonicalization drift
+    in the compare harness.
+
+    Shape: pure per-row codegen string expressions, zero shuffles — the
+    100 TB cost is one pass over the text column."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_fp"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+CONTAIN_THRESHOLD = 0.3  # min |A∩B| / min(|A|,|B|) to report a pair
+
+
+@register(
+    "q_dedup_contain",
+    oracle="WITH "
+    + _SHINGLES_SQL
+    + f""",
+    keep AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) over k-word
+    shingle sets. Containment (Broder's "resemblance vs containment"
+    distinction) catches doc-in-doc duplication — a short document quoted
+    wholesale inside a long one scores near 1.0 here while its Jaccard
+    (q_dedup_ngram) stays low because the union is dominated by the long
+    document. Same distributed shape as q_dedup_ngram: shingle explode ->
+    stop-shingle df cap -> equi-self-join -> per-pair intersection counts;
+    only the final per-row ratio differs (min-size denominator instead of
+    the union). One extra consumer of the same persisted shingle set, same
+    cache lifecycle (checkpoint the small pair list, release the cache)."""
+    base = _shingles_df(spark, sf_dir).persist()
+    base.count()
+    s = _drop_hot_shingles(base)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    cont = F.col("n_common").cast("double") / F.least("_na", "_nb")
+    result = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "containment")
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return result
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_TERMS = ("scan", "customer", "stream")  # fixture-vocabulary query
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_SUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN tok = '{t}' THEN s ELSE 0.0 END) AS _s{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_TOTAL_SQL = " + ".join(f"_s{i}" for i in range(len(BM25_TERMS)))
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    nd AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(CAST(dl AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avgdl
+           FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+           WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+               * (c * ({BM25_K1} + 1))
+               / (c + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)) AS s
+      FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nd),
+    per_doc AS (SELECT doc_id, {_BM25_SUMS_SQL} FROM scored GROUP BY doc_id)
+    SELECT doc_id, {_BM25_TOTAL_SQL} AS score
+    FROM per_doc ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones) for a fixed term set
+    — the lexical scoring half of hybrid corpus search, complementing the
+    embedding side (q_rag_retrieval) and the per-doc keyword export
+    (q_tfidf). idf uses the standard +1-smoothed log; tf saturates with k1
+    and is length-normalized by b·dl/avgdl.
+
+    Determinism: avgdl is a decimal-sum average (functions/numeric.py rule
+    2); per-(doc,term) scores are per-row IEEE; the per-doc total is a sum
+    over `SUM(CASE WHEN tok = t ...)` per-term columns — each such sum has
+    at most one non-zero addend (adding 0.0 is exact), so the only real
+    double addition is the final fixed-order term total, identical in both
+    engines. Top-K orders by (score, doc_id).
+
+    Shape: token explode and tf ride one doc_id Exchange; the term filter
+    collapses the corpus to |terms|·n_docs rows *before* any join; dfreq
+    (|terms| rows) and the avgdl scalar broadcast; final top-K is
+    TakeOrderedAndProject (partial top-k per partition, no global sort —
+    the q_topk plan)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nd_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    s = (
+        idf
+        * (F.col("c") * (BM25_K1 + 1))
+        / (F.col("c") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd_avg))
+        .withColumn("s", s)
+    )
+    parts = [
+        F.sum(F.when(F.col("tok") == t, F.col("s")).otherwise(F.lit(0.0))).alias(f"_s{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*parts)
+    total = F.col("_s0")
+    for i in range(1, len(BM25_TERMS)):
+        total = total + F.col(f"_s{i}")
+    return (
+        per_doc.select("doc_id", total.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -822,3 +822,120 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join executed with Catalyst's *runtime
+    bloom filter* injection: the optimizer aggregates a bloom filter over
+    the filtered orders keys (`bloom_filter_agg`) and pushes a
+    `BloomFilterMightContain` predicate into the lineitem scan, so most
+    fact rows are dropped before the shuffle instead of after it. On a 100
+    TB fact table with a 1%-selective dimension filter this is the
+    difference between shuffling the whole fact table and shuffling ~1% of
+    it — the semi-join-reduction pattern the big engines apply, as a
+    Catalyst runtime filter. Join semantics stay exact (bloom false
+    positives are removed by the join itself), so the oracle is the plain
+    join.
+
+    Broadcast is disabled *inside this query only* (saved/restored in a
+    finally) because a broadcast hash join already prunes build-misses at
+    the probe — the bloom path is the big-big shuffle-join regime; the
+    scan-size floor is lowered so the sandbox-sized fixture triggers what
+    a cluster-scale input would trigger naturally. The plan assertion
+    makes the query self-guarding: if a Spark upgrade stops injecting the
+    filter, the harness fails loudly rather than silently regressing to a
+    full-fact shuffle."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1.0) - F.col("l_discount")
+        ).cast("decimal(18,4)")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(revenue).cast("double").alias("revenue"),
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        # materialize under the saved confs so the restore below can't
+        # race the driver's later collect
+        return j.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+ANOMALY_Z = 3.0  # |z| threshold
+
+
+@register(
+    "q_anomaly",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))
+                           * CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type),
+    m AS (SELECT event_type, s1/n AS mean, SQRT((s2 - s1*s1/n)/(n-1)) AS std
+          FROM stats)
+    SELECT event_id, events.event_type, value, (value - mean)/std AS z
+    FROM events JOIN m ON events.event_type = m.event_type
+    WHERE ABS((value - mean)/std) >= {ANOMALY_Z}
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type — the statistical
+    data-quality sweep that catches corrupted measurements / unit
+    mismatches before they poison training aggregates (complements the
+    constraint-based q_dq_profile). Grouped moments use the exact-decimal
+    S1/S2 trick from q_agg_stats so mean/std are bit-identical across
+    engines; the z-score itself is per-row IEEE (rule 3).
+
+    Shape: one hash-aggregate over events (|event_type| rows out),
+    broadcast the tiny stats table back onto the events scan, per-row
+    filter — a single Exchange regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("_s1"),
+        F.sum(vdec * vdec).cast("double").alias("_s2"),
+    )
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n")) / (F.col("n") - 1)
+    stats = stats.select(
+        "event_type",
+        (F.col("_s1") / F.col("n")).alias("_mean"),
+        F.sqrt(var).alias("_std"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("event_id", "event_type", "value", "z")
+    )

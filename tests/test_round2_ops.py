@@ -153,3 +153,85 @@ def test_priority_window_holds_round2_ids():
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
+
+
+def test_join_bloom_restores_session_confs(spark):
+    """q_join_bloom flips broadcast/bloom confs for its own plan; a later
+    query in the same session must see the originals back."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    out = _run(spark, "q_join_bloom")
+    assert out.count() > 0
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
+def test_dedup_contain_dominates_jaccard(spark):
+    """Containment >= Jaccard on every pair (min-size denominator <= union
+    size), and every q_dedup_ngram pair above threshold must reappear in
+    the containment pair list."""
+    cont = _run(spark, "q_dedup_contain")
+    bounds = cont.agg(
+        F.min("containment").alias("lo"), F.max("containment").alias("hi")
+    ).collect()[0]
+    from hadoop_distexec_spark.operators.llmops import CONTAIN_THRESHOLD
+
+    assert bounds["lo"] >= CONTAIN_THRESHOLD
+    assert bounds["hi"] <= 1.0 + 1e-12
+    jac = _run(spark, "q_dedup_ngram").select("doc_a", "doc_b")
+    missing = jac.join(cont.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    assert missing.count() == 0, "jaccard>=0.1 pair lost by containment>=0.3"
+
+
+def test_text_normalize_idempotent_fixture(spark):
+    """Normalizing already-normalized text is the identity: re-running the
+    normalization expression over a normalized projection must reproduce
+    the same fingerprints (guards regex drift)."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    once = docs.select(F.md5(F.encode(norm, "UTF-8")).alias("fp1"), norm.alias("text"))
+    twice = once.select(
+        "fp1",
+        F.md5(
+            F.encode(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+                "UTF-8",
+            )
+        ).alias("fp2"),
+    )
+    assert twice.filter(F.col("fp1") != F.col("fp2")).count() == 0
+
+
+def test_bm25_scores_positive_and_bounded_topk(spark):
+    from hadoop_distexec_spark.operators.llmops import BM25_TOPK
+
+    top = _run(spark, "q_bm25")
+    n = top.count()
+    assert 0 < n <= BM25_TOPK
+    assert top.filter(F.col("score") <= 0).count() == 0
+
+
+def test_anomaly_zscores_extreme(spark):
+    """Every flagged row must actually be >= the threshold, and flagged
+    rows must be a small fraction of the event log (sanity on std)."""
+    from hadoop_distexec_spark.operators.relational_ext import ANOMALY_Z
+    from hadoop_distexec_spark.sources.tables import table
+
+    a = _run(spark, "q_anomaly")
+    assert a.filter(F.abs(F.col("z")) < ANOMALY_Z).count() == 0
+    total = table(spark, SF_ORACLE, "events").count()
+    assert a.count() < 0.05 * total
