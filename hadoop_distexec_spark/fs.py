@@ -110,60 +110,76 @@ class FileSystem:
 
 
 class LocalFS(FileSystem):
+    """``os``-backed local/NFS filesystem — the default fast path.
+
+    Accepts both bare paths and ``file://`` URIs (the scheme it claims in
+    ``handles``): every operation strips the URI prefix before touching
+    ``os.*``, so a -f list mixing ``file://`` lines with bare paths works.
+    """
+
     def handles(self, path: str) -> bool:
         scheme = urlsplit(path).scheme
         return scheme in ("", "file") or len(scheme) == 1  # 1: drive letter
 
-    """``os``-backed local/NFS filesystem — the default fast path."""
+    @staticmethod
+    def _p(path: str) -> str:
+        """file:// URI -> plain local path (no-op for bare paths)."""
+        if not path.startswith("file:"):
+            return path
+        parts = urlsplit(path)
+        if parts.netloc not in ("", "localhost"):
+            raise ValueError(f"non-local file URI host {parts.netloc!r}: {path!r}")
+        return parts.path or "/"
 
     def open(self, path, mode="rb", buffering=-1):
-        return open(path, mode, buffering=buffering)
+        return open(self._p(path), mode, buffering=buffering)
 
     def exists(self, path):
-        return os.path.exists(path)
+        return os.path.exists(self._p(path))
 
     def stat(self, path):
-        st = os.stat(path)
+        st = os.stat(self._p(path))
         return FileStat(
             size=int(st.st_size),
             is_dir=statmod.S_ISDIR(st.st_mode),
             mtime_epoch=float(st.st_mtime),
-            is_link=os.path.islink(path),
+            is_link=os.path.islink(self._p(path)),
             mode=st.st_mode & 0o7777,
         )
 
     def listdir(self, path):
-        return [os.path.join(path, n) for n in sorted(os.listdir(path))]
+        p = self._p(path)
+        return [os.path.join(p, n) for n in sorted(os.listdir(p))]
 
     def mkdirs(self, path):
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._p(path), exist_ok=True)
 
     def remove(self, path):
-        os.remove(path)
+        os.remove(self._p(path))
 
     def rmdir(self, path):
-        os.rmdir(path)
+        os.rmdir(self._p(path))
 
     def replace(self, src, dst):
-        os.replace(src, dst)
+        os.replace(self._p(src), self._p(dst))
 
     def rmtree(self, path):
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(self._p(path), ignore_errors=True)
 
     def set_mode(self, path, mode):
-        os.chmod(path, mode)
+        os.chmod(self._p(path), mode)
 
     def set_mtime(self, path, mtime_epoch):
-        os.utime(path, (mtime_epoch, mtime_epoch))
+        os.utime(self._p(path), (mtime_epoch, mtime_epoch))
 
     def join(self, base, *parts):
         return os.path.join(base, *parts)
 
     def dirname(self, path):
-        return os.path.dirname(path)
+        return os.path.dirname(self._p(path))
 
     def normalize(self, path):
-        return os.path.abspath(path)
+        return os.path.abspath(self._p(path))
 
 
 @dataclass
@@ -176,11 +192,11 @@ class MappedFS(FileSystem):
     """
 
     scheme: str
+    root: str
+    _local: LocalFS = field(default_factory=LocalFS, repr=False)
 
     def handles(self, path: str) -> bool:
         return urlsplit(path).scheme == self.scheme
-    root: str
-    _local: LocalFS = field(default_factory=LocalFS, repr=False)
 
     def _to_local(self, path: str) -> str:
         prefix = f"{self.scheme}://"
@@ -235,8 +251,15 @@ class FsspecFS(FileSystem):
     protocol: str
     options: dict = field(default_factory=dict)
 
+    # Hadoop-side scheme spellings that name the same store family; an
+    # FsspecFS('s3', creds) must claim s3a:// paths (s3fs accepts them)
+    # instead of losing them to a fabricated credential-less adapter.
+    _SCHEME_CANON = {"s3a": "s3", "s3n": "s3", "gcs": "gs", "abfss": "abfs"}
+
     def handles(self, path: str) -> bool:
-        return urlsplit(path).scheme == self.protocol
+        scheme = urlsplit(path).scheme
+        canon = self._SCHEME_CANON.get
+        return canon(scheme, scheme) == canon(self.protocol, self.protocol)
 
     def __getstate__(self):
         return {"protocol": self.protocol, "options": self.options}
@@ -319,10 +342,16 @@ def resolve_fs(path: str, fs: FileSystem | None = None) -> FileSystem:
     any other scheme goes to fsspec. Mirrors the reference's per-path
     ``path.getFileSystem(conf)`` dispatch (DistExec.java:229) — in a
     mixed-scheme run (e.g. a -f list of file:// and mock:// lines with an
-    explicit MappedFS) each path reaches the store that owns it."""
+    explicit MappedFS) each path reaches the store that owns it.
+
+    For a *remote* scheme the explicit fs does not claim, the explicit fs
+    still wins: fabricating a fresh ``FsspecFS(scheme)`` here would drop
+    the caller's credentials/endpoint options on the floor and fail late
+    (or hit the wrong endpoint) — better to hand the path to the supplied
+    backend and fail loudly if it truly cannot serve it."""
     if fs is not None and fs.handles(path):
         return fs
     scheme = urlsplit(path).scheme
     if scheme in ("", "file") or len(scheme) == 1:  # len==1: windows drive letter
         return LocalFS()
-    return FsspecFS(scheme)
+    return fs if fs is not None else FsspecFS(scheme)

@@ -104,6 +104,45 @@ _SHINGLES_SQL = f"""
   )
 """
 
+# Capped pair-intersection CTEs shared by every shingle pair-join oracle
+# (q_dedup_ngram / q_dedup_contain) — extends _SHINGLES_SQL with the
+# stop-shingle df cap, per-doc sizes, and per-pair intersection counts.
+_PAIR_COUNTS_SQL = f"""
+    keep AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+def _shingle_pair_stats(spark: SparkSession, sf_dir: str):
+    """Spark twin of _PAIR_COUNTS_SQL: persisted shingle set -> capped
+    equi-self-join pair intersection counts plus per-doc sizes aliased
+    for the doc_a/doc_b joins. Returns ``(base, pairs, sa, sb)``; the
+    caller must ``base.unpersist()`` after materializing (checkpointing)
+    its result — the q_dedup_ngram cache lifecycle."""
+    base = _shingles_df(spark, sf_dir).persist()
+    base.count()
+    s = _drop_hot_shingles(base)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    return base, pairs, sa, sb
+
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -137,17 +176,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle="WITH "
     + _SHINGLES_SQL
-    + f""",
-    keep AS (
-      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
-    ),
-    s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    + ","
+    + _PAIR_COUNTS_SQL
+    + """
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
     FROM pairs
@@ -165,20 +196,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist, same reasoning as q_dedup_minhash; the pair result is
     checkpointed so the cache can be released before returning (no leaked
     executor storage across invocations, ADVICE r01 #3)."""
-    base = _shingles_df(spark, sf_dir).persist()
-    base.count()
-    s = _drop_hot_shingles(base)
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    base, pairs, sa, sb = _shingle_pair_stats(spark, sf_dir)
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
     result = (
         pairs.join(sa, "doc_a")
@@ -1497,15 +1515,17 @@ def q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, PMI_WINDOW + 1):
         p = raw.filter(F.col(f"b{i}").isNotNull()).select("a", F.col(f"b{i}").alias("b"))
         pairs = p if pairs is None else pairs.unionByName(p)
-    # toks feeds pair mining AND unigram counts AND the two totals: persist
-    # once, release after the (tiny, top-N) result is checkpointed
+    # toks feeds pair mining AND unigram counts AND the token total:
+    # persist once, release after the (tiny, top-N) result is
+    # checkpointed; the count doubles as the eager materializer
     toks = toks.persist()
-    toks.count()
-    # re-derive pairs from the persisted token table
-    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
-    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     n_toks = toks.count()
-    n_pairs = pairs.count()
+    # The window-lead pair derivation is the expensive stage — run it
+    # exactly once: persist the (vocab²-bounded, far smaller) pair-count
+    # table and read both the PMI numerator and the pair total from it.
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).persist()
+    n_pairs = pc.agg(F.sum("n_ab")).collect()[0][0]
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     pmi = F.log(
         (F.col("n_ab").cast("double") / F.lit(n_pairs))
         / (
@@ -1524,6 +1544,7 @@ def q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPN)
         .localCheckpoint(eager=True)
     )
+    pc.unpersist()
     toks.unpersist()
     return result
 
@@ -1581,17 +1602,9 @@ CONTAIN_THRESHOLD = 0.3  # min |A∩B| / min(|A|,|B|) to report a pair
     "q_dedup_contain",
     oracle="WITH "
     + _SHINGLES_SQL
-    + f""",
-    keep AS (
-      SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
-    ),
-    s AS (SELECT doc_id, shingles.shingle FROM shingles JOIN keep ON shingles.shingle = keep.shingle),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    + ","
+    + _PAIR_COUNTS_SQL
+    + f"""
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
     FROM pairs
@@ -1611,20 +1624,7 @@ def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final per-row ratio differs (min-size denominator instead of
     the union). One extra consumer of the same persisted shingle set, same
     cache lifecycle (checkpoint the small pair list, release the cache)."""
-    base = _shingles_df(spark, sf_dir).persist()
-    base.count()
-    s = _drop_hot_shingles(base)
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    base, pairs, sa, sb = _shingle_pair_stats(spark, sf_dir)
     cont = F.col("n_common").cast("double") / F.least("_na", "_nb")
     result = (
         pairs.join(sa, "doc_a")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from hadoop_distexec_spark.functions.numeric import SQL_REVENUE, revenue_expr
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
@@ -826,10 +827,9 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_bloom",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY l_returnflag
@@ -868,15 +868,12 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
-        revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
-            F.lit(1.0) - F.col("l_discount")
-        ).cast("decimal(18,4)")
         j = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
-                F.sum(revenue).cast("double").alias("revenue"),
+                F.sum(revenue_expr()).cast("double").alias("revenue"),
             )
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
@@ -901,10 +898,12 @@ ANOMALY_Z = 3.0  # |z| threshold
              CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))
                            * CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s2
       FROM events GROUP BY event_type),
-    m AS (SELECT event_type, s1/n AS mean, SQRT((s2 - s1*s1/n)/(n-1)) AS std
-          FROM stats)
+    m AS (SELECT event_type, s1/n AS mean,
+                 SQRT(GREATEST((s2 - s1*s1/n)/(n-1), 0.0)) AS std
+          FROM stats WHERE n >= 2),
+    mf AS (SELECT * FROM m WHERE std > 0)
     SELECT event_id, events.event_type, value, (value - mean)/std AS z
-    FROM events JOIN m ON events.event_type = m.event_type
+    FROM events JOIN mf ON events.event_type = mf.event_type
     WHERE ABS((value - mean)/std) >= {ANOMALY_Z}
     """,
 )
@@ -915,6 +914,13 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint-based q_dq_profile). Grouped moments use the exact-decimal
     S1/S2 trick from q_agg_stats so mean/std are bit-identical across
     engines; the z-score itself is per-row IEEE (rule 3).
+
+    Degenerate groups are excluded *identically in both engines* — a
+    singleton group (n-1 = 0) or zero-variance group divides by zero,
+    where Spark yields NaN (and NaN >= z is true, emitting the rows)
+    while DuckDB yields NULL (dropping them), and a rounding-induced
+    tiny-negative variance is a hard SQRT range error in DuckDB vs NaN
+    in Spark. Hence: n >= 2, variance clamped at 0, std > 0 required.
 
     Shape: one hash-aggregate over events (|event_type| rows out),
     broadcast the tiny stats table back onto the events scan, per-row
@@ -927,10 +933,14 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec * vdec).cast("double").alias("_s2"),
     )
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n")) / (F.col("n") - 1)
-    stats = stats.select(
-        "event_type",
-        (F.col("_s1") / F.col("n")).alias("_mean"),
-        F.sqrt(var).alias("_std"),
+    stats = (
+        stats.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            (F.col("_s1") / F.col("n")).alias("_mean"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+        )
+        .filter(F.col("_std") > 0)
     )
     z = (F.col("value") - F.col("_mean")) / F.col("_std")
     return (

@@ -168,3 +168,39 @@ def test_distexec_mixed_scheme_sources(spark, mockfs, tmp_path):
     assert by_rel["rtree/b.txt"] == "EXECUTED"
     assert (tmp_path / "out" / "ltree" / "a.txt").read_text() == "local\n"
     assert (tmp_path / "out" / "rtree" / "b.txt").read_text() == "remote\n"
+
+
+def test_local_fs_serves_file_uris(tmp_path):
+    """LocalFS claims file:// in handles() and every operation must
+    actually serve such URIs (review: normalize used to mangle them into
+    relative './file:...' paths)."""
+    p = tmp_path / "probe.txt"
+    p.write_bytes(b"x" * 7)
+    lfs = LocalFS()
+    uri = f"file://{p}"
+    assert lfs.handles(uri)
+    assert lfs.normalize(uri) == str(p)
+    assert lfs.exists(uri)
+    assert lfs.stat(uri).size == 7
+    with lfs.open(uri, "rb") as fh:
+        assert fh.read() == b"x" * 7
+    assert resolve_fs(uri).exists(uri)
+    with pytest.raises(ValueError):
+        lfs.normalize("file://otherhost/x")
+
+
+def test_resolve_fs_explicit_remote_fs_wins():
+    """An explicit remote FS keeps serving remote paths it doesn't
+    string-match (scheme aliases like s3a->s3, or any unclaimed remote
+    scheme) instead of being replaced by a fabricated credential-less
+    adapter that would drop the caller's endpoint/credentials."""
+    creds = FsspecFS("s3", {"key": "k", "secret": "s"})
+    assert creds.handles("s3a://bucket/x")  # alias claim
+    assert resolve_fs("s3a://bucket/x", creds) is creds
+    # unclaimed remote scheme: explicit fs still outranks fabrication
+    assert resolve_fs("hdfs://nn/x", creds) is creds
+    # no explicit fs: fabricate per scheme as before
+    got = resolve_fs("hdfs://nn/x")
+    assert isinstance(got, FsspecFS) and got.protocol == "hdfs"
+    # local paths always route local, explicit fs or not
+    assert isinstance(resolve_fs("/tmp/x", creds), LocalFS)

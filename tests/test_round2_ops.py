@@ -169,20 +169,30 @@ def test_join_bloom_restores_session_confs(spark):
 
 
 def test_dedup_contain_dominates_jaccard(spark):
-    """Containment >= Jaccard on every pair (min-size denominator <= union
-    size), and every q_dedup_ngram pair above threshold must reappear in
-    the containment pair list."""
+    """Bounds plus the true containment/Jaccard relation: C >= 2J/(1+J)
+    (min(|A|,|B|) <= (|A|+|B|)/2 = (U+∩)/2), so only pairs with
+    J >= TH/(2-TH) are *guaranteed* to clear the containment threshold —
+    a pair with J in [0.1, TH/(2-TH)) may legitimately be absent (the
+    sf0.1 fixture has such pairs). For pairs present in both lists,
+    containment must dominate jaccard."""
+    from hadoop_distexec_spark.operators.llmops import CONTAIN_THRESHOLD
+
     cont = _run(spark, "q_dedup_contain")
     bounds = cont.agg(
         F.min("containment").alias("lo"), F.max("containment").alias("hi")
     ).collect()[0]
-    from hadoop_distexec_spark.operators.llmops import CONTAIN_THRESHOLD
-
     assert bounds["lo"] >= CONTAIN_THRESHOLD
     assert bounds["hi"] <= 1.0 + 1e-12
-    jac = _run(spark, "q_dedup_ngram").select("doc_a", "doc_b")
-    missing = jac.join(cont.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-    assert missing.count() == 0, "jaccard>=0.1 pair lost by containment>=0.3"
+    jac = _run(spark, "q_dedup_ngram")
+    j_guarantee = CONTAIN_THRESHOLD / (2.0 - CONTAIN_THRESHOLD)
+    missing = jac.filter(F.col("jaccard") >= j_guarantee).join(
+        cont.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    )
+    assert missing.count() == 0, "pair with guaranteed containment lost"
+    both = jac.join(
+        cont.select("doc_a", "doc_b", "containment"), ["doc_a", "doc_b"]
+    )
+    assert both.filter(F.col("containment") < F.col("jaccard")).count() == 0
 
 
 def test_text_normalize_idempotent_fixture(spark):
