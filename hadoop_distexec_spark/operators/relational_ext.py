@@ -949,3 +949,21 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@register("q_hll_distinct", oracle=None)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per group
+    (approx_count_distinct, rsd 2%) next to the exact count for the same
+    key — the cardinality-sketch path for 100 TB interactive profiling,
+    where exact COUNT(DISTINCT) is a full shuffle of every distinct value
+    but the HLL sketch is a few KB per group merged map-side. Rows-only
+    check by contract: sketch estimates are implementation-specific, so
+    no cross-engine oracle exists (DuckDB's approx_count_distinct uses a
+    different HLL variant); the error bound is asserted in
+    tests/test_round2_ops.py instead. Exact twin: q_agg_distinct."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )

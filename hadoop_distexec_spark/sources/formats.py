@@ -1,5 +1,5 @@
-"""Multi-format table IO: parquet / csv / json round-trip with schema
-preservation.
+"""Multi-format table IO: parquet / orc / csv / json round-trip with
+schema preservation.
 
 The reference's only "format" is opaque byte streams through a subprocess
 (ExecFilesMapper.java:114-123); an analytics engine needs typed columnar
@@ -45,6 +45,8 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", *, mode: str = "
     a garbled file at read time)."""
     if fmt == "parquet":
         df.write.mode(mode).parquet(path)
+    elif fmt == "orc":
+        df.write.mode(mode).orc(path)
     elif fmt == "csv":
         bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
         if bad:
@@ -59,10 +61,13 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", *, mode: str = "
 def read_table_fmt(
     spark: SparkSession, path: str, fmt: str = "parquet", *, schema: T.StructType | None = None
 ) -> DataFrame:
-    """Read a table written by write_table. parquet is self-describing;
-    csv/json REQUIRE the schema (pass the writer's df.schema)."""
+    """Read a table written by write_table. parquet/orc are
+    self-describing; csv/json REQUIRE the schema (pass the writer's
+    df.schema)."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if schema is None:
         raise ValueError(f"{fmt} read requires an explicit schema")
     if fmt == "csv":

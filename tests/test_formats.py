@@ -15,7 +15,7 @@ def _sorted_rows(df):
     return [tuple(str(v) for v in r) for r in df.select(*cols).orderBy(*cols).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_roundtrip_orders(spark, tmp_path, fmt):
     src = table(spark, SF_SMALL, "orders")
     path = str(tmp_path / f"orders_{fmt}")
@@ -67,3 +67,14 @@ def test_events_timestamp_roundtrip_json(spark, tmp_path):
     j = src.alias("a").join(back.alias("b"), "event_id")
     assert j.filter(F.col("a.ts") != F.col("b.ts")).count() == 0
     assert back.count() == src.count()
+
+
+def test_orc_roundtrips_nested(spark, tmp_path):
+    """orc (like parquet, unlike csv) must carry the array<float>
+    embedding column losslessly."""
+    src = table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    write_table(src, path, "orc")
+    back = read_table_fmt(spark, path, "orc")
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)

@@ -245,3 +245,17 @@ def test_anomaly_zscores_extreme(spark):
     assert a.filter(F.abs(F.col("z")) < ANOMALY_Z).count() == 0
     total = table(spark, SF_ORACLE, "events").count()
     assert a.count() < 0.05 * total
+
+
+def test_hll_distinct_error_bound(spark):
+    """approx_count_distinct at rsd=0.02 must land within 5x the nominal
+    relative error of the exact count on every group (generous: HLL++
+    bias correction makes small-cardinality groups near-exact)."""
+    r = _run(spark, "q_hll_distinct").collect()
+    assert len(r) > 0
+    for row in r:
+        exact, approx = row["exact_custkeys"], row["approx_custkeys"]
+        assert exact > 0
+        assert abs(approx - exact) <= max(0.10 * exact, 2), (
+            f"{row['o_orderpriority']}: approx {approx} vs exact {exact}"
+        )
