@@ -491,3 +491,74 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.when(bucket <= _TEST_CEIL, "test").otherwise("train").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """Iterative PageRank over an undirected edge list (doc_a, doc_b) ->
+    (doc_id, rank, deg) for every node that appears in an edge. Symmetrized
+    graph, so there are no dangling nodes and rank mass is conserved
+    (sum == 1 up to float error; asserted in tests). Fixed iteration count
+    — the deterministic-shape choice for a batch operator (a convergence
+    check is one extra count per round, as connected_components does).
+
+    Scale shape (same discipline as connected_components): the edge list
+    is checkpointed once before symmetrizing (the union's branches would
+    re-run the pair-mining plan); each round is ONE shuffle keyed on
+    doc_id over the edge-endpoint set (never the corpus); localCheckpoint
+    per round keeps the plan O(1) deep so round k does not replay rounds
+    1..k-1."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("doc_id", F.lit(0.0).alias("rank"), F.lit(0).alias("deg"))
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            sym.join(ranks, sym.src == ranks.doc_id)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        agg = contribs.groupBy("doc_id").agg(F.sum("c").alias("c"))
+        ranks = (
+            nodes.join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(
+        outdeg.withColumnRenamed("src", "doc_id"), "doc_id"
+    ).select("doc_id", "rank", "deg")
+
+
+@register("q_pagerank", oracle=None)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the n-gram near-dup graph (edges =
+    q_dedup_ngram pairs) — ranks the most-duplicated "hub" documents, the
+    signal a curation pipeline uses to pick which cluster representative
+    to keep (highest-centrality copy) or which boilerplate family to
+    drop wholesale. Rows-only by driver contract: iterative float
+    fixpoints are not SQL-expressible (same category as the streaming
+    smokes); invariants (mass conservation, positivity, node-set match
+    with the edge list) are asserted in tests/test_round2_ops.py.
+
+    Nodes outside any near-dup pair are excluded by definition — a
+    singleton's rank is the uninformative (1-d)/N floor."""
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+
+    edges = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    return pagerank(edges)

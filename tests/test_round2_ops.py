@@ -259,3 +259,25 @@ def test_hll_distinct_error_bound(spark):
         assert abs(approx - exact) <= max(0.10 * exact, 2), (
             f"{row['o_orderpriority']}: approx {approx} vs exact {exact}"
         )
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass conserved (sum == 1), every rank above the (1-d)/N floor,
+    node set == edge-endpoint set of the ngram pair graph."""
+    pr = _run(spark, "q_pagerank").collect()
+    n = len(pr)
+    assert n > 0
+    total = sum(r["rank"] for r in pr)
+    assert abs(total - 1.0) < 1e-9, total
+    floor = (1.0 - 0.85) / n
+    assert all(r["rank"] >= floor - 1e-12 for r in pr)
+    assert all(r["deg"] >= 1 for r in pr)
+    edges = _run(spark, "q_dedup_ngram")
+    endpoints = set(
+        r["doc_id"]
+        for r in edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .collect()
+    )
+    assert set(r["doc_id"] for r in pr) == endpoints
