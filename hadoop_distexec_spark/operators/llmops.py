@@ -1738,3 +1738,157 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding clustering (k-means)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans(
+    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an (vec_id, embedding) DataFrame. Returns
+    ``(assign, centroids)`` where ``assign`` is (vec_id, cluster, sq_dist)
+    against the final centroids and ``centroids`` is (cluster, centroid).
+
+    Deterministic throughout — no RNG: seeding picks the lowest-vec_id
+    vector of each of the first ``k`` label cells (spread across the data's
+    own coarse structure, the k-means++ intent without its randomness), and
+    ties in the nearest-centroid argmin break on cluster id via a
+    min-of-struct.
+
+    Scale shape (the same one MLlib uses): the assignment step is a
+    broadcast nested-loop — centroids are k tiny arrays, so each executor
+    scores its rows locally, NO shuffle of the vector table; the update
+    step is one (cluster, dim) hash-aggregate shuffle whose output is k
+    rows. Per-round localCheckpoint on the k-row centroid table keeps the
+    lineage O(1) deep; the input is persisted once and unpersisted by the
+    caller wrapper. The per-row distance uses interpreted HOF arithmetic
+    (zip_with/aggregate) — at cluster scale swap in a vectorized pandas_udf
+    scorer; the plan shape (broadcast + single agg shuffle) is unchanged.
+    """
+    w = W.partitionBy("label").orderBy("vec_id")
+    cents = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("label") < k))
+        .select(F.col("label").cast("int").alias("cluster"), F.col("embedding").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    vec = e.select("vec_id", "embedding")
+    for _ in range(iters):
+        assign = (
+            vec.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(
+                    sq_dist(F.col("embedding"), F.col("centroid")).alias("sq_dist"),
+                    F.col("cluster"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("dc"))
+            .select("vec_id", F.col("dc.cluster").alias("cluster"))
+        )
+        cents = (
+            assign.join(vec, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+            .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        vec.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sq_dist(F.col("embedding"), F.col("centroid")).alias("sq_dist"),
+                F.col("cluster"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", F.col("dc.cluster").alias("cluster"), F.col("dc.sq_dist").alias("sq_dist"))
+    )
+    return final, cents
+
+
+@register("q_kmeans", oracle=None)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embeddings table — the topic /
+    diversity bucketing primitive a curation pipeline uses for stratified
+    corpus mixing and per-cluster quota sampling (cluster-then-sample).
+    Rows-only by driver contract: an iterative float fixpoint is not
+    SQL-expressible (same category as q_pagerank); the Lloyd invariants —
+    total assignment, cluster-id range, monotone non-increasing inertia in
+    the iteration count — are asserted in tests/test_round2_ops.py."""
+    e = table(spark, sf_dir, "embeddings").persist()
+    e.count()  # materialize once; iterations re-read the cache, not parquet
+    try:
+        assign, _ = kmeans(e)
+        assign = assign.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return assign
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation profile: document count, exact-duplicate
+    rate (1 - distinct md5 / count — the "drop boilerplate-heavy domains"
+    signal), and size totals. The per-source roll-up is how web-corpus
+    pipelines decide source-level inclusion/mixing weights before any
+    per-document filtering runs.
+
+    Determinism: counts and integer sums are exact; the two ratios are a
+    single IEEE division of exact BIGINTs (numeric.py rule 2). Shape: one
+    hash-aggregate shuffle on source; COUNT(DISTINCT md5) rewrites to a
+    two-phase partial/final expand — no second scan. Sources are low-card
+    so at 100 TB this is a near-pure map-side-combine aggregation; a
+    pathological single hot source would call for the q_agg_salted
+    two-phase split."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("text"), "UTF-8"))
+    n = F.count(F.lit(1))
+    chars = F.sum(F.length("text").cast("long"))
+    return docs.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        ((n - F.countDistinct(h)).cast("double") / n).alias("dup_rate"),
+        chars.alias("total_chars"),
+        F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+        (chars.cast("double") / n).alias("avg_chars"),
+    )

@@ -562,3 +562,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
     return pagerank(edges)
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (training-order sharding)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8  # sandbox-sized; at 100 TB set to O(corpus_bytes / shard_target)
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, shuffle_key,
+             CAST(CAST('0x' || substr(shuffle_key, 1, 6) AS BIGINT) % {N_SHARDS} AS INT)
+               AS shard
+      FROM k
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT)
+             AS pos_in_shard
+    FROM s
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    content-independent pseudorandom key (md5 of a salted stable id), a
+    shard (hash-bucket of the key), and a position within its shard (sort
+    by key). Writing shard files in pos order yields a reproducible
+    shuffled epoch — same order on every run, any cluster size — which is
+    how training pipelines get "shuffled" data without a nondeterministic
+    RNG pass (the q_split_train_test hashing idea extended to ordering).
+
+    Scale: NO global sort — the window partitions by shard, so each shard
+    sorts independently (one hash Exchange on shard + per-partition sort).
+    N_SHARDS here is sandbox-sized; at 100 TB shards number in the
+    thousands and each window partition stays executor-sized. The md5 key
+    is uniform, so shards are balanced by construction (no skew salt
+    needed). Hex→int via conv() maps to DuckDB's '0x…'::BIGINT cast."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.encode(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")), "UTF-8")
+    )
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )

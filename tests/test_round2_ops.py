@@ -281,3 +281,66 @@ def test_pagerank_invariants(spark):
         .collect()
     )
     assert set(r["doc_id"] for r in pr) == endpoints
+
+
+def test_kmeans_invariants(spark):
+    """Every vector assigned exactly once to a valid cluster; Lloyd's
+    inertia is non-increasing in the iteration count."""
+    from hadoop_distexec_spark.operators.llmops import KMEANS_K, kmeans
+    from hadoop_distexec_spark.sources.tables import table
+
+    assign = _run(spark, "q_kmeans").toPandas()
+    n = table(spark, SF_ORACLE, "embeddings").count()
+    assert len(assign) == n
+    assert assign["vec_id"].is_unique
+    assert assign["cluster"].between(0, KMEANS_K - 1).all()
+    assert (assign["sq_dist"] >= 0).all()
+
+    e = table(spark, SF_ORACLE, "embeddings").persist()
+    e.count()
+    try:
+        inertias = []
+        for iters in (1, 2, 4):
+            a, _ = kmeans(e, iters=iters)
+            inertias.append(a.agg(F.sum("sq_dist")).collect()[0][0])
+    finally:
+        e.unpersist()
+    assert inertias[0] >= inertias[1] - 1e-9 >= inertias[2] - 2e-9, inertias
+
+
+def test_corpus_shuffle_shards_contiguous_and_balanced(spark):
+    """pos_in_shard is a contiguous 1..n_s ranking inside each shard; the
+    md5 bucketing spreads docs across every shard; the whole corpus is
+    covered exactly once."""
+    from hadoop_distexec_spark.operators.pipeline import N_SHARDS
+    from hadoop_distexec_spark.sources.tables import table
+
+    pdf = _run(spark, "q_corpus_shuffle").toPandas()
+    assert len(pdf) == table(spark, SF_ORACLE, "documents").count()
+    assert pdf["doc_id"].is_unique
+    assert set(pdf["shard"].unique()) == set(range(N_SHARDS))
+    for shard, grp in pdf.groupby("shard"):
+        assert sorted(grp["pos_in_shard"]) == list(range(1, len(grp) + 1))
+        # positions follow the key order (the reproducible epoch order)
+        assert grp.sort_values("pos_in_shard")["shuffle_key"].is_monotonic_increasing
+    # uniform hash => no shard holds a wildly outsized share
+    assert pdf["shard"].value_counts().max() <= 3 * len(pdf) / N_SHARDS
+
+
+def test_source_stats_consistency(spark):
+    """Per-source counts must roll up to the corpus totals, and the
+    duplicate rate must agree with q_dedup_exact's grouped view."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    stats = _run(spark, "q_source_stats").toPandas()
+    docs = table(spark, SF_ORACLE, "documents")
+    assert int(stats["n_docs"].sum()) == docs.count()
+    assert ((stats["n_unique"] <= stats["n_docs"]) & (stats["n_unique"] >= 1)).all()
+    assert stats["dup_rate"].between(0.0, 1.0).all()
+    total_unique = (
+        docs.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"), "source")
+        .distinct()
+        .count()
+    )
+    # distinct (source, hash) pairs == the per-source distinct-hash sum
+    assert int(stats["n_unique"].sum()) == total_unique
