@@ -618,3 +618,75 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-representative selection (dedup: keep the best copy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_representative",
+    oracle="WITH RECURSIVE "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ",\n"
+    + _NGRAM_PAIRS_SQL
+    + """,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    ranked AS (
+      SELECT component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS rep_doc,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-list with best-copy selection: q_dedup_groups' clusters,
+    but the retained representative is the LONGEST member (max n_chars,
+    doc_id tie-break) rather than the arbitrary min-id — the policy real
+    curation uses (keep the most complete copy, drop truncated mirrors).
+    This is the operator a user actually runs to deduplicate: one row per
+    cluster = the keep-list; n_dropped accounts the removals.
+
+    Shape on top of connected_components' per-round endpoint shuffle: one
+    doc_id-keyed broadcast-sized join to hydrate lengths, then a single
+    component-keyed Exchange shared by both window functions (same
+    partitioning => one shuffle, plan-verified in tests). Oracle: the
+    recursive-CTE closure again, plus an argmax window."""
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+
+    docs = table(spark, sf_dir, "documents")
+    edges = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs.select("doc_id"), edges)
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wsel = W.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    wcnt = W.partitionBy("component")
+    return (
+        j.withColumn("rn", F.row_number().over(wsel))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wcnt).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc"),
+            F.col("n_chars").cast("long").alias("rep_n_chars"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -967,3 +967,79 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
         F.countDistinct("o_custkey").alias("exact_custkeys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join (edit-distance <= 1, deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey AS key, c_name AS name,
+             UNNEST(list_prepend(c_name,
+                 list_transform(range(1, length(c_name) + 1),
+                     i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS variant
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.key AS key_a, a.name AS name_a,
+                      b.key AS key_b, b.name AS name_b
+      FROM v a JOIN v b ON a.variant = b.variant AND a.key < b.key
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: pairs of customer names within Levenshtein
+    distance 1, found WITHOUT an all-pairs scan. Blocking uses the
+    deletion neighborhood: each name emits itself plus every
+    one-character-deleted variant; any two strings within one edit
+    (substitute / insert / delete) provably share a variant, so an
+    equi-join on the variant finds every candidate and the exact
+    levenshtein filter keeps only true pairs. |variants| = O(n·len), the
+    join is a hash equi-join on short strings — the typo-dedup /
+    entity-resolution shape that scales where crossJoin+levenshtein
+    (O(n²) string DPs) cannot. Adversarial hot variants (mass-duplicated
+    strings) would get the MAX_SHINGLE_DF-style frequency cap from the
+    shingle family; TPC-H names are near-unique so none is needed here.
+
+    The variant generator is explode(sequence) + substring concat —
+    whole-stage codegen, not an interpreted HOF (the shingling lesson).
+    Levenshtein is the textbook DP in both engines => identical values."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    c = c.repartition(spark.sparkContext.defaultParallelism, "key")
+    v = c.select(
+        "key",
+        "name",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+    ).select(
+        "key",
+        "name",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(name, 1, i - 1)"),
+                F.expr("substring(name, i + 1, length(name))"),
+            )
+        )
+        .alias("variant"),
+    )
+    a = v.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "variant")
+    b = v.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
+        F.col("dist") <= 1
+    )

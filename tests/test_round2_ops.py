@@ -344,3 +344,69 @@ def test_source_stats_consistency(spark):
     )
     # distinct (source, hash) pairs == the per-source distinct-hash sum
     assert int(stats["n_unique"].sum()) == total_unique
+
+
+def test_group_representative_invariants(spark):
+    """One row per q_dedup_groups component; the representative is a member
+    of its own cluster and the longest one; drop accounting adds up."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    reps = _run(spark, "q_group_representative").toPandas()
+    groups = _run(spark, "q_dedup_groups").toPandas()
+    by_comp = groups.groupby("component")
+    assert len(reps) == by_comp.ngroups
+    assert int((reps["cluster_size"] - reps["n_dropped"]).sum()) == len(reps)
+    assert int(reps["cluster_size"].sum()) == table(spark, SF_ORACLE, "documents").count()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars").collect()
+    }
+    members = {comp: set(g["doc_id"]) for comp, g in by_comp}
+    for row in reps.itertuples():
+        assert row.rep_doc in members[row.component]
+        assert row.rep_n_chars == max(docs[d] for d in members[row.component])
+
+
+def test_group_representative_single_component_exchange(spark):
+    """Both windows (argmax rank + cluster count) share one
+    component-keyed Exchange — same partitioning, no second shuffle."""
+    plan = (
+        _run(spark, "q_group_representative")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(component") == 1, plan[:800]
+
+
+def test_fuzzy_join_exact_against_brute_force(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-force
+    distance<=1 pair set (no lost candidates, no false pairs)."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    got = {
+        (r["key_a"], r["key_b"]) for r in _run(spark, "q_fuzzy_join").collect()
+    }
+    names = table(spark, SF_ORACLE, "customer").select("c_custkey", "c_name").collect()
+
+    def lev1(a, b):  # tight inline check for distance <= 1
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    brute = {
+        (x["c_custkey"], y["c_custkey"])
+        for i, x in enumerate(names)
+        for y in names[i + 1 :]
+        if lev1(x["c_name"], y["c_name"])
+    }
+    brute = {(min(p), max(p)) for p in brute}
+    assert got == brute
