@@ -1892,3 +1892,93 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("total_tokens"),
         (chars.cast("double") / n).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup clusters + cluster-quota sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semantic_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+              / SQRT(a.norm2 * b.norm2) >= 0.2
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM p
+      UNION ALL
+      SELECT vb AS a, va AS b FROM p
+    ),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.a, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+    )
+    SELECT id AS vec_id, MIN(r) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY id
+    """,
+)
+def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: connected components over the
+    embedding-cosine near-dup pair graph (edges = q_dedup_embed pairs) —
+    the vector-space twin of q_dedup_groups' lexical clusters. Catches
+    paraphrase families that share no shingles; a curation run takes the
+    union of both edge sets before choosing representatives.
+
+    Same scale shape as the lexical version: label-blocked pair mining
+    (sum n_c², never N²), then min-label propagation whose per-round
+    shuffle is bounded by edge endpoints. Oracle: exact-decimal cosine
+    pairs + recursive-CTE transitive closure — a fully hash-checked
+    iterative operator."""
+    from hadoop_distexec_spark.operators.pipeline import connected_components
+
+    e = table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    edges = q_dedup_embed(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(e, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), "component"
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("long")
+    )
+
+
+# two hex chars compare as bytes: <= '3f' keeps 0x00..0x3f = 64/256 = 25%
+_CLUSTER_SAMPLE_CEIL = "3f"
+
+
+@register("q_cluster_sample", oracle=None)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-sample: the diversity-preserving corpus downsampling
+    pattern — bucket vectors by k-means cluster (q_kmeans), then take a
+    deterministic ~25% md5-threshold sample INSIDE each cluster, so rare
+    clusters keep proportional representation a global sample would lose
+    to the dominant ones. Rows-only because the cluster labels come from
+    the iterative fixpoint; the sampling law itself is the proven
+    q_sample_stratified mechanism (stable under retries/appends — no
+    rand()). Quota adherence and subset-consistency are pytest-gated.
+
+    Shape: q_kmeans' plan plus one zero-shuffle per-row hash filter —
+    sampling adds NO Exchange."""
+    assign = q_kmeans(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.encode(F.concat(F.lit("cs:"), F.col("vec_id").cast("string")), "UTF-8")),
+        1,
+        2,
+    )
+    return (
+        assign.withColumn("hash_bucket", bucket)
+        .filter(F.col("hash_bucket") <= _CLUSTER_SAMPLE_CEIL)
+        .select("vec_id", "cluster", "hash_bucket")
+    )

@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "q_join_bloom", "q_anomaly", "q_hll_distinct", "q_pagerank",
     "q_kmeans", "q_source_stats", "q_corpus_shuffle",
     "q_group_representative", "q_fuzzy_join",
+    "q_semantic_dedup_groups", "q_cluster_sample",
     # --- core relational (green r01; keep as many in-window as fit) ---
     "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",

@@ -410,3 +410,39 @@ def test_fuzzy_join_exact_against_brute_force(spark):
     }
     brute = {(min(p), max(p)) for p in brute}
     assert got == brute
+
+
+def test_semantic_groups_consistent_with_embed_pairs(spark):
+    """Every embedding near-dup pair must land in one component, and
+    cluster sizes must cover the table exactly once."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    labels = {
+        r["vec_id"]: r["component"]
+        for r in _run(spark, "q_semantic_dedup_groups").collect()
+    }
+    assert len(labels) == table(spark, SF_ORACLE, "embeddings").count()
+    for e in _run(spark, "q_dedup_embed").collect():
+        assert labels[e["vec_a"]] == labels[e["vec_b"]]
+
+
+def test_cluster_sample_is_quota_subset(spark):
+    """Sample rows are a subset of the k-means assignment (same cluster
+    labels), follow the md5 threshold law exactly, and keep every cluster
+    represented at roughly the quota."""
+    from hadoop_distexec_spark.operators.llmops import _CLUSTER_SAMPLE_CEIL
+
+    assign = {r["vec_id"]: r["cluster"] for r in _run(spark, "q_kmeans").collect()}
+    sample = _run(spark, "q_cluster_sample").collect()
+    assert 0 < len(sample) < len(assign)
+    for r in sample:
+        assert assign[r["vec_id"]] == r["cluster"]
+        assert r["hash_bucket"] <= _CLUSTER_SAMPLE_CEIL
+    # the law is deterministic: exactly the under-threshold ids are kept
+    import hashlib
+
+    expect = {
+        v for v in assign
+        if hashlib.md5(f"cs:{v}".encode()).hexdigest()[:2] <= _CLUSTER_SAMPLE_CEIL
+    }
+    assert {r["vec_id"] for r in sample} == expect
