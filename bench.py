@@ -42,6 +42,10 @@ HEADLINE = [
     "q_dedup_groups",
     "q_doc_chunks",
     "q_split_train_test",
+    # end-to-end composition: dedup -> clusters -> representative ->
+    # split -> pack in one plan, measuring shared-intermediate reuse
+    # across stages rather than per-operator cost (see SCALE.md)
+    "q_corpus_pipeline",
 ]
 
 
@@ -52,30 +56,40 @@ def main() -> None:
     specs = registry.specs()
 
     # warm-up: JVM + Python worker pool + codegen paths
-    specs["q_agg_groupby"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        specs["q_agg_groupby"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # still bench the rest
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # One broken query must never zero the whole artifact (BENCH_r02 died
+    # on a single AnalysisException): isolate each query, record its error,
+    # and always emit the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in HEADLINE:
         # queries are independent; don't let one query's persisted
         # intermediates (e.g. the dedup shingle cache) skew the next
         # query's memory/GC profile
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        specs[qid].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
+        try:
+            specs[qid].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[qid] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings[qid] = round(time.perf_counter() - t0, 3)
+            errors[qid] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

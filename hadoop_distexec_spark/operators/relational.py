@@ -122,20 +122,59 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", oracle=None)  # approx sketch differs across engines -> rows-only
+@register(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx distinct + approx quantiles — the 100 TB-scale cardinality path.
+    """HLL approx distinct + approx quantiles — the 100 TB-scale cardinality
+    path, made hash-checkable (VERDICT r02 #5): sketch estimates are
+    engine-specific, so the raw estimates can't be oracle'd; instead the
+    frame carries (a) exact twin columns the oracle hash-checks directly,
+    and (b) within-tolerance booleans comparing Spark's sketch to Spark's
+    own exact value, which the oracle asserts as literal TRUE — so a sketch
+    drifting out of its error bound flips a hash-checked column.
 
-    Scalar quantile columns (not an array) so the driver's rows-only
-    canonicalizer — a pandas sort over all columns — can hash the output
-    (lists are unhashable; see CORRECTNESS_r01 q_agg_approx err).
+    Tolerances: HLL rsd=0.02, bound 5% (2.5 sigma); percentile_approx
+    accuracy=10000 gives rank error n/10000, bounded by the exact 45th/55th
+    (resp. 94th/96th) percentiles — orders of magnitude looser than the
+    guarantee at any SF. At 100 TB the exact twins are the expensive path
+    (full distinct shuffle) and the sketches are the product; here the twins
+    double as the correctness witness.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_p95"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p50_lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p50_hi"),
+        F.expr("percentile(l_extendedprice, 0.94)").alias("_p95_lo"),
+        F.expr("percentile(l_extendedprice, 0.96)").alias("_p95_hi"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("_ap", "exact_parts").alias("parts_within_tol"),
+        within("_ao", "exact_orders").alias("orders_within_tol"),
+        F.col("_p50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_within_tol"),
+        F.col("_p95").between(F.col("_p95_lo"), F.col("_p95_hi")).alias("p95_within_tol"),
     )
 
 

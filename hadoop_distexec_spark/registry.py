@@ -76,41 +76,49 @@ def _load_modules() -> None:
 # r01 rows and remain covered by the byte-identical local oracle gate
 # (tests/test_oracle_parity.py) every session.
 _PRIORITY: list[str] = [
-    # --- §2 [REF] core: manifest / pipe / streaming ---
-    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
-    "q_proj_manifest", "q_dup_check", "q_split_plan",
-    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
-    "q_stream_tumble", "q_stream_slide", "q_stream_session",
-    "q_stream_join_smoke", "q_stream_stateful_smoke", "q_stream_dedup_smoke",
-    # --- never driver-witnessed (r01 window ended at 50) ---
-    "q_fn_levenshtein", "q_fn_explode", "q_fn_cond",
-    "q_join_left_outer", "q_join_full_outer", "q_join_salted",
-    "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile",
-    "q_sql_star", "q_sql_corr_subquery", "q_ts_gapfill", "q_scalar_subquery",
-    # --- r01 red row: re-witness with the scalar-column fix ---
-    "q_agg_approx",
-    # --- new this round ---
-    "q_stream_smoke", "q_pack_sequences_dist",
-    "q_vocab_topk", "q_ngram_counts", "q_repetition", "q_len_hist",
-    "q_corpus_pipeline",
-    "q_sessionize", "q_win_frame", "q_decontam", "q_token_entropy",
-    "q_sample_stratified", "q_tfidf", "q_embed_quantize",
-    "q_dedup_incremental", "q_rag_retrieval", "q_range_join_bucketed",
-    "q_latest_by_key", "q_dq_profile", "q_cooc_pmi",
-    # --- beyond the 50-entry window r01 exhibited: witnessed only if the
-    # driver's budget grows; all hold byte-identical local oracle rows ---
+    # --- never driver-witnessed across r01+r02 (VERDICT r02 next-round #3):
+    # these 15 lead round 3 so every registered id finally has a
+    # driver-witnessed CORRECTNESS row. (q_agg_salted is in this set too.)
     "q_text_normalize", "q_dedup_contain", "q_bm25",
     "q_join_bloom", "q_anomaly", "q_hll_distinct", "q_pagerank",
     "q_kmeans", "q_source_stats", "q_corpus_shuffle",
     "q_group_representative", "q_fuzzy_join",
-    "q_semantic_dedup_groups", "q_cluster_sample",
-    # --- core relational (green r01; keep as many in-window as fit) ---
+    "q_semantic_dedup_groups", "q_cluster_sample", "q_agg_salted",
+    # --- the 13 r02 FAILs (events-loader root cause, fixed this round):
+    # re-witness them green ---
+    "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    "q_ts_gapfill", "q_sessionize", "q_win_frame",
+    "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
+    "q_asof_join", "q_range_join", "q_fn_json",
+    # --- q_agg_approx: now carries hash-checked exact twin columns
+    # (VERDICT r02 #5) — needs a fresh witnessed row ---
+    "q_agg_approx",
+    # --- streaming smokes, now assertive stream-vs-batch checks
+    # (VERDICT r02 #6) ---
+    "q_stream_smoke", "q_stream_join_smoke",
+    "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+    # --- §2 [REF] core: proven green r02, keep in-window if budget allows ---
+    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
+    "q_proj_manifest", "q_dup_check", "q_split_plan",
+    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
+    # --- everything below holds green rows from r01/r02 and stays covered
+    # by the byte-identical local oracle gate every session ---
+    "q_fn_levenshtein", "q_fn_explode", "q_fn_cond",
+    "q_join_left_outer", "q_join_full_outer", "q_join_salted",
+    "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile",
+    "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery",
+    "q_pack_sequences_dist",
+    "q_vocab_topk", "q_ngram_counts", "q_repetition", "q_len_hist",
+    "q_corpus_pipeline",
+    "q_decontam", "q_token_entropy",
+    "q_sample_stratified", "q_tfidf", "q_embed_quantize",
+    "q_dedup_incremental", "q_rag_retrieval", "q_cooc_pmi",
     "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
     "q_join_multi",
     "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
     "q_set_union", "q_set_except", "q_set_intersect",
-    "q_asof_join", "q_range_join", "q_pivot", "q_unpivot",
+    "q_pivot", "q_unpivot",
     "q_fn_string",
 ]
 

@@ -44,15 +44,31 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # read-only conf in some environments; session.py already set them
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ts column to TimestampType (UTC).
+
+    The fixture's ts physical type has changed across driver versions:
+      - TIMESTAMP(NANOS): Spark reads it as int64 nanos (via
+        spark.sql.legacy.parquet.nanosAsLong) -> truncate to micros,
+        matching DuckDB's epoch_us, and restore TimestampType;
+      - TIMESTAMP_MICROS isAdjustedToUTC=0: Spark reads TIMESTAMP_NTZ
+        -> reinterpret as a UTC instant (session TZ is pinned UTC);
+      - TIMESTAMP_MICROS isAdjustedToUTC=1: already TimestampType.
+    Sniff the dtype instead of assuming one encoding.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already TimestampType
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as int64
-        # nanos (spark.sql.legacy.parquet.nanosAsLong, see session.py).
-        # Truncate to micros — the same thing DuckDB's epoch_us does — and
-        # restore a proper TimestampType column.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
