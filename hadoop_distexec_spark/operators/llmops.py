@@ -213,13 +213,67 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register("q_dedup_minhash", oracle=None)
+_MINHASH_ROWS_PER_BAND = NUM_PERM // LSH_BANDS
+
+
+@register(
+    "q_dedup_minhash",
+    oracle="WITH "
+    + _SHINGLES_SQL
+    + f""",
+    perms AS (SELECT UNNEST(range(0, {NUM_PERM})) AS seed),
+    m AS (
+      SELECT doc_id, seed,
+             MIN(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)
+                      AS BIGINT)) AS mh
+      FROM shingles CROSS JOIN perms
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS ms FROM m GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, bb.band,
+             array_to_string(ms[bb.band * {_MINHASH_ROWS_PER_BAND} + 1 :
+                                bb.band * {_MINHASH_ROWS_PER_BAND} + {_MINHASH_ROWS_PER_BAND}],
+                             '|') AS bucket
+      FROM sig CROSS JOIN (SELECT UNNEST(range(0, {LSH_BANDS})) AS band) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes za ON doc_a = za.doc_id
+    JOIN sizes zb ON doc_b = zb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH band join: shingle -> NUM_PERM xxhash64 min-signatures
-    -> LSH_BANDS band keys -> bucket equi-join for candidates -> exact
+    """MinHash + LSH band join: shingle -> NUM_PERM md5 min-signatures ->
+    LSH_BANDS band keys -> bucket equi-join for candidates -> exact
     Jaccard verify. No crossJoin anywhere; at 100 TB the band join is the
     only shuffle that touches pairs, and it only sees true bucket
-    collisions. xxhash64 is not available in DuckDB -> rows-only check."""
+    collisions.
+
+    Hash choice: each permutation is the low 60 bits of
+    md5(seed || '|' || shingle) via conv(), the q_corpus_shuffle idiom —
+    reproducible in DuckDB ('0x…'::BIGINT), which upgrades this from a
+    rows-only check to a full hash-checked oracle. A production deployment
+    chasing the last CPU percent can swap xxhash64 back in (same plan, no
+    oracle); md5 is codegen'd JVM-side and the signature agg stays
+    map-side-combined either way. Band keys join the band's minhash
+    values as a '|'-joined string instead of re-hashing them — the hash
+    compressed the key but never changed the collision set."""
     # The shingle set feeds signatures AND the exact-verify joins (4
     # consumers). A lazy persist is not enough: all 4 branches live in ONE
     # action, and stages racing on a cold cache each recompute the
@@ -230,7 +284,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
     mins = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"m{seed}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")), "UTF-8")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{seed}")
         for seed in range(NUM_PERM)
     ]
     sig = s.groupBy("doc_id").agg(*mins)
@@ -239,9 +303,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "bucket"
-                ),
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
             for b in range(LSH_BANDS)
         ]
@@ -282,28 +346,77 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register("q_dedup_simhash", oracle=None)
+_SIMHASH_BITS = 60  # low 60 bits of md5 (15 hex chars) — conv()-safe in BIGINT
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_HAMMING = 6
+
+_SIMHASH_VOTES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = " | ".join(
+    f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv FROM t
+    ),
+    votes AS (
+      SELECT doc_id,
+           {_SIMHASH_VOTES_SQL}
+      FROM h GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM votes),
+    banded AS (
+      SELECT doc_id, simhash, bb.band,
+             (simhash >> (bb.band * {_SIMHASH_BAND_BITS})) & {2 ** _SIMHASH_BAND_BITS - 1}
+               AS bucket
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {_SIMHASH_BANDS})) AS band) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_HAMMING}
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from token-hash bit votes; banded
-    into 4x16-bit keys so candidate pairs come from an equi-join (documents
-    with hamming distance <= 6 reported). xxhash64 -> rows-only check."""
+    """SimHash near-dup: 60-bit signature from token-hash bit votes; banded
+    into 4x15-bit keys so candidate pairs come from an equi-join (documents
+    with hamming distance <= 6 reported). The token hash is the low 60
+    bits of md5 via conv() — DuckDB-reproducible ('0x…'::BIGINT), which
+    upgrades this from a rows-only check to a hash-checked oracle (the
+    former 64-bit xxhash64 variant saved nothing but 4 signature bits)."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    h = F.xxhash64("token")
+    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 15), 16, 10).cast("long")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(_SIMHASH_BITS)
         ]
     )
     simhash = None
-    for b in range(64):
+    for b in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         simhash = bit if simhash is None else simhash.bitwiseOR(bit)
     sigs = votes.select("doc_id", simhash.alias("simhash"))
@@ -311,9 +424,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(2 ** _SIMHASH_BAND_BITS - 1))
+                .alias("bucket"),
             )
-            for b in range(4)
+            for b in range(_SIMHASH_BANDS)
         ]
     )
     banded = sigs.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
@@ -327,10 +442,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
 

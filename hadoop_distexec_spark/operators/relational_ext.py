@@ -951,21 +951,37 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hll_distinct", oracle=None)
+@register(
+    "q_hll_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts per group
     (approx_count_distinct, rsd 2%) next to the exact count for the same
     key — the cardinality-sketch path for 100 TB interactive profiling,
     where exact COUNT(DISTINCT) is a full shuffle of every distinct value
-    but the HLL sketch is a few KB per group merged map-side. Rows-only
-    check by contract: sketch estimates are implementation-specific, so
-    no cross-engine oracle exists (DuckDB's approx_count_distinct uses a
-    different HLL variant); the error bound is asserted in
-    tests/test_round2_ops.py instead. Exact twin: q_agg_distinct."""
+    but the HLL sketch is a few KB per group merged map-side. Sketch
+    estimates are engine-specific, so the raw estimate can't be oracle'd;
+    the q_agg_approx pattern applies instead: the exact count is
+    hash-checked directly and the sketch-vs-exact tolerance (5%, 2.5
+    sigma at rsd 2%) is a boolean the oracle asserts as literal TRUE.
+    The error bound is additionally asserted with the raw estimate in
+    tests/test_round2_ops.py. Exact twin: q_agg_distinct."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
         F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        (F.abs(F.col("_approx") - F.col("exact_custkeys"))
+         <= 0.05 * F.col("exact_custkeys")).alias("within_tol"),
     )
 
 

@@ -152,19 +152,29 @@ def _check_frame(spark: SparkSession, check: str, n_stream: int, n_batch: int,
         )
     return spark.createDataFrame(
         [(check, n_stream, n_batch, n_mismatch)],
-        "check string, n_stream long, n_batch long, n_mismatch long",
+        "check_id string, n_stream long, n_batch long, n_mismatch long",
     )
 
 
-@register("q_stream_smoke", oracle=None)
+@register(
+    "q_stream_smoke",
+    oracle="""
+    SELECT 'tumble_stream_vs_batch' AS check_id,
+           COUNT(*) AS n_stream, COUNT(*) AS n_batch,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM (SELECT DISTINCT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 600), event_type
+          FROM events)
+    """,
+)
 def q_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming execution under the driver harness:
     readStream over the events parquet -> watermarked 10-minute tumbling
     aggregate -> memory sink, bounded by an availableNow trigger. Assertive
     (VERDICT r02 #6): the sink table is compared key-by-key against the
     batch twin (q_stream_tumble's plan, hash-checked against DuckDB
-    separately) and the query raises on any mismatch, so the driver's
-    rows-only record is a real stream==batch witness."""
+    separately) and the query raises on any mismatch; the zero-mismatch
+    summary frame itself is hash-checked (DuckDB independently derives the
+    expected window-group count)."""
     got = _run_bounded(streaming_tumble(read_events_stream(spark, sf_dir)), "complete")
     batch = q_stream_tumble(spark, sf_dir)
     j = got.alias("s").join(
@@ -372,7 +382,18 @@ def _run_bounded(df: DataFrame, mode: str) -> "DataFrame":
     return df.sparkSession.table(name)
 
 
-@register("q_stream_join_smoke", oracle=None)
+@register(
+    "q_stream_join_smoke",
+    oracle="""
+    SELECT 'join_stream_vs_batch' AS check_id,
+           COUNT(*) AS n_stream, COUNT(*) AS n_batch,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+    """,
+)
 def q_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join executed by the real streaming runtime under the
     driver harness: click->purchase attribution with watermarks on both
@@ -394,7 +415,16 @@ def q_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _check_frame(spark, "join_stream_vs_batch", got.count(), batch.count(), mism)
 
 
-@register("q_stream_stateful_smoke", oracle=None)
+@register(
+    "q_stream_stateful_smoke",
+    oracle="""
+    SELECT 'stateful_stream_vs_batch' AS check_id,
+           COUNT(DISTINCT user_id) AS n_stream,
+           COUNT(DISTINCT user_id) AS n_batch,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events
+    """,
+)
 def q_stream_stateful_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) under the driver
     harness: per-user running count/sum state across micro-batches in
@@ -428,7 +458,16 @@ def q_stream_stateful_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _check_frame(spark, "stateful_stream_vs_batch", final.count(), batch.count(), mism)
 
 
-@register("q_stream_dedup_smoke", oracle=None)
+@register(
+    "q_stream_dedup_smoke",
+    oracle="""
+    SELECT 'dedup_stream_vs_batch' AS check_id,
+           COUNT(DISTINCT event_id) AS n_stream,
+           COUNT(DISTINCT event_id) AS n_batch,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events
+    """,
+)
 def q_stream_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark) under the
     driver harness: bounded-state dedup of the event stream — keys are held

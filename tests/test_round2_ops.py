@@ -138,18 +138,30 @@ def test_priority_ids_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
 
 
-def test_priority_window_holds_round2_ids():
-    """All round-2 ids (new or never driver-witnessed) must sit inside the
-    first 50 registry entries — the observed driver CORRECTNESS budget."""
+def test_priority_window_holds_round3_ids():
+    """The round-3 must-witness set sits inside the first 50 registry
+    entries — the observed driver CORRECTNESS budget (VERDICT r02 #3):
+    the 15 never-witnessed ids, the 12 events-loader re-witnesses, the
+    upgraded q_agg_approx, the new q_kmeans_vec, and the now-assertive
+    streaming smokes. Proven r01/r02 greens rotated out by design."""
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
-        "q_scan_manifest", "q_split_plan", "q_stream_tumble", "q_agg_approx",
-        "q_sessionize", "q_win_frame", "q_decontam", "q_token_entropy",
-        "q_sample_stratified", "q_tfidf", "q_embed_quantize",
-        "q_dedup_incremental", "q_rag_retrieval", "q_range_join_bucketed",
-        "q_latest_by_key", "q_dq_profile",
-        "q_stream_join_smoke", "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+        # never driver-witnessed across r01+r02
+        "q_text_normalize", "q_dedup_contain", "q_bm25", "q_join_bloom",
+        "q_anomaly", "q_hll_distinct", "q_pagerank", "q_kmeans",
+        "q_source_stats", "q_corpus_shuffle", "q_group_representative",
+        "q_fuzzy_join", "q_semantic_dedup_groups", "q_cluster_sample",
+        "q_agg_salted",
+        # r02 FAILs (events loader), re-witness green
+        "q_stream_tumble", "q_stream_slide", "q_stream_session",
+        "q_ts_gapfill", "q_sessionize", "q_win_frame",
+        "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
+        "q_asof_join", "q_range_join", "q_fn_json",
+        # upgraded / new this round
+        "q_agg_approx", "q_kmeans_vec",
+        "q_stream_smoke", "q_stream_join_smoke",
+        "q_stream_stateful_smoke", "q_stream_dedup_smoke",
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
@@ -248,16 +260,17 @@ def test_anomaly_zscores_extreme(spark):
 
 
 def test_hll_distinct_error_bound(spark):
-    """approx_count_distinct at rsd=0.02 must land within 5x the nominal
-    relative error of the exact count on every group (generous: HLL++
-    bias correction makes small-cardinality groups near-exact)."""
+    """approx_count_distinct at rsd=0.02 must land inside the query's own
+    5% tolerance flag on every group (the flag is what the oracle
+    hash-checks as TRUE; HLL++ bias correction makes small-cardinality
+    groups near-exact)."""
     r = _run(spark, "q_hll_distinct").collect()
     assert len(r) > 0
     for row in r:
-        exact, approx = row["exact_custkeys"], row["approx_custkeys"]
-        assert exact > 0
-        assert abs(approx - exact) <= max(0.10 * exact, 2), (
-            f"{row['o_orderpriority']}: approx {approx} vs exact {exact}"
+        assert row["exact_custkeys"] > 0
+        assert row["within_tol"], (
+            f"{row['o_orderpriority']}: sketch outside 5% of "
+            f"{row['exact_custkeys']}"
         )
 
 
