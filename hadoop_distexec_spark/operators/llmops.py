@@ -34,25 +34,22 @@ SHINGLE_K = 3  # words per shingle
 MAX_SHINGLE_DF = 100  # stop-shingle cap for the pair join
 NUM_PERM = 16  # minhash permutations
 LSH_BANDS = 4  # 4 bands x 4 rows
-# broadcast the hot stop-shingle list only while it plausibly fits the
-# broadcast/driver budget; above this, fall back to a shuffle anti-join.
-# The list is bounded by |shingle rows| / MAX_SHINGLE_DF, which at the
-# 100 TB design point can reach ~10^10 — NOT "tiny at any scale"
-# (ADVICE r01 #4).
-HOT_BROADCAST_CAP = 1_000_000
-
-
 def _drop_hot_shingles(s: DataFrame) -> DataFrame:
     """Remove shingles with document frequency > MAX_SHINGLE_DF. The df cap
     keeps almost all shingles, so joining against the "keep" set would
-    shuffle the whole shingle table twice; materialize the complement (the
-    hot stop list) instead and anti-join it — broadcast when it fits,
-    shuffle otherwise. ``s`` should be cached (this runs one counting
-    action over it)."""
+    shuffle the whole shingle table twice; anti-join the complement (the
+    hot stop list) instead.
+
+    Broadcast-vs-shuffle for the stop list is left to AQE: the list is
+    bounded by |shingle rows| / MAX_SHINGLE_DF — tiny on most corpora but
+    ~10^10 at the 100 TB design point (ADVICE r01 #4), so a static
+    broadcast hint is wrong in one direction and a static shuffle in the
+    other. AQE sees the built side's actual size at runtime and converts
+    the anti-join to broadcast exactly when it fits
+    (spark.sql.adaptive.autoBroadcastJoinThreshold); this also drops the
+    extra driver-side count() job the previous explicit size check ran on
+    every dedup query."""
     hot = s.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
-    n_hot = hot.count()
-    if n_hot <= HOT_BROADCAST_CAP:
-        hot = F.broadcast(hot)
     return s.join(hot, "shingle", "left_anti")
 
 
@@ -2158,3 +2155,98 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hash_bucket") <= _CLUSTER_SAMPLE_CEIL)
         .select("vec_id", "cluster", "hash_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM cross-entropy (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bi GROUP BY bigram),
+    c1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c1
+      FROM bi GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT split_part(bigram, ' ', 2)) AS v FROM bi),
+    p AS (
+      SELECT c12.bigram,
+             CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS prob
+      FROM c12
+      JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+      CROSS JOIN v
+    )
+    SELECT bi.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(-SUM(CAST(ln(p.prob) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS cross_entropy
+    FROM bi JOIN p ON bi.bigram = p.bigram
+    GROUP BY bi.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: score each document by the
+    cross-entropy of its own corpus' add-1-smoothed bigram language model
+    — the self-supervised version of the CCNet/Gopher "perplexity filter"
+    (an external KenLM would slot into the same plan as a broadcast
+    probability table). Boilerplate and gibberish score high; fluent text
+    scores low; downstream filters threshold or bucket on it.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1.) + V), with c over the whole
+    corpus and V = distinct continuation vocabulary. Per doc:
+    cross_entropy = -(1/n) * sum ln P over its n bigrams (docs with < 2
+    tokens have no bigrams and drop out, like the oracle's inner join).
+
+    Determinism: each ln term is rounded to DECIMAL(28,12) before the sum
+    (order-independent exact addition — the q_token_entropy rule), and the
+    final division is one IEEE op on exact inputs.
+
+    Scale: three key-partitioned shuffles — bigram corpus counts, the
+    doc-bigram-to-probability join (big-big hash join on bigram; the
+    probability side is |vocab^2| << corpus at 100 TB and AQE may still
+    broadcast it), and the per-doc aggregate. The count tables are
+    Zipf-skewed; the hot bigrams are exactly the high-count ones, so the
+    join skew mirrors q_join_salted's remedy if AQE's skew split is off."""
+    bi = _bigrams_df(spark, sf_dir).persist()
+    bi.count()  # 4 consumers below (c12, c1, V, score join) — eager cache
+    w1_of = lambda c: F.split_part(c, F.lit(" "), F.lit(1))  # noqa: E731
+    c12 = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy(w1_of(F.col("bigram")).alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = bi.select(
+        F.countDistinct(F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))).alias("v")
+    )
+    probs = (
+        c12.withColumn("w1", w1_of(F.col("bigram")))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            ((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))).alias("prob"),
+        )
+    )
+    term = F.log(F.col("prob")).cast("decimal(28,12)")
+    result = (
+        bi.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            ((-F.sum(term)).cast("double") / F.count(F.lit(1))).alias("cross_entropy"),
+        )
+        .localCheckpoint(eager=True)  # release the bigram cache before returning
+    )
+    bi.unpersist()
+    return result

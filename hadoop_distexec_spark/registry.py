@@ -84,8 +84,8 @@ _PRIORITY: list[str] = [
     "q_kmeans", "q_source_stats", "q_corpus_shuffle",
     "q_group_representative", "q_fuzzy_join",
     "q_semantic_dedup_groups", "q_cluster_sample", "q_agg_salted",
-    # --- new in r03: vectorized kmeans scorer tier ---
-    "q_kmeans_vec",
+    # --- new in r03: vectorized kmeans scorer tier, bigram-LM quality score ---
+    "q_kmeans_vec", "q_lm_score",
     # --- the 13 r02 FAILs (events-loader root cause, fixed this round):
     # re-witness them green ---
     "q_stream_tumble", "q_stream_slide", "q_stream_session",

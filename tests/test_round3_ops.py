@@ -34,19 +34,34 @@ def test_kmeans_scorer_tiers_agree(spark):
         e.unpersist()
 
 
-def test_hot_shingle_anti_join_fallback_matches_broadcast(spark, monkeypatch):
-    """ADVICE r01 #4: above HOT_BROADCAST_CAP the hot-shingle stop list
-    must switch from a broadcast to a shuffle anti-join with identical
-    results. Force the fallback by dropping the cap to 0 and compare."""
+def test_hot_shingle_cap_semantics_and_aqe_sized_join(spark):
+    """ADVICE r01 #4: the hot-shingle stop list must not be statically
+    broadcast (its bound is |shingles|/MAX_SHINGLE_DF — huge at 100 TB).
+    The anti-join carries no broadcast hint — AQE sizes it at runtime —
+    and its result must equal the independently-computed df-cap filter."""
+    from pyspark.sql import functions as F
+
     s = llmops._shingles_df(spark, SF).persist()
     try:
-        kept_bcast = sorted(map(tuple, llmops._drop_hot_shingles(s).collect()))
-        monkeypatch.setattr(llmops, "HOT_BROADCAST_CAP", 0)
-        kept_shuffle = sorted(map(tuple, llmops._drop_hot_shingles(s).collect()))
+        kept = llmops._drop_hot_shingles(s)
+        # no static broadcast hint in the optimized logical plan
+        logical = kept._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+        got = sorted(map(tuple, kept.select("doc_id", "shingle").collect()))
+        df_counts = {
+            r["shingle"]: r["c"]
+            for r in s.groupBy("shingle").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        want = sorted(
+            (r["doc_id"], r["shingle"])
+            for r in s.collect()
+            if df_counts[r["shingle"]] <= llmops.MAX_SHINGLE_DF
+        )
+        assert got == want
+        assert got  # the cap keeps almost all shingles; empty would be a bug
     finally:
         s.unpersist()
-    assert kept_bcast == kept_shuffle
-    assert kept_bcast  # the cap keeps almost all shingles; empty would be a bug
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
 def test_streaming_smokes_are_assertive(spark):
