@@ -585,18 +585,112 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_ivf", oracle=None)
+# decimal dot variants for the IVF oracle: element casts fix the exact
+# rational each engine computes, products/sums stay exact, and the single
+# final decimal->double cast is correctly rounded in both engines (the
+# _DEC_DOT reasoning, extended to double-valued centroid operands).
+_DDOT_QC = (  # float query x double centroid: DECIMAL(12,8) x DECIMAL(18,12)
+    "CAST(CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "p -> CAST(CAST(p[1] AS DOUBLE) AS DECIMAL(12,8)) * "
+    "CAST(p[2] AS DECIMAL(18,12)))) AS VARCHAR) AS DOUBLE)"
+)
+_DDOT_CC = (  # double centroid x itself: DECIMAL(18,12) both sides
+    "CAST(CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "p -> CAST(p[1] AS DECIMAL(18,12)) * CAST(p[2] AS DECIMAL(18,12)))) "
+    "AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _spark_dot_qc(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: x.cast("double").cast("decimal(12,8)") * y.cast("decimal(18,12)"),
+        ),
+        F.lit(0).cast("decimal(38,20)"),
+        lambda acc, v: (acc + v).cast("decimal(38,20)"),
+    ).cast("double")
+
+
+def _spark_dot_cc(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: x.cast("decimal(18,12)") * y.cast("decimal(18,12)"),
+        ),
+        F.lit(0).cast("decimal(38,24)"),
+        lambda acc, v: (acc + v).cast("decimal(38,24)"),
+    ).cast("double")
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, embedding, UNNEST(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    ),
+    cellvals AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(18,8)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*) AS cval
+      FROM ex GROUP BY label, dim
+    ),
+    cells AS (
+      SELECT label, list(cval ORDER BY dim) AS centroid FROM cellvals GROUP BY label
+    ),
+    qc0 AS (
+      SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.label,
+             {_DDOT_QC.format(a='q.embedding', b='c.centroid')}
+               / (sqrt({_DEC_DOT.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DDOT_CC.format(a='c.centroid', b='c.centroid')})) AS c_sim
+      FROM embeddings q CROSS JOIN cells c
+      WHERE q.vec_id < 5
+    ),
+    qc AS (
+      SELECT q_id, q_emb, label
+      FROM (SELECT q_id, q_emb, label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label)
+                     AS c_rank
+            FROM qc0)
+      WHERE c_rank <= 2
+    ),
+    cand AS (
+      SELECT qc.q_id, e.vec_id AS c_id,
+             {_DEC_DOT.format(a='qc.q_emb', b='e.embedding')}
+               / (sqrt({_DEC_DOT.format(a='qc.q_emb', b='qc.q_emb')})
+                  * sqrt({_DEC_DOT.format(a='e.embedding', b='e.embedding')})) AS cosine
+      FROM qc JOIN embeddings e ON qc.label = e.label AND e.vec_id <> qc.q_id
+    )
+    SELECT q_id, c_id, cosine, rnk FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+                  AS INT) AS rnk
+      FROM cand
+    ) WHERE rnk <= 10
+    """,
+)
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: centroids per label cell (posexplode + avg), probe the
-    2 nearest cells per query, exact cosine only within probed cells. At
-    100 TB the candidate set shrinks by ~nlist/nprobe; centroids stay tiny
-    and broadcast. Distances in plain double (no oracle; rows-only)."""
+    """IVF-style ANN: centroids per label cell (posexplode + decimal-exact
+    avg), probe the 2 nearest cells per query, exact cosine only within
+    probed cells. At 100 TB the candidate set shrinks by ~nlist/nprobe;
+    centroids stay tiny and broadcast.
+
+    Formerly rows-only; now hash-checked: every float that influences a
+    comparison (centroid means, cell similarities, candidate cosines) is
+    routed through element-wise decimal casts so Spark and DuckDB compute
+    the same exact rational before one correctly-rounded double cast —
+    the _spark_dot/_DEC_DOT discipline — and both rankings carry explicit
+    tiebreakers (label for cells, c_id for candidates)."""
     e = table(spark, sf_dir, "embeddings")
-    # centroids: avg per (label, dim) — one shuffle of (label, dim) pairs
+    # centroids: decimal-exact sum / count — one shuffle of (label, dim)
     cells = (
         e.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
-        .agg(F.avg("val").alias("cval"))
+        .agg(
+            (F.sum(F.col("val").cast("double").cast("decimal(18,8)")).cast("double")
+             / F.count(F.lit(1))).alias("cval")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
@@ -604,34 +698,26 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def norm(a):
-        return F.sqrt(dot(a, a))
-
+    c_sim = _spark_dot_qc(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt(_spark_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_spark_dot_cc(F.col("centroid"), F.col("centroid")))
+    )
     qc = (
         q.crossJoin(F.broadcast(cells))
-        .select(
-            "q_id",
-            "q_emb",
-            "label",
-            (dot(F.col("q_emb"), F.col("centroid")) / (norm(F.col("q_emb")) * norm(F.col("centroid")))).alias(
-                "c_sim"
+        .select("q_id", "q_emb", "label", c_sim.alias("c_sim"))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("label"))
             ),
         )
-        .withColumn("c_rank", F.row_number().over(W.partitionBy("q_id").orderBy(F.col("c_sim").desc())))
         .filter(F.col("c_rank") <= 2)  # nprobe = 2
         .select("q_id", "q_emb", "label")
     )
     cand = qc.join(e, "label").filter(F.col("vec_id") != F.col("q_id"))
-    cosine = dot(F.col("q_emb"), F.col("embedding")) / (
-        norm(F.col("q_emb")) * norm(F.col("embedding"))
+    cosine = _spark_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_spark_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -2221,6 +2307,15 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join skew mirrors q_join_salted's remedy if AQE's skew split is off."""
     bi = _bigrams_df(spark, sf_dir).persist()
     bi.count()  # 4 consumers below (c12, c1, V, score join) — eager cache
+    result = _lm_score_plan(bi).localCheckpoint(eager=True)  # release cache after
+    bi.unpersist()
+    return result
+
+
+def _lm_score_plan(bi: DataFrame) -> DataFrame:
+    """The q_lm_score plan over a (doc_id, bigram) frame, un-checkpointed
+    (plan-shape tests inspect this; the registered query wraps it in the
+    cache-release checkpoint)."""
     w1_of = lambda c: F.split_part(c, F.lit(" "), F.lit(1))  # noqa: E731
     c12 = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy(w1_of(F.col("bigram")).alias("w1")).agg(
@@ -2239,14 +2334,11 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     term = F.log(F.col("prob")).cast("decimal(28,12)")
-    result = (
+    return (
         bi.join(probs, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             ((-F.sum(term)).cast("double") / F.count(F.lit(1))).alias("cross_entropy"),
         )
-        .localCheckpoint(eager=True)  # release the bigram cache before returning
     )
-    bi.unpersist()
-    return result

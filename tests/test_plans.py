@@ -146,3 +146,27 @@ def test_range_join_bucketed_is_equi_join(spark):
     plan = _plan(spark, "q_range_join_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on bucket
+
+
+def test_lm_score_no_cartesian_and_pruned_scan(spark):
+    """q_lm_score: the only crossJoin is the broadcast 1-row vocab size;
+    the documents scan reads only (doc_id, text). Inspect the
+    un-checkpointed plan (the registered query checkpoints to release its
+    bigram cache, which hides the plan from the executed string)."""
+    from hadoop_distexec_spark.operators.llmops import _bigrams_df, _lm_score_plan
+
+    df = _lm_score_plan(_bigrams_df(spark, SF_ORACLE))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    i = plan.find("ReadSchema")
+    assert "doc_id" in plan[i : i + 200] and "text" in plan[i : i + 200]
+    assert "lang" not in plan[i : i + 200] and "source" not in plan[i : i + 200]
+
+
+def test_sim_ivf_broadcasts_cells_not_vectors(spark):
+    """q_sim_ivf's only nested-loop join is the query-side crossJoin
+    against the k-cell centroid table (broadcast, tiny); the candidate
+    join on label is a hash/broadcast equi-join, never a cartesian."""
+    plan = _plan(spark, "q_sim_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # queries x broadcast(cells)

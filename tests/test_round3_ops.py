@@ -75,3 +75,39 @@ def test_streaming_smokes_are_assertive(spark):
 
     with pytest.raises(AssertionError, match="diverges"):
         windows._check_frame(spark, "forced", 10, 9, 1)
+
+
+def test_bench_emits_json_even_with_broken_query(tmp_path, monkeypatch):
+    """BENCH_r02 died on one AnalysisException and produced no artifact.
+    bench.main() must always print the JSON line: inject a failing query
+    id into HEADLINE and check the artifact still appears, with the error
+    recorded per-query and the good timings intact."""
+    import io
+    import json
+    import sys
+
+    import bench
+
+    monkeypatch.setattr(bench, "HEADLINE", ["q_topk", "q_split_train_test"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("injected failure")
+
+    from hadoop_distexec_spark import registry
+
+    specs = registry.specs()
+    broken = dict(specs)
+    broken["q_topk"] = type(specs["q_topk"])("q_topk", boom, None, "broken")
+    monkeypatch.setattr(bench.registry, "specs", lambda: broken)
+    # keep the tier comparison out of this smoke (it is exercised by the
+    # real bench run; here the subject is per-query isolation)
+    monkeypatch.setattr(bench, "_bench_assignment_tiers", lambda spark, sf_dir: {})
+
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    bench.main()
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["metric"] == "headline_queries_total"
+    assert "q_topk" in out["errors"] and "injected failure" in out["errors"]["q_topk"]
+    assert out["queries"]["q_split_train_test"] >= 0
