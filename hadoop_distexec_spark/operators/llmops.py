@@ -3,9 +3,13 @@ north star): dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash),
 similarity search (exact brute-force + IVF scale path), text analysis
 (language-ID, quality scoring, token counting, fingerprinting).
 
-Oracle-checkable where SQL can express the op (md5 is the only hash both
-engines share bit-for-bit; sketch hashes (xxhash64) are Spark-only, so
-MinHash/SimHash are rows-only checks, as the driver contract allows).
+Oracle-checkable wherever SQL can express the op. md5 is the hash both
+engines share bit-for-bit: MinHash/SimHash permutations are the low 60
+bits of md5 via conv() ('0x..'::BIGINT in DuckDB), LSH planes are 8dp
+decimal literals embedded in both the plan and the oracle, and every
+ranking float goes through the exact-decimal dot idioms — only the
+iterative fixpoints (kmeans, pagerank, cluster_sample) stay rows-only,
+as the driver contract allows.
 
 Scale design (100 TB of documents):
 - everything is explode -> hash-aggregate -> equi-join; no crossJoin except
@@ -944,6 +948,33 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PLANES = 5  # sign bits per signature (2^5 buckets; sized so buckets hold ~n/32 vectors)
 LSH_PROBE_BITS = 1  # multiprobe radius (hamming distance on the bucket id)
+_PLANE_MAX_DIM = 256  # planes are generated at this width and sliced to the
+# data's dim, so the constants (and the oracle embedding them) don't depend
+# on the fixture's dimensionality
+_PLANE_DECIMALS = 8  # plane components rounded to 8dp => the sign-bit dot is
+# exact decimal arithmetic, reproducible bit-for-bit in DuckDB
+
+
+def _lsh_planes(n_planes: int):
+    """Seeded-deterministic hyperplanes, rounded to _PLANE_DECIMALS so both
+    engines compute the identical exact-decimal projection. RandomState
+    streams are version-stable, and the same literal values are embedded in
+    the Spark plan and the oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(0x5EED)
+    raw = rng.standard_normal((n_planes, _PLANE_MAX_DIM))
+    return [[round(float(v), _PLANE_DECIMALS) for v in row] for row in raw]
+
+
+def _probe_masks(n_planes: int, probe_bits: int):
+    import itertools
+
+    return [
+        sum(1 << p for p in bits)
+        for r in range(probe_bits + 1)
+        for bits in itertools.combinations(range(n_planes), r)
+    ]
 
 
 def lsh_candidates(
@@ -959,22 +990,24 @@ def lsh_candidates(
     hyperplanes, multiprobe expansion to every bucket within hamming
     distance ``probe_bits``, bucket equi-join. Returns
     (q_id, q_emb, vec_id, embedding) candidate rows."""
-    import itertools
-
-    import numpy as np
-
     e = table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
-    rng = np.random.RandomState(0x5EED)  # fixed: signatures must be stable
-    planes = rng.standard_normal((n_planes, dim)).astype(float).tolist()
+    planes = [row[:dim] for row in _lsh_planes(n_planes)]
 
     def dot_lit(vec_col, plane):
+        # exact decimal projection: float component -> DECIMAL(12,8) times
+        # the 8dp plane literal -> exact products/sum, so the sign bit is
+        # bit-identical in any engine evaluating the same literals
         prods = F.zip_with(
             vec_col,
-            F.array(*[F.lit(v) for v in plane]),
-            lambda x, y: x.cast("double") * y,
+            F.array(*[F.lit(v).cast("decimal(12,8)") for v in plane]),
+            lambda x, y: x.cast("double").cast("decimal(12,8)") * y,
         )
-        return F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(30,16)"),
+            lambda a, v: (a + v).cast("decimal(30,16)"),
+        )
 
     def bucket_of(vec_col):
         b = F.lit(0).cast("long")
@@ -990,11 +1023,7 @@ def lsh_candidates(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
     )
     # multiprobe expansion: every XOR mask with <= probe_bits bits set
-    masks = [
-        sum(1 << p for p in bits)
-        for r in range(probe_bits + 1)
-        for bits in itertools.combinations(range(n_planes), r)
-    ]
+    masks = _probe_masks(n_planes, probe_bits)
     probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
     q = q.select("q_id", "q_emb", F.explode(probes).alias("bucket"))
     return F.broadcast(q).join(cand, "bucket").filter(F.col("vec_id") != F.col("q_id"))
@@ -1008,18 +1037,13 @@ def lsh_topk(
     k: int = 10,
     n_queries: int = 5,
 ) -> DataFrame:
-    """Exact cosine re-rank of the LSH candidate set -> top-k per query."""
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    """Exact cosine re-rank of the LSH candidate set -> top-k per query
+    (decimal-exact cosine — the _spark_dot discipline — so the ranking is
+    engine-reproducible)."""
     pairs = lsh_candidates(spark, sf_dir, n_planes, probe_bits, n_queries)
-    cosine = dot(F.col("q_emb"), F.col("embedding")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    cosine = _spark_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_spark_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_spark_dot(F.col("embedding"), F.col("embedding")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -1030,7 +1054,58 @@ def lsh_topk(
     )
 
 
-@register("q_sim_lsh", oracle=None)
+def _lsh_oracle() -> str:
+    """DuckDB twin of q_sim_lsh, generated with the SAME plane/mask
+    literals the Spark plan embeds: 8dp decimal plane components make the
+    sign-bit projections exact arithmetic, so buckets (and therefore the
+    candidate set) match bit-for-bit; the re-rank cosine is the _DEC_DOT
+    idiom with the c_id tiebreaker."""
+    planes = _lsh_planes(N_PLANES)
+    masks = _probe_masks(N_PLANES, LSH_PROBE_BITS)
+
+    def plane_list(row):
+        return "[" + ", ".join(f"{v:.8f}" for v in row) + "]"
+
+    def proj(p):
+        return (
+            "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, "
+            f"{plane_list(planes[p])}[1:len(embedding)]), "
+            "z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,8)) * "
+            "CAST(z[2] AS DECIMAL(12,8))))"
+        )
+
+    bucket = "\n         + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES)
+    )
+    mask_list = ", ".join(str(m) for m in masks)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+           {bucket} AS bucket
+      FROM embeddings
+    ),
+    qp AS (
+      SELECT s.vec_id AS q_id, s.embedding AS q_emb, xor(s.bucket, m.m) AS bucket
+      FROM sig s CROSS JOIN (SELECT UNNEST([{mask_list}]) AS m) m
+      WHERE s.vec_id < 5
+    ),
+    scored AS (
+      SELECT DISTINCT qp.q_id, s.vec_id AS c_id,
+             {_DEC_DOT.format(a='qp.q_emb', b='s.embedding')}
+               / (sqrt({_DEC_DOT.format(a='qp.q_emb', b='qp.q_emb')})
+                  * sqrt({_DEC_DOT.format(a='s.embedding', b='s.embedding')})) AS cosine
+      FROM qp JOIN sig s ON qp.bucket = s.bucket AND s.vec_id <> qp.q_id
+    )
+    SELECT q_id, c_id, cosine, rnk FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+                  AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@register("q_sim_lsh", oracle=_lsh_oracle())
 def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the cosine-LSH counterpart of
     q_sim_ivf): N_PLANES fixed pseudo-random hyperplanes -> sign-bit
@@ -1038,8 +1113,10 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. Multiprobe: each query also probes every bucket at hamming
     distance <= LSH_PROBE_BITS, the standard recall boost that costs a few
     probe rows per query instead of a second hash table. Hyperplanes are
-    seeded-deterministic (same buckets every run, any cluster size). Plain
-    double math -> rows-only check.
+    seeded-deterministic (same buckets every run, any cluster size) and
+    rounded to 8 decimals, making the sign-bit projections exact decimal
+    arithmetic; the oracle embeds the same plane/mask literals, so the
+    formerly-rows-only check is now a full hash-checked oracle.
 
     Measured on the synthetic fixture (unstructured vectors, the hardest
     case for LSH): recall@10 ~0.36 while scanning ~6/32 of the corpus per
