@@ -6,10 +6,11 @@ similarity search (exact brute-force + IVF scale path), text analysis
 Oracle-checkable wherever SQL can express the op. md5 is the hash both
 engines share bit-for-bit: MinHash/SimHash permutations are the low 60
 bits of md5 via conv() ('0x..'::BIGINT in DuckDB), LSH planes are 8dp
-decimal literals embedded in both the plan and the oracle, and every
-ranking float goes through the exact-decimal dot idioms — only the
-iterative fixpoints (kmeans, pagerank, cluster_sample) stay rows-only,
-as the driver contract allows.
+decimal literals embedded in both the plan and the oracle, every ranking
+float goes through the exact-decimal dot idioms, and the fixed-iteration
+fixpoints (kmeans, pagerank) are unrolled as CTE chains with
+decimal-exact aggregation steps — only the subprocess pipes stay
+rows-only, as the driver contract allows.
 
 Scale design (100 TB of documents):
 - everything is explode -> hash-aggregate -> equi-join; no crossJoin except
@@ -2032,8 +2033,15 @@ def _assign_hof(vec: DataFrame, cents: DataFrame) -> DataFrame:
     (outside whole-stage codegen) — correctness-baseline tier."""
 
     def sq_dist(a, b):
+        # explicit (d * d), not d ** 2: pow() is not guaranteed correctly
+        # rounded across libm implementations, multiplication is — the
+        # left-fold then matches the oracle's list_reduce bit-for-bit
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -2137,7 +2145,13 @@ def kmeans(
             assign.join(vec, "vec_id")
             .select("cluster", F.posexplode("embedding").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+            # decimal-exact mean (sum DECIMAL(18,8) / count) instead of a
+            # double avg: order-independent across partitionings AND
+            # engines — the property the q_kmeans oracle rests on
+            .agg(
+                (F.sum(F.col("val").cast("double").cast("decimal(18,8)")).cast("double")
+                 / F.count(F.lit(1))).alias("cval")
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
             .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
@@ -2146,15 +2160,91 @@ def kmeans(
     return assign_fn(vec, cents), cents
 
 
-@register("q_kmeans", oracle=None)
+# squared distance between two DOUBLE lists, evaluated as the identical
+# left fold Spark's F.aggregate performs: +0.0-seeded sequential IEEE adds
+# of (d*d) terms — bit-identical across engines on identical inputs
+_SQDIST_SQL = (
+    "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2])), (x, y) -> x + y)"
+)
+
+
+def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """CTE chain computing the full Lloyd trajectory in DuckDB: label-seeded
+    init, then per unrolled iteration an argmin assignment (sequential-fold
+    squared distance, cluster-id tiebreak) and a decimal-exact centroid
+    mean. Ends with `cents{iters}` — callers append the final assignment
+    they need."""
+    sq = _SQDIST_SQL
+    parts = [f"""
+    e AS (
+      SELECT vec_id, label, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    ed AS (
+      SELECT vec_id, emb, UNNEST(range(1, len(emb) + 1)) AS dim FROM e
+    ),
+    cents0 AS (
+      SELECT CAST(label AS INT) AS cluster, emb AS centroid
+      FROM (SELECT label, emb,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+            FROM e)
+      WHERE rn = 1 AND label < {k}
+    )"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    a{it} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sq.format(a='e.emb', b='c.centroid')}, c.cluster) AS rn
+        FROM e CROSS JOIN cents{it - 1} c
+      ) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT a.cluster, x.dim,
+             CAST(CAST(SUM(CAST(x.emb[x.dim] AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS cval
+      FROM a{it} a JOIN ed x ON a.vec_id = x.vec_id
+      GROUP BY a.cluster, x.dim
+    ),
+    cents{it} AS (
+      SELECT cluster, LIST(cval ORDER BY dim) AS centroid FROM u{it} GROUP BY cluster
+    )""")
+    return ",".join(parts)
+
+
+def _kmeans_final_sql(select: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    sq = _SQDIST_SQL.format(a="e.emb", b="c.centroid")
+    return (
+        "WITH "
+        + _kmeans_sql_ctes(k, iters)
+        + f""",
+    fin AS (
+      SELECT vec_id, cluster, sq_dist FROM (
+        SELECT e.vec_id, c.cluster, {sq} AS sq_dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cluster) AS rn
+        FROM e CROSS JOIN cents{iters} c
+      ) WHERE rn = 1
+    )
+    {select}
+    """
+    )
+
+
+@register("q_kmeans", oracle=_kmeans_final_sql("SELECT vec_id, cluster, sq_dist FROM fin"))
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster assignment over the embeddings table — the topic /
     diversity bucketing primitive a curation pipeline uses for stratified
     corpus mixing and per-cluster quota sampling (cluster-then-sample).
-    Rows-only by driver contract: an iterative float fixpoint is not
-    SQL-expressible (same category as q_pagerank); the Lloyd invariants —
-    total assignment, cluster-id range, monotone non-increasing inertia in
-    the iteration count — are asserted in tests/test_round2_ops.py."""
+
+    Formerly rows-only; now hash-checked: the iteration count is fixed, so
+    the oracle unrolls the 5 Lloyd rounds as a CTE chain. Determinism:
+    decimal-exact centroid means, squared distances as the identical
+    +0.0-seeded left fold of (d*d) terms in both engines, and cluster-id
+    argmin tiebreaks. The Lloyd invariants (total assignment, cluster-id
+    range, monotone inertia) remain asserted in tests/test_round2_ops.py."""
     e = table(spark, sf_dir, "embeddings").persist()
     e.count()  # materialize once; iterations re-read the cache, not parquet
     try:
@@ -2165,18 +2255,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
-@register("q_kmeans_vec", oracle=None)
+@register("q_kmeans_vec", oracle=_kmeans_final_sql("SELECT vec_id, cluster FROM fin"))
 def q_kmeans_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_kmeans's vectorized-scorer tier (Arrow-batched BLAS assignment,
     VERDICT r02 #7): identical Lloyd iterations, assignment scored by
-    pandas_udf instead of interpreted HOF expressions. Rows-only like
-    q_kmeans; tier equivalence (same assignments, same inertia) is
-    asserted in tests/test_round3_ops.py."""
+    pandas_udf instead of interpreted HOF expressions. Hash-checked against
+    the same unrolled-Lloyd oracle on (vec_id, cluster); the reported
+    sq_dist column is projected out because numpy's pairwise summation is
+    ulp-different from the sequential fold (tier equivalence within 1e-9
+    is asserted in tests/test_round3_ops.py instead)."""
     e = table(spark, sf_dir, "embeddings").persist()
     e.count()
     try:
         assign, _ = kmeans(e, scorer="pandas")
-        assign = assign.localCheckpoint(eager=True)
+        assign = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
     finally:
         e.unpersist()
     return assign
@@ -2294,16 +2386,27 @@ def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_SAMPLE_CEIL = "3f"
 
 
-@register("q_cluster_sample", oracle=None)
+@register(
+    "q_cluster_sample",
+    oracle=_kmeans_final_sql(
+        f"""
+    SELECT vec_id, cluster, hash_bucket FROM (
+      SELECT vec_id, cluster,
+             substr(md5('cs:' || CAST(vec_id AS VARCHAR)), 1, 2) AS hash_bucket
+      FROM fin
+    ) WHERE hash_bucket <= '{_CLUSTER_SAMPLE_CEIL}'
+    """
+    ),
+)
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-sample: the diversity-preserving corpus downsampling
     pattern — bucket vectors by k-means cluster (q_kmeans), then take a
     deterministic ~25% md5-threshold sample INSIDE each cluster, so rare
     clusters keep proportional representation a global sample would lose
-    to the dominant ones. Rows-only because the cluster labels come from
-    the iterative fixpoint; the sampling law itself is the proven
-    q_sample_stratified mechanism (stable under retries/appends — no
-    rand()). Quota adherence and subset-consistency are pytest-gated.
+    to the dominant ones. Hash-checked via the unrolled-Lloyd oracle plus
+    the md5-threshold filter (the proven q_sample_stratified mechanism —
+    stable under retries/appends, no rand()). Quota adherence and
+    subset-consistency are pytest-gated.
 
     Shape: q_kmeans' plan plus one zero-shuffle per-row hash filter —
     sampling adds NO Exchange."""

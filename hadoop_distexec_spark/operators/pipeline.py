@@ -526,17 +526,29 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(iterations):
+        # per-edge contribution decimal-cast before the sum: the per-node
+        # aggregation becomes order-independent exact addition, so every
+        # iteration's ranks are bit-identical across partitionings AND
+        # engines (the double division and the final base+damping*c are
+        # single IEEE ops on identical inputs) — this is what lets the
+        # fixed-iteration run carry a DuckDB oracle
         contribs = (
             sym.join(ranks, sym.src == ranks.doc_id)
             .join(outdeg, "src")
-            .select(F.col("dst").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("rank") / F.col("deg")).cast("decimal(28,18)").alias("c"),
+            )
         )
         agg = contribs.groupBy("doc_id").agg(F.sum("c").alias("c"))
         ranks = (
             nodes.join(agg, "doc_id", "left")
             .select(
                 "doc_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c").cast("double"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
@@ -545,16 +557,69 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
     ).select("doc_id", "rank", "deg")
 
 
-@register("q_pagerank", oracle=None)
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """DuckDB twin of q_pagerank: the near-dup pair SQL plus the fixed
+    iteration count UNROLLED as a CTE chain (r0..rN). Deterministic by the
+    same induction as the Spark loop: identical rank_0, per-edge rank/deg
+    is one IEEE division, the per-node sum is exact DECIMAL(28,18)
+    addition, and the update is base + d*c on identical doubles."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    c{k} AS (
+      SELECT s.dst AS doc_id, SUM(CAST(r.rank / o.deg AS DECIMAL(28,18))) AS c
+      FROM sym s JOIN {prev} r ON s.src = r.doc_id JOIN outdeg o ON s.src = o.src
+      GROUP BY s.dst
+    ),
+    r{k} AS (
+      SELECT n.doc_id,
+             base.b + CAST(0.85 AS DOUBLE)
+               * COALESCE(CAST(CAST(c.c AS VARCHAR) AS DOUBLE), CAST(0.0 AS DOUBLE))
+               AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.doc_id = c.doc_id CROSS JOIN base
+    )""")
+        prev = f"r{k}"
+    chain = ",".join(steps)
+    return (
+        "WITH "
+        + _SHINGLES_SQL.strip()
+        + ",\n"
+        + _NGRAM_PAIRS_SQL
+        + f""",
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    base AS (
+      SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n AS b FROM nn
+    ),
+    r0 AS (
+      SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+    ),{chain}
+    SELECT r.doc_id, r.rank, o.deg
+    FROM {prev} r JOIN outdeg o ON r.doc_id = o.src
+    """
+    )
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the n-gram near-dup graph (edges =
     q_dedup_ngram pairs) — ranks the most-duplicated "hub" documents, the
     signal a curation pipeline uses to pick which cluster representative
     to keep (highest-centrality copy) or which boilerplate family to
-    drop wholesale. Rows-only by driver contract: iterative float
-    fixpoints are not SQL-expressible (same category as the streaming
-    smokes); invariants (mass conservation, positivity, node-set match
-    with the edge list) are asserted in tests/test_round2_ops.py.
+    drop wholesale.
+
+    Formerly rows-only; now hash-checked: the iteration count is fixed, so
+    the oracle unrolls the 10 rounds as a CTE chain, and the Spark loop's
+    decimal-cast contributions make every round's ranks bit-identical in
+    both engines (see pagerank()). Invariants (mass conservation,
+    positivity, node-set match) remain asserted in tests/test_round2_ops.py.
 
     Nodes outside any near-dup pair are excluded by definition — a
     singleton's rank is the uninformative (1-d)/N floor."""
