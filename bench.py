@@ -79,8 +79,12 @@ def _bench_assignment_tiers(spark, sf_dir: str, reps: int = 256, k: int = 64) ->
         vec = big.select("vec_id", "embedding")
         out: dict[str, float] = {}
         for name, fn in (("assign_hof", _assign_hof), ("assign_pandas", _assign_pandas)):
+            # small untimed pass first: the pandas tier's Arrow worker pool
+            # may have been cycled by the preceding headline queries, and a
+            # single timed run right after is bimodal (observed 0.5s vs 13s)
+            fn(vec.limit(1000), cents).write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(2):  # 2 trials; keep the warm one
+            for _ in range(3):  # keep the best warm trial
                 t0 = time.perf_counter()
                 fn(vec, cents).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -96,11 +100,17 @@ def main() -> None:
     spark = get_spark("bench")
     specs = registry.specs()
 
-    # warm-up: JVM + Python worker pool + codegen paths
-    try:
-        specs["q_agg_groupby"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # still bench the rest
-        print(f"warmup failed: {exc}", file=sys.stderr)
+    # warm-up: run the whole headline set once at the smallest SF so JVM
+    # JIT, whole-stage codegen compilation, AQE machinery, and the Python
+    # worker pool are warm for every plan shape before anything is timed —
+    # the timed sf runs then measure the operators, not JVM cold-start
+    warm_dir = "/root/testdata/sf0.001"
+    for qid in ["q_agg_groupby"] + HEADLINE:
+        try:
+            specs[qid].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # still bench the rest
+            print(f"warmup {qid} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     # One broken query must never zero the whole artifact (BENCH_r02 died
     # on a single AnalysisException): isolate each query, record its error,
