@@ -94,6 +94,47 @@ def _bench_assignment_tiers(spark, sf_dir: str, reps: int = 256, k: int = 64) ->
         big.unpersist()
 
 
+def _bench_pipe_throughput(spark, n_files: int = 8, mb_per_file: int = 16) -> dict:
+    """Time `distexec(tree, out, "cat")` over n_files x mb_per_file MiB of
+    deterministic bytes; report MB/s through the executor pipe (read ->
+    child process -> commit, per file)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from hadoop_distexec_spark import distexec
+
+    base = tempfile.mkdtemp(prefix="bench_pipe_")
+    tree = os.path.join(base, "tree")
+    os.makedirs(tree)
+    block = hashlib.sha256(b"bench").digest() * (1024 * 1024 // 32)  # 1 MiB
+    for i in range(n_files):
+        with open(os.path.join(tree, f"f{i:03d}.bin"), "wb") as fh:
+            for _ in range(mb_per_file):
+                fh.write(block)
+    try:
+        # untimed priming run: the first distexec in a session pays
+        # executor-side classloading/buffer warmup (measured 3x the steady
+        # state); the steady state is what the throughput number means
+        distexec(spark, tree, os.path.join(base, "warm"), "cat")
+        best = float("inf")
+        n_ok = 0
+        for t in range(2):
+            t0 = time.perf_counter()
+            res = distexec(spark, tree, os.path.join(base, f"out{t}"), "cat")
+            n_ok = res.filter(res.status == "EXECUTED").count()
+            best = min(best, time.perf_counter() - t0)
+        mb = n_files * mb_per_file
+        return {
+            "pipe_mb": mb,
+            "pipe_files": n_ok,
+            "pipe_sec": round(best, 3),
+            "pipe_mbps": round(mb / best, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -146,6 +187,16 @@ def main() -> None:
     except Exception as exc:
         errors["tiers"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # pipe-core throughput: the reference IS a per-file pipe tool, so the
+    # truest baseline comparison is bytes/sec through our executor pipe
+    # (reference constants: 256 MiB/map target, 128 KiB stream buffers —
+    # BASELINE.md). Deterministic tree, identity command, executor-parallel.
+    pipe = {}
+    try:
+        pipe = _bench_pipe_throughput(spark)
+    except Exception as exc:
+        errors["pipe"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -155,6 +206,7 @@ def main() -> None:
         "tiers": tiers,
         "sf": sf,
     }
+    out.update(pipe)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
