@@ -94,7 +94,7 @@ def _bench_assignment_tiers(spark, sf_dir: str, reps: int = 256, k: int = 64) ->
         big.unpersist()
 
 
-def _bench_pipe_throughput(spark, n_files: int = 8, mb_per_file: int = 16) -> dict:
+def _bench_pipe_throughput(spark, n_files: int = 16, mb_per_file: int = 8) -> dict:
     """Time `distexec(tree, out, "cat")` over n_files x mb_per_file MiB of
     deterministic bytes; report MB/s through the executor pipe (read ->
     child process -> commit, per file)."""
@@ -153,6 +153,8 @@ def main() -> None:
             print(f"warmup {qid} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # The headline set — the driver-graded number — is timed first, right
+    # after its warmup pass; supplementary sections (tiers, pipe) follow.
     # One broken query must never zero the whole artifact (BENCH_r02 died
     # on a single AnalysisException): isolate each query, record its error,
     # and always emit the JSON line.

@@ -15,6 +15,14 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hadoop_distexec_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # cap per-worker BLAS/OpenMP threads BEFORE any JVM/worker spawns:
+    # Spark already runs one Python worker per core, so a numpy linked
+    # against a default-threaded BLAS oversubscribes cores^2 (measured as
+    # bimodal 0.5s-vs-13s pandas_udf timings under load). Workers inherit
+    # this env from the driver process chain. setdefault: an explicit
+    # operator-level override still wins.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
