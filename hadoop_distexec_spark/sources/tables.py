@@ -71,4 +71,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
+    # Every temporal column reads as one type regardless of the fixture's
+    # physical encoding: TIMESTAMP_NTZ columns (orders.o_orderdate,
+    # lineitem.l_shipdate as of the r02 fixture regeneration) reinterpret
+    # as UTC instants — a value-preserving no-op under the pinned UTC
+    # session TZ today, and the guard that keeps a future encoding flip
+    # from changing query semantics (the r02 events lesson, generalized).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
