@@ -1059,3 +1059,70 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
         F.col("dist") <= 1
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 function-surface additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (argmax-by-count): the most frequent
+    o_orderstatus within each o_orderpriority, with its count.
+    Deterministic tiebreak on the value itself — Spark's built-in mode()
+    breaks ties arbitrarily, so the operator is the explicit
+    count-then-rank form both engines agree on. Shape: one grouped count
+    (map-side combined) + a window over the tiny group-combination set —
+    the heavy Exchange carries (priority, status) pairs, not rows."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("n").desc(), F.col("o_orderstatus"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"), "n")
+    )
+
+
+@register(
+    "q_regex_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
+           CAST(LEN(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+           array_to_string(regexp_extract_all(p_type, '[A-Z]+'), '|') AS upper_runs
+    FROM part
+    """,
+)
+def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract-all regex surface: every match of a pattern per row (the
+    one-to-many sibling of regexp_extract), exported as joined strings so
+    the driver's canonicalizer can hash the frame (array cells are
+    unhashable — the q_agg_approx r01 lesson). Pure per-row codegen,
+    zero shuffles."""
+    p = table(spark, sf_dir, "part")
+    # explicit group 0 (whole match): Spark defaults to capture group 1,
+    # DuckDB to 0 — the patterns carry no capture groups
+    words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))
+    return p.select(
+        "p_partkey",
+        F.array_join(words, " ").alias("words"),
+        F.size(words).cast("int").alias("n_words"),
+        F.array_join(
+            F.regexp_extract_all("p_type", F.lit("[A-Z]+"), F.lit(0)), "|"
+        ).alias("upper_runs"),
+    )

@@ -99,6 +99,8 @@ _PRIORITY: list[str] = [
     # (VERDICT r02 #6) ---
     "q_stream_smoke", "q_stream_join_smoke",
     "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+    # --- new r03 function-surface ids (never witnessed) ---
+    "q_agg_mode", "q_regex_extract_all",
     # --- §2 [REF] core: proven green r02, keep in-window if budget allows ---
     "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
     "q_proj_manifest", "q_dup_check", "q_split_plan",
