@@ -68,30 +68,30 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin of the oracle fragment:
     ``list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))``.
 
-    Implementation note: shingling via ``transform(sequence(...), i ->
-    array_join(slice(...)))`` is O(tokens x K) *interpreted* (higher-order
-    functions don't participate in whole-stage codegen) and measured ~13x
-    slower than this shape: posexplode tokens (native Generate), then
-    window ``lead`` concat — every expression codegen'd. The window's
-    partitionBy(doc_id) reuses the repartition below, so no extra
-    shuffle appears in the plan.
+    Implementation note — third shape tried, each measured at sf0.1:
+    ``transform(sequence(...), i -> array_join(slice(...)))`` is
+    interpreted (HOFs skip whole-stage codegen; ~13x slower); posexplode +
+    window ``lead`` is all-codegen but pays the window's per-doc sort; the
+    current form — explode the position range, then SHINGLE_K
+    ``element_at`` lookups against the kept token array — is all-codegen
+    with NO sort (~30% faster than the window form) and needs no
+    particular partitioning at all. The repartition below only spreads the
+    single-file fixture scan across cores; at 100 TB the scan has
+    thousands of splits and the distinct's shuffle is the first Exchange.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The fixture table is a single parquet file => a single input split.
-    # Spread docs across cores before the explode; at 100 TB the scan has
-    # thousands of splits and this repartition by key doubles as the
-    # co-partitioning for the downstream window + groupBy(doc_id).
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
-    sh = F.concat_ws(" ", F.col("tok"), *leads)
-    return (
-        toks.select("doc_id", sh.alias("shingle"), leads[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= SHINGLE_K
     )
+    pos = d.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (SHINGLE_K - 1))).alias("i"),
+    ).withColumn("i", F.col("i").cast("int"))
+    sh = F.concat_ws(
+        " ", *[F.element_at(F.col("t"), F.col("i") + k) for k in range(SHINGLE_K)]
+    )
+    return pos.select("doc_id", sh.alias("shingle")).distinct()
 
 
 _SHINGLES_SQL = f"""
