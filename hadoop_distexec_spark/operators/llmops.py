@@ -78,6 +78,8 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     particular partitioning at all. The repartition below only spreads the
     single-file fixture scan across cores; at 100 TB the scan has
     thousands of splits and the distinct's shuffle is the first Exchange.
+    ANSI note: the position sequence is bounded to size-(K-1), so every
+    element_at index is in range (ANSI mode would throw on OOB).
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1140,20 +1142,21 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bigram) with multiplicity — unlike ``_shingles_df`` this is
     NOT distinct (corpus counting needs occurrences) and uses K=2. Same
-    codegen shape: posexplode + window lead (HOFs stay interpreted)."""
+    sort-free codegen shape as _shingles_df: explode the position range,
+    two element_at lookups against the kept token array."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    toks = docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    nxt = F.lead("tok").over(w)
-    return (
-        toks.select("doc_id", F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n"))
-        .filter(F.col("_n").isNotNull())
-        .select("doc_id", "bigram")
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    pos = d.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    ).withColumn("i", F.col("i").cast("int"))
+    sh = F.concat_ws(
+        " ", F.element_at(F.col("t"), F.col("i")), F.element_at(F.col("t"), F.col("i") + 1)
     )
+    return pos.select("doc_id", sh.alias("bigram"))
 
 
 _VOCAB_K = 100
