@@ -65,65 +65,60 @@ def _load_modules() -> None:
 
 # Driver-facing registration order. The driver's CORRECTNESS harness checks
 # queries in the order `queries()` yields them, with a bounded entry budget
-# (r01 witnessed only the first 50 of 76). This list pins the window to the
-# ids that most need a driver-witnessed row:
-#   1. the SURVEY §2 [REF] reference-parity core (manifest/pipe/streaming),
-#   2. ids with NO green CORRECTNESS row from any prior round
-#      (relational_ext SQL/outer-join/salted family; r01 stopped before them),
-#   3. q_agg_approx (r01's one red row — must be re-witnessed),
-#   4. the core relational surface.
-# Ids not listed keep registration order after these; all of them hold green
-# r01 rows and remain covered by the byte-identical local oracle gate
+# (r01 witnessed only the first 50 of 76). This list is the round-4 rotation
+# COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
+# "suggested_window"): stalest-witness-first, so driver freshness stays
+# bounded across rounds (VERDICT r03 next-round #1 + #7). Tiers:
+#   1. the 4 sketch ids whose r03-upgraded hash oracles (band-join SQL,
+#      decimal IVF, shared-plane LSH) were never driver-witnessed — their
+#      last driver rows are r01 rows-only,
+#   2. the 42 other ids whose latest driver row is r01 (relational core,
+#      scalar fns, LLM text/dedup family, multimodal),
+#   3. 4 r02-witnessed ids to fill the 50-entry budget.
+# Ids not listed keep registration order after these; every one holds a green
+# r02/r03 row and remains covered by the byte-identical local oracle gate
 # (tests/test_oracle_parity.py) every session.
 _PRIORITY: list[str] = [
-    # --- never driver-witnessed across r01+r02 (VERDICT r02 next-round #3):
-    # these 15 lead round 3 so every registered id finally has a
-    # driver-witnessed CORRECTNESS row. (q_agg_salted is in this set too.)
-    "q_text_normalize", "q_dedup_contain", "q_bm25",
-    "q_join_bloom", "q_anomaly", "q_hll_distinct", "q_pagerank",
-    "q_kmeans", "q_source_stats", "q_corpus_shuffle",
-    "q_group_representative", "q_fuzzy_join",
-    "q_semantic_dedup_groups", "q_cluster_sample", "q_agg_salted",
-    # --- new in r03: vectorized kmeans scorer tier, bigram-LM quality score ---
-    "q_kmeans_vec", "q_lm_score",
-    # --- the 13 r02 FAILs (events-loader root cause, fixed this round):
-    # re-witness them green ---
-    "q_stream_tumble", "q_stream_slide", "q_stream_session",
-    "q_ts_gapfill", "q_sessionize", "q_win_frame",
-    "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
-    "q_asof_join", "q_range_join", "q_fn_json",
-    # --- q_agg_approx: now carries hash-checked exact twin columns
-    # (VERDICT r02 #5) — needs a fresh witnessed row ---
-    "q_agg_approx",
-    # --- streaming smokes, now assertive stream-vs-batch checks
-    # (VERDICT r02 #6) ---
-    "q_stream_smoke", "q_stream_join_smoke",
-    "q_stream_stateful_smoke", "q_stream_dedup_smoke",
-    # --- new r03 function-surface ids (never witnessed) ---
-    "q_agg_mode", "q_regex_extract_all",
-    # --- §2 [REF] core: proven green r02, keep in-window if budget allows ---
-    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
-    "q_proj_manifest", "q_dup_check", "q_split_plan",
-    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
-    # --- everything below holds green rows from r01/r02 and stays covered
-    # by the byte-identical local oracle gate every session ---
-    "q_fn_levenshtein", "q_fn_explode", "q_fn_cond",
-    "q_join_left_outer", "q_join_full_outer", "q_join_salted",
-    "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile",
-    "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery",
-    "q_pack_sequences_dist",
-    "q_vocab_topk", "q_ngram_counts", "q_repetition", "q_len_hist",
-    "q_corpus_pipeline",
-    "q_decontam", "q_token_entropy",
-    "q_sample_stratified", "q_tfidf", "q_embed_quantize",
-    "q_dedup_incremental", "q_rag_retrieval", "q_cooc_pmi",
+    # --- tier 1: r03 oracle upgrades, never driver-hash-witnessed ---
+    "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
+    # --- tier 2: latest driver row is r01 (stalest hash-green cohort) ---
     "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
     "q_join_multi",
     "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
     "q_set_union", "q_set_except", "q_set_intersect",
     "q_pivot", "q_unpivot",
-    "q_fn_string",
+    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array",
+    "q_agg_stats", "q_agg_collect", "q_agg_median",
+    "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_dedup_embed",
+    "q_text_stats", "q_lang_id", "q_token_count", "q_quality_score",
+    "q_fingerprint", "q_winnow_fingerprint",
+    "q_split_train_test", "q_pii_redact", "q_doc_chunks",
+    "q_pack_sequences", "q_dedup_groups",
+    "q_multimodal_frames", "q_multimodal_meta",
+    # --- tier 3: oldest r02 rows, filling the 50-entry driver budget ---
+    "q_join_full_outer", "q_join_salted", "q_agg_minmax",
+    "q_agg_grouping_sets",
+    # --- everything below holds green r02/r03 rows and stays covered by
+    # the local oracle gate every session ---
+    "q_win_ntile", "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery",
+    "q_text_normalize", "q_dedup_contain", "q_bm25",
+    "q_join_bloom", "q_anomaly", "q_hll_distinct", "q_pagerank",
+    "q_kmeans", "q_kmeans_vec", "q_lm_score",
+    "q_source_stats", "q_corpus_shuffle",
+    "q_group_representative", "q_fuzzy_join",
+    "q_semantic_dedup_groups", "q_cluster_sample", "q_agg_salted",
+    "q_stream_tumble", "q_stream_slide", "q_stream_session",
+    "q_ts_gapfill", "q_sessionize", "q_win_frame",
+    "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
+    "q_asof_join", "q_range_join", "q_fn_json",
+    "q_agg_approx",
+    "q_stream_smoke", "q_stream_join_smoke",
+    "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+    "q_agg_mode", "q_regex_extract_all",
+    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
+    "q_proj_manifest", "q_dup_check", "q_split_plan",
+    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep",
 ]
 
 

@@ -138,33 +138,46 @@ def test_priority_ids_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
 
 
-def test_priority_window_holds_round3_ids():
-    """The round-3 must-witness set sits inside the first 50 registry
-    entries — the observed driver CORRECTNESS budget (VERDICT r02 #3):
-    the 15 never-witnessed ids, the 12 events-loader re-witnesses, the
-    upgraded q_agg_approx, the new q_kmeans_vec, and the now-assertive
-    streaming smokes. Proven r01/r02 greens rotated out by design."""
+def test_priority_window_holds_round4_ids():
+    """The round-4 must-witness set sits inside the first 50 registry
+    entries — the observed driver CORRECTNESS budget. Round 4 leads with
+    the 4 sketch ids whose r03-upgraded hash oracles were never
+    driver-witnessed (VERDICT r03 #1), then the 42-id r01-latest cohort.
+    Proven r02/r03 greens rotated out by design."""
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
-        # never driver-witnessed across r01+r02
-        "q_text_normalize", "q_dedup_contain", "q_bm25", "q_join_bloom",
-        "q_anomaly", "q_hll_distinct", "q_pagerank", "q_kmeans",
-        "q_source_stats", "q_corpus_shuffle", "q_group_representative",
-        "q_fuzzy_join", "q_semantic_dedup_groups", "q_cluster_sample",
-        "q_agg_salted",
-        # r02 FAILs (events loader), re-witness green
-        "q_stream_tumble", "q_stream_slide", "q_stream_session",
-        "q_ts_gapfill", "q_sessionize", "q_win_frame",
-        "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
-        "q_asof_join", "q_range_join", "q_fn_json",
-        # upgraded / new this round
-        "q_agg_approx", "q_kmeans_vec",
-        "q_stream_smoke", "q_stream_join_smoke",
-        "q_stream_stateful_smoke", "q_stream_dedup_smoke",
+        # r03 oracle upgrades, last driver row is r01 rows-only
+        "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
+        # spot-checks from the r01-latest cohort
+        "q_agg_groupby", "q_join_broadcast", "q_join_multi", "q_topk",
+        "q_dedup_exact", "q_dedup_groups", "q_sim_topk",
+        "q_multimodal_frames", "q_multimodal_meta",
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
+
+
+def test_priority_window_matches_ledger():
+    """registry._PRIORITY's first 50 entries must equal the computed
+    stalest-first window in WITNESS_LEDGER.json (scripts/witness_ledger.py)
+    — rotation is computed from the artifact, not hand-curated
+    (VERDICT r03 #7). Regenerate the ledger after a rotation edit."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "WITNESS_LEDGER.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("WITNESS_LEDGER.json not generated")
+    with open(path) as f:
+        ledger = json.load(f)
+    window = list(SPECS)[: ledger["window"]]
+    assert set(window) == set(ledger["suggested_window"]), (
+        "registry._PRIORITY window diverges from the computed ledger window; "
+        "re-run scripts/witness_ledger.py and re-rotate"
+    )
 
 
 def test_join_bloom_restores_session_confs(spark):
