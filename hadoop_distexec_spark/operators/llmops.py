@@ -995,6 +995,15 @@ def lsh_candidates(
     (q_id, q_emb, vec_id, embedding) candidate rows."""
     e = table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
+    if dim > _PLANE_MAX_DIM:
+        # fail fast: beyond the generated plane width, Spark's zip_with
+        # would null-pad (silently zeroing sign bits) while the oracle's
+        # [1:len(embedding)] slice diverges differently — loud beats
+        # silently-wrong buckets (ADVICE r03)
+        raise ValueError(
+            f"embedding dim {dim} exceeds _PLANE_MAX_DIM={_PLANE_MAX_DIM}; "
+            "regenerate _lsh_planes wider"
+        )
     planes = [row[:dim] for row in _lsh_planes(n_planes)]
 
     def dot_lit(vec_col, plane):
@@ -2089,17 +2098,27 @@ def _assign_pandas(vec: DataFrame, cents: DataFrame) -> DataFrame:
     def score(emb):
         X = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
-        idx = d2.argmin(axis=1)
-        return pd.DataFrame(
-            {
-                "cluster": ids[idx],
-                # re-derive the winning distance exactly as the HOF tier
-                # does (sequential sum of squared diffs would differ only
-                # in float rounding; the direct form avoids the BLAS
-                # expansion's cancellation error for the reported value)
-                "sq_dist": ((X - C[idx]) ** 2).sum(axis=1),
-            }
-        )
+        if C.shape[0] == 1:
+            idx = np.zeros(X.shape[0], dtype=np.int64)
+            diff = X - C[idx]
+            sq = (diff * diff).sum(axis=1)
+        else:
+            # The BLAS expansion has ~1e-9 relative cancellation error, so
+            # a near-tie between two centroids could flip argmin vs the HOF
+            # tier (and cascade through every Lloyd round). Re-score the
+            # top-2 candidates with the exact direct form (x-c)^2 and pick
+            # the winner on (exact distance, cluster id) — same comparator
+            # as _assign_hof's min-of-struct.
+            part = np.argpartition(d2, 1, axis=1)[:, :2]  # (n, 2) smallest
+            d0 = X - C[part[:, 0]]
+            d1 = X - C[part[:, 1]]
+            e0 = (d0 * d0).sum(axis=1)
+            e1 = (d1 * d1).sum(axis=1)
+            id0, id1 = ids[part[:, 0]], ids[part[:, 1]]
+            take1 = (e1 < e0) | ((e1 == e0) & (id1 < id0))
+            idx = np.where(take1, part[:, 1], part[:, 0])
+            sq = np.where(take1, e1, e0)
+        return pd.DataFrame({"cluster": ids[idx], "sq_dist": sq})
 
     return vec.select(
         "vec_id", score(F.col("embedding")).alias("dc")
@@ -2459,7 +2478,7 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bi.doc_id,
            COUNT(*) AS n_bigrams,
-           CAST(CAST(-SUM(CAST(ln(p.prob) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(-SUM(CAST(ln(p.prob) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) AS cross_entropy
     FROM bi JOIN p ON bi.bigram = p.bigram
     GROUP BY bi.doc_id
@@ -2478,9 +2497,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_entropy = -(1/n) * sum ln P over its n bigrams (docs with < 2
     tokens have no bigrams and drop out, like the oracle's inner join).
 
-    Determinism: each ln term is rounded to DECIMAL(28,12) before the sum
-    (order-independent exact addition — the q_token_entropy rule), and the
-    final division is one IEEE op on exact inputs.
+    Determinism: each ln term is rounded to DECIMAL(20,8) before the sum
+    (order-independent exact addition — the q_token_entropy rule). 8dp,
+    not 12: java.lang.Math.log and DuckDB's libm are each only
+    ~1-ulp-accurate, so the rounding boundary needs ~6 orders of magnitude
+    of ulp headroom for the two engines to round identically (ADVICE r03).
+    The final division is one IEEE op on exact inputs.
 
     Scale: three key-partitioned shuffles — bigram corpus counts, the
     doc-bigram-to-probability join (big-big hash join on bigram; the
@@ -2516,7 +2538,7 @@ def _lm_score_plan(bi: DataFrame) -> DataFrame:
             ((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))).alias("prob"),
         )
     )
-    term = F.log(F.col("prob")).cast("decimal(28,12)")
+    term = F.log(F.col("prob")).cast("decimal(20,8)")
     return (
         bi.join(probs, "bigram")
         .groupBy("doc_id")

@@ -44,7 +44,64 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # read-only conf in some environments; session.py already set them
 
 
-def normalize_events_ts(df: DataFrame) -> DataFrame:
+def sniff_bigint_ts_unit(path: str, col: str = "ts") -> str:
+    """Decide the epoch unit ('ns'/'us'/'ms'/'s') of a timestamp column
+    that Spark will read as bigint, from the parquet FOOTER only (no data
+    read, works for streaming sources too):
+
+      1. a TIMESTAMP logical type states its unit outright;
+      2. a plain int64 (no logical type) is classified by the magnitude of
+        the footer's max statistic — nanos since epoch are ~1e18, micros
+        ~1e15, millis ~1e12 (ADVICE r03: the Spark-side dtype sniff alone
+        cannot distinguish these, and dividing micros by 1000 would
+        silently shift every event by 1000x).
+
+    Falls back to 'ns' (the observed r01 fixture encoding) if the footer
+    is unreadable or carries no statistics.
+    """
+    import glob
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return "ns"
+            path = parts[0]
+        pf = pq.ParquetFile(path)
+        field = pf.schema_arrow.field(col)
+        if pa.types.is_timestamp(field.type):
+            return field.type.unit
+        # plain int64: classify by footer max statistic
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            stats = pf.metadata.row_group(rg).column(idx).statistics
+            if stats is not None and stats.has_min_max:
+                mx = abs(int(stats.max))
+                if mx >= int(1e17):
+                    return "ns"
+                if mx >= int(1e14):
+                    return "us"
+                if mx >= int(1e11):
+                    return "ms"
+                return "s"
+    except Exception:
+        pass
+    return "ns"
+
+
+_TS_FROM_UNIT = {
+    "ns": lambda c: F.timestamp_micros(F.expr(f"{c} div 1000")),
+    "us": lambda c: F.timestamp_micros(F.col(c)),
+    "ms": lambda c: F.timestamp_millis(F.col(c)),
+    "s": lambda c: F.timestamp_seconds(F.col(c)),
+}
+
+
+def normalize_events_ts(df: DataFrame, unit: str = "ns") -> DataFrame:
     """Normalize the events table's ts column to TimestampType (UTC).
 
     The fixture's ts physical type has changed across driver versions:
@@ -54,11 +111,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       - TIMESTAMP_MICROS isAdjustedToUTC=0: Spark reads TIMESTAMP_NTZ
         -> reinterpret as a UTC instant (session TZ is pinned UTC);
       - TIMESTAMP_MICROS isAdjustedToUTC=1: already TimestampType.
-    Sniff the dtype instead of assuming one encoding.
+    Sniff the dtype instead of assuming one encoding. ``unit`` is the
+    epoch unit to assume for a bigint-read column — callers that know the
+    file path should pass ``sniff_bigint_ts_unit(path)`` (the dtype alone
+    cannot distinguish int64 nanos from int64 micros; ADVICE r03).
     """
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if unit not in _TS_FROM_UNIT:
+            raise ValueError(f"unknown epoch unit {unit!r} for bigint ts")
+        return df.withColumn("ts", _TS_FROM_UNIT[unit]("ts"))
     if ts_type == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df  # already TimestampType
@@ -68,9 +130,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
-        df = normalize_events_ts(df)
+        df = normalize_events_ts(df, unit=sniff_bigint_ts_unit(path))
     # Every temporal column reads as one type regardless of the fixture's
     # physical encoding: TIMESTAMP_NTZ columns (orders.o_orderdate,
     # lineitem.l_shipdate as of the r02 fixture regeneration) reinterpret

@@ -201,20 +201,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_distexec_spark.sources.tables import (
         _ensure_session_confs,
         normalize_events_ts,
+        sniff_bigint_ts_unit,
     )
 
     _ensure_session_confs(spark)
     # the file stream source needs an explicit schema and a directory; read
     # the physical schema from a batch scan (footer-only, no data read) and
     # glob-filter to the events table inside the sf dir
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return normalize_events_ts(raw)
+    return normalize_events_ts(raw, unit=sniff_bigint_ts_unit(path))
 
 
 def streaming_tumble(events: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:

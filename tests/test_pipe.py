@@ -367,13 +367,22 @@ def test_split_plan_byte_balance(spark, tmp_path):
 
 
 def test_tokenizer_and_exit_policy():
-    """CommandLineUtil FSM semantics via shlex (CommandLineUtil.java:19-78)
+    """CommandLineUtil FSM semantics (CommandLineUtil.java:19-78)
     + grep-family exit policy (Executor.java:33-35)."""
     assert tokenize("iconv -f iso8859-1 -t utf-8") == ["iconv", "-f", "iso8859-1", "-t", "utf-8"]
     assert tokenize("sh -c 'echo a b'") == ["sh", "-c", "echo a b"]
     assert tokenize('grep "two words"') == ["grep", "two words"]
     with pytest.raises(ValueError):
         tokenize("sh -c 'unbalanced")
+    # VERDICT r03 #6 — pin the Ant FSM's backslash semantics: backslash is
+    # an ORDINARY character (no escape processing), unlike POSIX shlex.
+    assert tokenize(r'a\b "c d" ' + "'e f'") == [r"a\b", "c d", "e f"]
+    assert tokenize(r"grep foo\bar input") == ["grep", r"foo\bar", "input"]
+    assert tokenize(r"sed s/a\/b/c/") == ["sed", r"s/a\/b/c/"]
+    # adjacent quoted spans concatenate into one token; "" is an empty token
+    assert tokenize('a"b c"d') == ["ab cd"]
+    assert tokenize("printf ''") == ["printf", ""]
+    assert tokenize("""say "it's fine\"""") == ["say", "it's fine"]
     assert exit_ok(["grep", "x"], 1)
     assert exit_ok(["/usr/bin/egrep", "x"], 1)
     assert not exit_ok(["grep", "x"], 2)

@@ -38,7 +38,11 @@ def test_make_relative_non_descendant(root, other):
 
 @given(
     st.lists(
-        st.text(alphabet=string.ascii_letters + string.digits + "-_./= ", min_size=1, max_size=12),
+        st.text(
+            alphabet=string.ascii_letters + string.digits + "-_./= \\'\"",
+            min_size=1,
+            max_size=12,
+        ),
         min_size=1,
         max_size=6,
     )

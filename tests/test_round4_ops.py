@@ -1,0 +1,122 @@
+"""Round-4 additions (ADVICE r03): kmeans near-tie argmin stability, the
+events-ts epoch-unit footer sniff, and the LSH plane-width fail-fast."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark.operators import llmops
+from hadoop_distexec_spark.operators.llmops import _assign_hof, _assign_pandas
+from hadoop_distexec_spark.sources.tables import (
+    normalize_events_ts,
+    sniff_bigint_ts_unit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _assign_both(spark, vecs, cents):
+    vec = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cc = spark.createDataFrame(
+        [Row(cluster=i, centroid=c) for i, c in enumerate(cents)],
+        "cluster: int, centroid: array<double>",
+    )
+    hof = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in _assign_hof(vec, cc).collect()}
+    pan = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in _assign_pandas(vec, cc).collect()}
+    return hof, pan
+
+
+def test_assign_pandas_exact_tie_matches_hof(spark):
+    """A point exactly equidistant from two centroids must break the tie on
+    the lower cluster id in BOTH tiers (ADVICE r03 medium: the BLAS
+    expansion's cancellation error could otherwise flip argmin)."""
+    hof, pan = _assign_both(
+        spark,
+        vecs=[[1.0, 0.0], [3.0, 4.0]],
+        cents=[[0.0, 0.0], [2.0, 0.0], [4.0, 8.0]],
+    )
+    assert hof[0] == (0, 1.0)  # exact tie c0/c1 -> lowest id
+    assert pan[0] == (0, 1.0)
+    assert hof[1] == pan[1]
+
+
+def test_assign_pandas_near_tie_matches_hof(spark):
+    """Near-ties (relative gap ~1e-12, far inside the BLAS expansion's
+    ~1e-9 cancellation band) resolve via the exact top-2 re-score to the
+    same winner as the HOF tier's exact fold."""
+    eps = 1e-12
+    hof, pan = _assign_both(
+        spark,
+        vecs=[[1.0 + eps, 0.0], [1.0 - eps, 0.0]],
+        cents=[[0.0, 0.0], [2.0, 0.0]],
+    )
+    for vid in (0, 1):
+        assert pan[vid][0] == hof[vid][0], f"vec {vid}: tiers diverge on a near-tie"
+    assert hof[0][0] == 1 and hof[1][0] == 0  # geometry sanity
+
+
+def test_assign_pandas_single_centroid(spark):
+    hof, pan = _assign_both(spark, vecs=[[3.0, 4.0]], cents=[[0.0, 0.0]])
+    assert hof[0] == (0, 25.0) and pan[0] == (0, 25.0)
+
+
+def test_sniff_ts_unit_from_logical_type(tmp_path):
+    """TIMESTAMP(NANOS)/(MICROS) logical types state their unit outright."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000  # seconds since epoch, ~2023
+    for unit, scale in [("ns", 10**9), ("us", 10**6), ("ms", 10**3)]:
+        path = str(tmp_path / f"t_{unit}.parquet")
+        t = pa.table({"ts": pa.array([base * scale], type=pa.timestamp(unit))})
+        pq.write_table(t, path)
+        assert sniff_bigint_ts_unit(path) == unit
+
+
+def test_sniff_ts_unit_from_int64_magnitude(tmp_path):
+    """A PLAIN int64 ts (no logical type) is classified by the footer max
+    statistic — the dtype sniff alone cannot tell int64 nanos from int64
+    micros, and a wrong divisor shifts every event by 1000x (ADVICE r03)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000
+    for unit, scale in [("ns", 10**9), ("us", 10**6), ("ms", 10**3), ("s", 1)]:
+        path = str(tmp_path / f"i_{unit}.parquet")
+        pq.write_table(pa.table({"ts": pa.array([base * scale], pa.int64())}), path)
+        assert sniff_bigint_ts_unit(path) == unit, unit
+
+
+def test_normalize_bigint_micros_roundtrip(spark, tmp_path):
+    """End-to-end: an int64-micros events file lands on the right instant
+    (the old unconditional div-1000 would shift it to 1970)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = 1_700_000_000 * 10**6 + 123_456
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table({"ts": pa.array([micros], pa.int64())}), path)
+    df = spark.read.parquet(path)
+    out = normalize_events_ts(df, unit=sniff_bigint_ts_unit(path))
+    [row] = out.select(F.unix_micros("ts").alias("us")).collect()
+    assert row["us"] == micros
+
+
+def test_sniff_ts_unit_fallback(tmp_path):
+    """Unreadable path or empty dir falls back to the r01 contract (ns)."""
+    assert sniff_bigint_ts_unit(str(tmp_path / "missing.parquet")) == "ns"
+    os.makedirs(tmp_path / "empty_dir")
+    assert sniff_bigint_ts_unit(str(tmp_path / "empty_dir")) == "ns"
+
+
+def test_lsh_oversized_dim_fails_fast(spark, monkeypatch):
+    """An embedding wider than the generated plane width must raise, not
+    silently null-pad the projection into wrong buckets (ADVICE r03)."""
+    monkeypatch.setattr(llmops, "_PLANE_MAX_DIM", 4)  # fixture dim is wider
+    with pytest.raises(ValueError, match="_PLANE_MAX_DIM"):
+        llmops.lsh_candidates(spark, SF)
