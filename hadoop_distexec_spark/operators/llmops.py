@@ -219,10 +219,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ROWS_PER_BAND = NUM_PERM // LSH_BANDS
 
-
-@register(
-    "q_dedup_minhash",
-    oracle="WITH "
+_MINHASH_ORACLE = (
+    "WITH "
     + _SHINGLES_SQL
     + f""",
     perms AS (SELECT UNNEST(range(0, {NUM_PERM})) AS seed),
@@ -260,23 +258,42 @@ _MINHASH_ROWS_PER_BAND = NUM_PERM // LSH_BANDS
     JOIN sizes za ON doc_a = za.doc_id
     JOIN sizes zb ON doc_b = zb.doc_id
     WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3
-    """,
+    """
 )
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH band join: shingle -> NUM_PERM md5 min-signatures ->
+
+
+def _perm_hash(seed: int, hash: str):
+    """One minhash permutation of the shingle column.
+
+    ``md5``: low 60 bits of md5(seed || '|' || shingle) via conv() — the
+    q_corpus_shuffle idiom, reproducible in DuckDB ('0x…'::BIGINT), which
+    is what upgrades q_dedup_minhash from a rows-only check to a full
+    hash-checked oracle. ``xxhash64``: the production tier (VERDICT r03
+    #3) — one JVM intrinsic instead of 3 chained string ops per shingle,
+    same plan shape, no cross-engine oracle (DuckDB has no xxhash64)."""
+    if hash == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")), "UTF-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    if hash == "xxhash64":
+        return F.xxhash64(F.lit(str(seed)), F.col("shingle"))
+    raise ValueError(f"unknown minhash tier {hash!r}")
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str, hash: str = "md5") -> DataFrame:
+    """MinHash + LSH band join: shingle -> NUM_PERM min-signatures ->
     LSH_BANDS band keys -> bucket equi-join for candidates -> exact
     Jaccard verify. No crossJoin anywhere; at 100 TB the band join is the
     only shuffle that touches pairs, and it only sees true bucket
-    collisions.
-
-    Hash choice: each permutation is the low 60 bits of
-    md5(seed || '|' || shingle) via conv(), the q_corpus_shuffle idiom —
-    reproducible in DuckDB ('0x…'::BIGINT), which upgrades this from a
-    rows-only check to a full hash-checked oracle. A production deployment
-    chasing the last CPU percent can swap xxhash64 back in (same plan, no
-    oracle); md5 is codegen'd JVM-side and the signature agg stays
-    map-side-combined either way. Band keys join the band's minhash
-    values as a '|'-joined string instead of re-hashing them — the hash
+    collisions. ``hash`` picks the permutation tier (see _perm_hash);
+    both tiers share this plan. Band keys join the band's minhash values
+    as a '|'-joined string instead of re-hashing them — the hash
     compressed the key but never changed the collision set."""
     # The shingle set feeds signatures AND the exact-verify joins (4
     # consumers). A lazy persist is not enough: all 4 branches live in ONE
@@ -287,20 +304,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returning (ADVICE r01 #3).
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
-    mins = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.encode(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")), "UTF-8")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"m{seed}")
-        for seed in range(NUM_PERM)
-    ]
+    result = _minhash_plan(s, hash).localCheckpoint(eager=True)
+    s.unpersist()
+    return result
+
+
+def _minhash_plan(s: DataFrame, hash: str = "md5") -> DataFrame:
+    """The minhash pair plan over a (doc_id, shingle) frame,
+    un-checkpointed (plan-shape tests inspect this; minhash_pairs wraps it
+    in the cache-release checkpoint)."""
+    mins = [F.min(_perm_hash(seed, hash)).alias(f"m{seed}") for seed in range(NUM_PERM)]
     sig = s.groupBy("doc_id").agg(*mins)
     rows_per_band = NUM_PERM // LSH_BANDS
     bands = F.array(
@@ -338,16 +351,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    result = (
+    return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint(eager=True)
     )
-    s.unpersist()
-    return result
+
+
+@register("q_dedup_minhash", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_pairs at the md5 oracle tier (see _perm_hash for the
+    tier rationale; BENCH `tiers` compares md5 vs xxhash64)."""
+    return minhash_pairs(spark, sf_dir, hash="md5")
 
 
 _SIMHASH_BITS = 60  # low 60 bits of md5 (15 hex chars) — conv()-safe in BIGINT
@@ -365,9 +382,7 @@ _SIMHASH_SIG_SQL = " | ".join(
 )
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=f"""
+_SIMHASH_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
       FROM documents
@@ -395,22 +410,30 @@ _SIMHASH_SIG_SQL = " | ".join(
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_HAMMING}
-    """,
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, hash: str = "md5") -> DataFrame:
     """SimHash near-dup: 60-bit signature from token-hash bit votes; banded
     into 4x15-bit keys so candidate pairs come from an equi-join (documents
-    with hamming distance <= 6 reported). The token hash is the low 60
-    bits of md5 via conv() — DuckDB-reproducible ('0x…'::BIGINT), which
-    upgrades this from a rows-only check to a hash-checked oracle (the
-    former 64-bit xxhash64 variant saved nothing but 4 signature bits)."""
+    with hamming distance <= 6 reported). ``hash`` picks the token-hash
+    tier: ``md5`` is the low 60 bits of md5 via conv() —
+    DuckDB-reproducible ('0x…'::BIGINT), which upgrades this from a
+    rows-only check to a hash-checked oracle; ``xxhash64`` masks the JVM
+    intrinsic to the same 60 bits (production tier, VERDICT r03 #3 —
+    same plan, no cross-engine oracle)."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 15), 16, 10).cast("long")
+    if hash == "md5":
+        h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 15), 16, 10).cast("long")
+    elif hash == "xxhash64":
+        h = F.xxhash64(F.col("token")).bitwiseAND(F.lit(2**_SIMHASH_BITS - 1))
+    else:
+        raise ValueError(f"unknown simhash tier {hash!r}")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -452,6 +475,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_pairs at the md5 oracle tier (BENCH `tiers` compares md5
+    vs xxhash64)."""
+    return simhash_pairs(spark, sf_dir, hash="md5")
 
 
 # ---------------------------------------------------------------------------

@@ -331,27 +331,11 @@ def connected_components(
     touched = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
     labels = touched.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("src", "doc_id")
-        )
         # checkpoint FIRST, then derive both the convergence count and the
         # next labels from the materialized result — otherwise the round's
         # join+agg would execute twice (once for the count, once for the
         # checkpoint)
-        new = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
-                    "new_component"
-                ),
-                "component",
-            )
-            .localCheckpoint(eager=True)
-        )
+        new = _cc_round(sym, labels).localCheckpoint(eager=True)
         changed = new.filter(F.col("new_component") < F.col("component")).count()
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
@@ -367,6 +351,25 @@ def connected_components(
         )
     return nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
+def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label-propagation round, un-checkpointed (plan-shape tests
+    inspect this; connected_components wraps it in the per-round
+    checkpoint). Exactly one join + one aggregate touch the edge list —
+    the per-round shuffle cost a 100 TB run pays — plus the endpoint-keyed
+    label update join."""
+    nbr = (
+        sym.join(labels, sym.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+    )
+    return labels.join(nbr, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias("new_component"),
+        "component",
     )
 
 

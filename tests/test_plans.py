@@ -170,3 +170,68 @@ def test_sim_ivf_broadcasts_cells_not_vectors(spark):
     plan = _plan(spark, "q_sim_ivf")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # queries x broadcast(cells)
+
+
+def _join_counts(plan):
+    return {
+        p: plan.count(p)
+        for p in (
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+            "Exchange hashpartitioning",
+            "HashAggregate",
+        )
+    }
+
+
+def test_minhash_band_join_stays_equi_join(spark):
+    """VERDICT r03 #5: every minhash join — the band/bucket candidate
+    join and the exact-verify joins — must be an equi-join (hash or
+    sort-merge), never a nested-loop/cartesian pair explosion; and the
+    xxhash64 production tier must plan the IDENTICAL shape (the hash fn
+    is the only difference)."""
+    from hadoop_distexec_spark.operators.llmops import _minhash_plan, _shingles_df
+
+    s = _shingles_df(spark, SF_ORACLE)
+    shapes = {}
+    for tier in ("md5", "xxhash64"):
+        plan = _minhash_plan(s, tier)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, f"{tier}: band join fell off equi-join"
+        assert "CartesianProduct" not in plan, tier
+        shapes[tier] = _join_counts(plan)
+        equi = sum(shapes[tier][j] for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        assert equi == 5, f"{tier}: expected 5 equi-joins, got {shapes[tier]}"
+    assert shapes["md5"] == shapes["xxhash64"], "tiers must share one plan shape"
+
+
+def test_cc_round_plan_is_one_join_one_agg(spark):
+    """VERDICT r03 #5: one connected-components round must cost exactly
+    one edge-keyed equi-join + one partial/final min aggregate + the
+    label-update left join — no nested loops, no extra shuffles. This is
+    the per-round price a 100 TB run pays max_iter times."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.pipeline import _cc_round
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a: long, doc_b: long")
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    plan = _cc_round(sym, labels)._jdf.queryExecution().executedPlan().toString()
+    c = _join_counts(plan)
+    assert c["BroadcastNestedLoopJoin"] == 0 and c["CartesianProduct"] == 0, c
+    equi = c["SortMergeJoin"] + c["ShuffledHashJoin"] + c["BroadcastHashJoin"]
+    assert equi == 2, f"expected nbr join + label-update join only, got {c}"
+    assert c["HashAggregate"] == 2, f"expected one partial+final min agg, got {c}"
+    assert c["Exchange hashpartitioning"] <= 4, f"round gained a shuffle: {c}"

@@ -114,6 +114,30 @@ def test_sniff_ts_unit_fallback(tmp_path):
     assert sniff_bigint_ts_unit(str(tmp_path / "empty_dir")) == "ns"
 
 
+def test_minhash_tiers_find_same_verified_pairs(spark):
+    """The xxhash64 production tier and the md5 oracle tier share the
+    exact-Jaccard verify step, so on the fixture's high-Jaccard near-dups
+    both recover the same pair set (VERDICT r03 #3; a borderline-Jaccard
+    pair could in principle differ in band recall — the fixture's dups
+    are far above the 0.3 threshold)."""
+    md5 = {(r["doc_a"], r["doc_b"]) for r in llmops.minhash_pairs(spark, SF).collect()}
+    xx = {(r["doc_a"], r["doc_b"]) for r in llmops.minhash_pairs(spark, SF, hash="xxhash64").collect()}
+    assert md5 == xx
+    assert md5, "fixture should contain near-dup pairs"
+
+
+def test_simhash_xxhash_tier_contract(spark):
+    """simhash's OUTPUT is a function of its hash (different bit votes =>
+    different signatures), so the tiers are not output-equivalent by
+    design; the production tier must still honor the schema and the
+    hamming bound."""
+    out = llmops.simhash_pairs(spark, SF, hash="xxhash64")
+    assert out.columns == ["doc_a", "doc_b", "hamming"]
+    rows = out.collect()
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
 def test_lsh_oversized_dim_fails_fast(spark, monkeypatch):
     """An embedding wider than the generated plane width must raise, not
     silently null-pad the projection into wrong buckets (ADVICE r03)."""
