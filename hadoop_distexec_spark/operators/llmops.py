@@ -1968,11 +1968,9 @@ _BM25_SUMS_SQL = ", ".join(
 )
 _BM25_TOTAL_SQL = " + ".join(f"_s{i}" for i in range(len(BM25_TERMS)))
 
-
-@register(
-    "q_bm25",
-    oracle=f"""
-    WITH toks AS (
+# the BM25 CTE chain through per-doc totals, shared by the q_bm25 oracle
+# and the q_hybrid_search oracle (its lexical half)
+_BM25_CORE_SQL = f"""toks AS (
       SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents
     ),
@@ -1990,7 +1988,13 @@ _BM25_TOTAL_SQL = " + ".join(f"_s{i}" for i in range(len(BM25_TERMS)))
                / (c + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)) AS s
       FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN nd),
-    per_doc AS (SELECT doc_id, {_BM25_SUMS_SQL} FROM scored GROUP BY doc_id)
+    per_doc AS (SELECT doc_id, {_BM25_SUMS_SQL} FROM scored GROUP BY doc_id)"""
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
     SELECT doc_id, {_BM25_TOTAL_SQL} AS score
     FROM per_doc ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
     """,
@@ -2014,6 +2018,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|terms| rows) and the avgdl scalar broadcast; final top-K is
     TakeOrderedAndProject (partial top-k per partition, no global sort —
     the q_topk plan)."""
+    return (
+        _bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 totals (doc_id, score) for every document containing at
+    least one query term — the un-truncated frame behind q_bm25, reused as
+    the lexical half of q_hybrid_search."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -2051,11 +2066,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.col("_s0")
     for i in range(1, len(BM25_TERMS)):
         total = total + F.col(f"_s{i}")
-    return (
-        per_doc.select("doc_id", total.alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOPK)
-    )
+    return per_doc.select("doc_id", total.alias("score"))
 
 
 # ---------------------------------------------------------------------------
@@ -2577,3 +2588,207 @@ def _lm_score_plan(bi: DataFrame) -> DataFrame:
             ((-F.sum(term)).cast("double") / F.count(F.lit(1))).alias("cross_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: graph triangle counting, hybrid (lexical + vector) retrieval
+# ---------------------------------------------------------------------------
+
+_EMBED_PAIRS_SQL = f"""en AS (
+      SELECT vec_id, label, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+              / SQRT(a.norm2 * b.norm2) >= 0.2)"""
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_EMBED_PAIRS_SQL},
+    tri AS (
+      SELECT p1.va AS x, p1.vb AS y, p2.vb AS z
+      FROM edges p1
+      JOIN edges p2 ON p2.va = p1.vb
+      JOIN edges p3 ON p3.va = p1.va AND p3.vb = p2.vb),
+    verts AS (SELECT UNNEST([x, y, z]) AS vec_id FROM tri)
+    SELECT vec_id, COUNT(*) AS n_tri FROM verts GROUP BY vec_id
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the embedding near-dup pair graph
+    (the q_dedup_embed edge set) — the local-clustering signal that
+    separates tight paraphrase cliques from chains of borderline matches
+    when picking dedup clusters to audit.
+
+    Algorithm (the degree-oriented "forward" counting used at graph
+    scale): orient every undirected edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate each wedge once at its orientation-
+    minimal vertex (out-neighbors ordered by the same key), and close the
+    wedge with one hash join back to the undirected edge set. Orientation
+    bounds every vertex's out-degree by O(sqrt(|E|)) on skewed graphs —
+    the hub that would produce deg^2 wedges has the highest key, so its
+    star is enumerated at its *neighbors*, never at the hub — making the
+    wedge join's fan-out survivable at 100 TB where a naive
+    neighbors-of-neighbors join is quadratic in the hub degree. Three hash
+    equi-joins total (two degree lookups, one closing join), no windows.
+
+    The oracle counts the same triangles directly as ordered id-triples
+    a<b<c (DuckDB's optimizer is welcome to its own plan); each triangle
+    is found exactly once on both sides, so per-vertex counts agree."""
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .persist()
+    )
+    out = triangle_counts(edges).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting over an undirected (va, vb) edge
+    frame with va < vb and no duplicate edges; returns (vec_id, n_tri).
+    See q_triangle_count for the algorithm; exactness vs brute-force
+    enumeration is pytest-gated (tests/test_round4_ops.py)."""
+    deg = (
+        edges.select(F.col("va").alias("v"))
+        .union(edges.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("v", "va").withColumnRenamed("deg", "dega"), "va")
+        .join(deg.withColumnRenamed("v", "vb").withColumnRenamed("deg", "degb"), "vb")
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("va") < F.col("vb"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("va")).otherwise(F.col("vb")).alias("src"),
+        F.when(a_first, F.col("vb")).otherwise(F.col("va")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddeg").alias("ydeg"))
+    o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddeg").alias("zdeg"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
+    )
+    closing = edges.select(F.col("va").alias("ca"), F.col("vb").alias("cb"))
+    tri = wedges.join(
+        closing,
+        (F.least("y", "z") == F.col("ca")) & (F.greatest("y", "z") == F.col("cb")),
+    ).select(F.col("src").alias("x"), "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion
+HYBRID_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+HYBRID_TOPK = 20
+
+
+@register(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL},
+    lex AS (SELECT doc_id, {_BM25_TOTAL_SQL} AS score FROM per_doc),
+    lexr AS (
+      SELECT doc_id, r AS lex_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex) WHERE r <= {HYBRID_DEPTH}),
+    en AS (
+      SELECT vec_id, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, norm2 AS qn2 FROM en WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id,
+             {_DEC_DOT.format(a='qe', b='embedding')} / SQRT(qn2 * norm2)
+               AS cosine
+      FROM en CROSS JOIN q WHERE vec_id <> 0),
+    vecr AS (
+      SELECT vec_id, r AS vec_rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+        FROM cos) WHERE r <= {HYBRID_DEPTH}),
+    fused AS (
+      SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
+             lex_rank, vec_rank,
+             COALESCE(1.0 / ({HYBRID_RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({HYBRID_RRF_K} + vec_rank), 0.0) AS rrf
+      FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.vec_id)
+    SELECT doc_id, lex_rank, vec_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking (q_bm25's per-doc scores)
+    fused with embedding-cosine ranking (query = vec 0's embedding, ids
+    aligned doc_id==vec_id) by reciprocal rank fusion —
+    rrf = sum 1/(60 + rank) over the modalities that returned the doc.
+    This is the composition a RAG/retrieval corpus actually serves:
+    lexical matches catch exact terms, vector matches catch paraphrase,
+    RRF needs no score calibration between the two.
+
+    Determinism: both rank lists are exact (decimal-dot cosines, the
+    fixed-order BM25 double total) and tie-break on id; 1/(k+rank) is one
+    IEEE division per row and the fusion adds the two in fixed order.
+
+    Shape: each modality is cut to its top-{HYBRID_DEPTH} by
+    orderBy+limit — TakeOrderedAndProject, a per-partition partial top-k
+    with no global sort — so the full-outer fusion join runs on two
+    <= {HYBRID_DEPTH}-row frames no matter the corpus size; the final
+    row_number windows rank those bounded frames on a single partition.
+    At 100 TB the modality scans dominate exactly as they should; the
+    fusion itself stays O(depth)."""
+    lex = (
+        _bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("norm2").alias("qn2")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_spark_dot(F.col("qe"), F.col("embedding")) / F.sqrt(F.col("qn2") * F.col("norm2"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(HYBRID_DEPTH)
+    )
+    vecr = cos.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("vec_rank"),
+    )
+    fused = lexr.join(vecr, lexr.doc_id == vecr.vec_id, "full_outer").select(
+        F.coalesce(lexr.doc_id, vecr.vec_id).alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (F.lit(HYBRID_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(HYBRID_RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(HYBRID_TOPK)

@@ -9,6 +9,8 @@ epoch-bigint timestamps, unique window tiebreakers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1126,3 +1128,241 @@ def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("p_type", F.lit("[A-Z]+"), F.lit(0)), "|"
         ).alias("upper_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: exact percentiles, SCD-2 history build, bucketed co-located join
+# ---------------------------------------------------------------------------
+
+_PCTS = (25, 50, 75)  # percentile points, as integer hundredths
+
+
+def _pct_row_sql(p: int) -> str:
+    """DuckDB twin of the integer-exact percentile rank selectors at
+    p/100, evaluated per row (n is constant within a group).
+
+    lo = ((n-1)*p) // 100 and rem = ((n-1)*p) % 100 are exact integers;
+    v_lo / v_hi are the unique values at ranks lo and lo+ceil(rem/100);
+    the interpolation v_lo + (v_hi - v_lo) * (rem/100.0) is a fixed
+    three-op IEEE tree, identical in Spark and DuckDB."""
+    lo = f"(((n - 1) * {p}) // 100)"
+    rem = f"(((n - 1) * {p}) % 100)"
+    hi = f"({lo} + CASE WHEN {rem} > 0 THEN 1 ELSE 0 END)"
+    return (
+        f"CASE WHEN i = {lo} THEN v END AS vlo{p}, "
+        f"CASE WHEN i = {hi} THEN v END AS vhi{p}, "
+        f"{rem} AS rem{p}"
+    )
+
+
+def _pct_agg_sql(p: int) -> str:
+    vlo, vhi = f"MAX(vlo{p})", f"MAX(vhi{p})"
+    return f"({vlo} + ({vhi} - {vlo}) * (MAX(rem{p}) / 100.0))"
+
+
+@register(
+    "q_agg_percentile",
+    oracle=f"""
+    WITH vals AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem),
+    r AS (SELECT g, v,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS i
+          FROM vals),
+    n AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
+    j AS (SELECT r.g, r.v, r.i, n.n,
+                 {_pct_row_sql(25)}, {_pct_row_sql(50)}, {_pct_row_sql(75)}
+          FROM r JOIN n USING (g))
+    SELECT g AS l_returnflag, MAX(n) AS n,
+           {_pct_agg_sql(25)} AS p25,
+           {_pct_agg_sql(50)} AS p50,
+           {_pct_agg_sql(75)} AS p75,
+           TRUE AS median_ok
+    FROM j GROUP BY g
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75 of l_quantity per
+    return flag) plus an approx_percentile sketch cross-checked against the
+    exact median (the q_agg_approx TRUE-flag pattern: the sketch value
+    can't cross-engine-hash, so the *within-tolerance boolean* is the
+    hash-checked column and the oracle asserts literal TRUE).
+
+    Determinism: built-in percentile()/quantile_cont() interpolate with
+    engine-local double math (h = p*(n-1) may differ by 1 ulp at
+    boundaries), so both engines instead compute the textbook formula with
+    *integer-exact* rank arithmetic — lo = ((n-1)*p) div 100, rem in
+    hundredths — and interpolate the two unique rank values with one fixed
+    IEEE expression tree. row_number ties on equal v are harmless: every
+    rank inside a tie block holds the same value.
+
+    Shape: one Exchange on the group key carries both the ranking window
+    and the aggregate; at 100 TB the exact path is the audit tier and
+    approx_percentile (GK sketch, map-side mergeable, no sort) is the
+    production tier — this query ships both and proves they agree."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v")
+    )
+    w = W.partitionBy("g").orderBy("v")
+    # rank index, group size, and the per-percentile lo/hi rank selectors
+    # are all per-row columns (n is constant within a group, so the
+    # selector booleans and rem are too — aggregated with max below).
+    cols = ["g", "v", (F.row_number().over(w) - 1).alias("i"),
+            F.count(F.lit(1)).over(W.partitionBy("g")).alias("n")]
+    ranked = li.select(*cols)
+    for p in _PCTS:
+        lo = F.expr(f"((n - 1) * {p}) div 100")
+        rem = ((F.col("n") - 1) * p) % 100
+        hi = lo + F.when(rem > 0, 1).otherwise(0)
+        ranked = ranked.withColumns({
+            f"_vlo{p}": F.when(F.col("i") == lo, F.col("v")),
+            f"_vhi{p}": F.when(F.col("i") == hi, F.col("v")),
+            f"_rem{p}": rem,
+        })
+
+    def pct(p: int):
+        vlo, vhi = F.col(f"_vlo{p}"), F.col(f"_vhi{p}")
+        frac = F.col(f"_rem{p}").cast("double") / 100.0
+        return vlo + (vhi - vlo) * frac
+
+    agg = ranked.groupBy("g").agg(
+        F.max("n").alias("n"),
+        *[f
+          for p in _PCTS
+          for f in (F.max(f"_vlo{p}").alias(f"_vlo{p}"),
+                    F.max(f"_vhi{p}").alias(f"_vhi{p}"),
+                    F.max(f"_rem{p}").alias(f"_rem{p}"))],
+        F.percentile_approx("v", 0.5, 10000).alias("_approx_p50"),
+    ).withColumns({f"p{p}": pct(p) for p in _PCTS})
+    # GK sketch with accuracy 10000 has rank error <= n/10000 (~6 ranks at
+    # sf0.1); l_quantity is dense near the median, so 1.0 of headroom is
+    # generous while still catching a broken sketch.
+    return agg.select(
+        F.col("g").alias("l_returnflag"), "n", "p25", "p50", "p75",
+        (F.abs(F.col("_approx_p50") - F.col("p50")) <= F.lit(1.0)).alias("median_ok"),
+    )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+      FROM events),
+    c AS (
+      SELECT *, LAG(value) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+             AS prev_v
+      FROM e),
+    chg AS (
+      SELECT user_id, event_type, ts_us, event_id, value FROM c
+      WHERE prev_v IS NULL OR prev_v <> value)
+    SELECT user_id, event_type, value,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER
+             (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+             AS valid_to_us,
+           LEAD(ts_us) OVER
+             (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+             IS NULL AS is_current
+    FROM chg
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: compress the event stream
+    into validity intervals of `value` per (user_id, event_type) —
+    the metadata-table history a training pipeline keeps for sources,
+    licenses, or filter configs. lag() drops runs of unchanged values,
+    lead() closes each surviving interval; the open interval is flagged
+    is_current.
+
+    Shape: both windows share the (user_id, event_type) partitioning, so
+    the whole build rides ONE Exchange — the change-filter between them
+    preserves partitioning (no second shuffle; plan-gated in
+    tests/test_plans.py). Timestamps export as epoch-micro bigints and
+    ordering ties break on event_id (functions/numeric.py rules 4-5)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"), "event_id", "value",
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    chg = e.withColumn("prev_v", F.lag("value").over(w)).filter(
+        F.col("prev_v").isNull() | (F.col("prev_v") != F.col("value"))
+    )
+    to = F.lead("ts_us").over(w)
+    return chg.select(
+        "user_id", "event_type", "value",
+        F.col("ts_us").alias("valid_from_us"),
+        to.alias("valid_to_us"),
+        to.isNull().alias("is_current"),
+    )
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write orders and customer as co-bucketed sorted tables (bucketBy on
+    the join key) and return the catalog-backed DataFrames. Re-runnable:
+    fixed external paths per sf_dir, mode=overwrite."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"distexec_bucketed_{tag}")
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{tbl}_{tag}"
+        (
+            table(spark, sf_dir, tbl)
+            .write.format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, tbl))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    return spark.table(names["orders"]), spark.table(names["customer"])
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS segment_total,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: both sides are written bucketBy(8, key) +
+    sortBy, so the SortMergeJoin reads bucket i against bucket i with NO
+    Exchange and NO Sort on either side — the zero-shuffle big-big join.
+    At 100 TB this is THE join strategy for a fact table repeatedly joined
+    on the same key (pay one bucketed write, then every subsequent join is
+    shuffle-free); Spark's bucketing is the DataFrame-era twin of Hive
+    bucketed tables. The write itself is the operator under test:
+    bucketing metadata must round-trip through the catalog for the scan to
+    report outputPartitioning = HashPartitioning(key, 8).
+
+    Broadcast is disabled inside the query (saved/restored) because the
+    sandbox-sized customer table would otherwise broadcast and hide the
+    bucketed plan this query exists to exercise; the no-shuffle shape is
+    plan-asserted here and regression-gated in tests/test_plans.py. Join
+    semantics are exact, so the oracle is the plain join+agg."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bc = bucketed_tables(spark, sf_dir)
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, (
+            "bucketed join must be shuffle-free:\n" + plan
+        )
+        out = j.groupBy("c_mktsegment").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("segment_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

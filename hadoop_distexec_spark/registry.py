@@ -69,16 +69,21 @@ def _load_modules() -> None:
 # COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
 # "suggested_window"): stalest-witness-first, so driver freshness stays
 # bounded across rounds (VERDICT r03 next-round #1 + #7). Tiers:
+#   0. the 5 round-4 additions (percentile, SCD-2, bucketed join,
+#      triangles, hybrid search) — never driver-witnessed,
 #   1. the 4 sketch ids whose r03-upgraded hash oracles (band-join SQL,
 #      decimal IVF, shared-plane LSH) were never driver-witnessed — their
 #      last driver rows are r01 rows-only,
-#   2. the 42 other ids whose latest driver row is r01 (relational core,
-#      scalar fns, LLM text/dedup family, multimodal),
-#   3. 4 r02-witnessed ids to fill the 50-entry budget.
+#   2. 41 of the 42 ids whose latest driver row is r01 (relational core,
+#      scalar fns, LLM text/dedup family) — q_multimodal_meta and the 4
+#      r02 ids rotate out to make room, per the computed window.
 # Ids not listed keep registration order after these; every one holds a green
-# r02/r03 row and remains covered by the byte-identical local oracle gate
+# r01/r02/r03 row and remains covered by the byte-identical local oracle gate
 # (tests/test_oracle_parity.py) every session.
 _PRIORITY: list[str] = [
+    # --- tier 0: round-4 additions, never driver-witnessed ---
+    "q_agg_percentile", "q_scd2", "q_join_bucketed",
+    "q_triangle_count", "q_hybrid_search",
     # --- tier 1: r03 oracle upgrades, never driver-hash-witnessed ---
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
     # --- tier 2: latest driver row is r01 (stalest hash-green cohort) ---
@@ -95,12 +100,12 @@ _PRIORITY: list[str] = [
     "q_fingerprint", "q_winnow_fingerprint",
     "q_split_train_test", "q_pii_redact", "q_doc_chunks",
     "q_pack_sequences", "q_dedup_groups",
-    "q_multimodal_frames", "q_multimodal_meta",
-    # --- tier 3: oldest r02 rows, filling the 50-entry driver budget ---
+    "q_multimodal_frames",
+    # --- everything below holds a green r01/r02/r03 row and stays covered
+    # by the local oracle gate every session ---
+    "q_multimodal_meta",
     "q_join_full_outer", "q_join_salted", "q_agg_minmax",
     "q_agg_grouping_sets",
-    # --- everything below holds green r02/r03 rows and stays covered by
-    # the local oracle gate every session ---
     "q_win_ntile", "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery",
     "q_text_normalize", "q_dedup_contain", "q_bm25",
     "q_join_bloom", "q_anomaly", "q_hll_distinct", "q_pagerank",

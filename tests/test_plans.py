@@ -235,3 +235,26 @@ def test_cc_round_plan_is_one_join_one_agg(spark):
     assert equi == 2, f"expected nbr join + label-update join only, got {c}"
     assert c["HashAggregate"] == 2, f"expected one partial+final min agg, got {c}"
     assert c["Exchange hashpartitioning"] <= 4, f"round gained a shuffle: {c}"
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD-2 windows and the change-filter between them share one
+    (user_id, event_type) partitioning — exactly one shuffle Exchange."""
+    plan = _plan(spark, "q_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    """The wedge and closing joins must stay hash equi-joins — a
+    BroadcastNestedLoopJoin here means the orientation/canonical keys fell
+    out of the join condition and the plan went quadratic."""
+    plan = _plan(spark, "q_triangle_count")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_search_partial_topk(spark):
+    """Each modality list is cut with TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort of the corpus."""
+    plan = _plan(spark, "q_hybrid_search")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -144,3 +144,123 @@ def test_lsh_oversized_dim_fails_fast(spark, monkeypatch):
     monkeypatch.setattr(llmops, "_PLANE_MAX_DIM", 4)  # fixture dim is wider
     with pytest.raises(ValueError, match="_PLANE_MAX_DIM"):
         llmops.lsh_candidates(spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 2: percentile / SCD-2 / bucketed join / triangles / hybrid
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_matches_numpy(spark):
+    """The integer-exact interpolation must agree with numpy's 'linear'
+    percentile (the same textbook formula) on every fixture group."""
+    import numpy as np
+
+    from hadoop_distexec_spark.operators.relational_ext import q_agg_percentile
+    from hadoop_distexec_spark.sources.tables import table
+
+    got = {r["l_returnflag"]: r for r in q_agg_percentile(spark, SF).collect()}
+    vals = (
+        table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .toPandas()
+        .groupby("l_returnflag")["l_quantity"]
+    )
+    for g, s in vals:
+        for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            expect = float(np.percentile(s.to_numpy(), p, method="linear"))
+            assert got[g][col] == pytest.approx(expect, rel=1e-12), (g, col)
+        assert got[g]["median_ok"] is True
+        assert got[g]["n"] == len(s)
+
+
+def test_scd2_interval_invariants(spark):
+    """Per (user_id, event_type): intervals chain without gaps or overlap
+    (valid_to == next valid_from), exactly one open current row, and no
+    two consecutive intervals carry the same value."""
+    from collections import defaultdict
+
+    from hadoop_distexec_spark.operators.relational_ext import q_scd2
+
+    rows = q_scd2(spark, SF).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[(r["user_id"], r["event_type"])].append(r)
+    assert by_key, "no SCD-2 history produced"
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        currents = [r for r in ivs if r["is_current"]]
+        assert len(currents) == 1, key
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to_us"] is None, key
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], key
+            assert a["value"] != b["value"], (key, "unchanged value not compressed")
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The bucketed-table join must plan as a SortMergeJoin with no
+    Exchange and no explicit Sort on either side (bucket files are
+    written sorted). The query fn also self-asserts this; this test pins
+    it against Spark upgrades with the broadcast path disabled."""
+    from hadoop_distexec_spark.operators.relational_ext import bucketed_tables
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bc = bucketed_tables(spark, SF)
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented counting must equal brute-force enumeration on a
+    graph with a hub, a clique, and pendant edges."""
+    from itertools import combinations
+
+    from hadoop_distexec_spark.operators.llmops import triangle_counts
+
+    # K4 on 0-3, hub 0 also linked to 4,5,6; extra triangle (4,5) edge;
+    # pendant 6-7
+    edge_list = sorted(
+        {(a, b) for a, b in combinations(range(4), 2)}
+        | {(0, 4), (0, 5), (0, 6), (4, 5), (6, 7)}
+    )
+    adj = set(edge_list)
+    expected = {}
+    for x, y, z in combinations(range(8), 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    edges = spark.createDataFrame(edge_list, "va: long, vb: long")
+    got = {r["vec_id"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == expected
+
+
+def test_hybrid_search_rrf_sanity(spark):
+    """Fused list is rrf-descending with doc_id tiebreak; every rrf equals
+    the reciprocal-rank formula from its own rank columns; a doc present
+    in both modality lists outranks the reciprocal of either alone."""
+    from hadoop_distexec_spark.operators.llmops import (
+        HYBRID_RRF_K,
+        q_hybrid_search,
+    )
+
+    rows = q_hybrid_search(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = sum(
+            1.0 / (HYBRID_RRF_K + rank)
+            for rank in (r["lex_rank"], r["vec_rank"])
+            if rank is not None
+        )
+        assert r["rrf"] == pytest.approx(expect, rel=1e-15)
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    both = [r for r in rows if r["lex_rank"] is not None and r["vec_rank"] is not None]
+    if both:
+        single_max = 1.0 / (HYBRID_RRF_K + 1)
+        assert both[0]["rrf"] > single_max
