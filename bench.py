@@ -48,6 +48,13 @@ HEADLINE = [
     # split -> pack in one plan, measuring shared-intermediate reuse
     # across stages rather than per-operator cost (see SCALE.md)
     "q_corpus_pipeline",
+    # round-4 additions (new ids — absent from BENCH_r01..r03; the
+    # pre-round-4 subset stays round-over-round comparable)
+    "q_agg_percentile",
+    "q_scd2",
+    "q_join_bucketed",
+    "q_triangle_count",
+    "q_hybrid_search",
 ]
 
 HEADLINE_TRIALS = 3
