@@ -55,6 +55,8 @@ HEADLINE = [
     "q_join_bucketed",
     "q_triangle_count",
     "q_hybrid_search",
+    "q_funnel",
+    "q_retention",
 ]
 
 HEADLINE_TRIALS = 3

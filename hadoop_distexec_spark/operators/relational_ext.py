@@ -1366,3 +1366,129 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (SELECT user_id, MIN(ts_us) AS view_us
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(ts_us) AS click_us
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_us > view_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(ts_us) AS purchase_us
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_us > click_us
+          GROUP BY e.user_id)
+    SELECT u.user_id, view_us, click_us, purchase_us,
+           CASE WHEN purchase_us IS NOT NULL THEN 3
+                WHEN click_us IS NOT NULL THEN 2
+                WHEN view_us IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, strictly
+    increasing timestamps): per user, the earliest view, the earliest
+    click AFTER that view, the earliest purchase AFTER that click, and
+    the funnel stage reached. The ordering constraint is what makes this
+    a funnel, not three independent mins — a purchase before the first
+    view does not count.
+
+    Shape: three chained unbounded aggregate-windows over ONE user_id
+    partitioning — Catalyst stacks the Window operators on a single
+    Exchange (plan-gated: one hashpartitioning Exchange before the final
+    per-user collapse), so the sequential stage dependency costs no extra
+    shuffles. The oracle computes the same stages as chained filtered
+    aggregations and lets DuckDB pick its own plan."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id")
+    step1 = e.withColumn(
+        "view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    step2 = step1.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("view_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("click_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max("view_us").alias("view_us"),
+        F.max("click_us").alias("click_us"),
+        F.max("purchase_us").alias("purchase_us"),
+    )
+    stage = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .when(F.col("view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id", "view_us", "click_us", "purchase_us",
+        stage.alias("funnel_stage"),
+    )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+    SELECT cohort_day, (day - cohort_day) // 7 AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN first USING (user_id)
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (their
+    cohort), counted distinct in each subsequent week-offset bucket — the
+    activity-decay table behind every retention curve.
+
+    Determinism: day boundaries are integer division of epoch-micro
+    bigints (exact in both engines; timestamps never leave as raw
+    timestamps, functions/numeric.py rule 4).
+
+    Shape: one Exchange builds the per-user cohort table; it joins back
+    to events broadcast when it fits (the local plan) and as a user_id
+    equi-shuffle — the same key the aggregate already hashed — when it
+    doesn't; COUNT(DISTINCT user) runs as Spark's standard two-phase
+    distinct (dedup on (cohort, offset, user), then count). Output cells
+    are bounded by days x offsets regardless of event volume."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.expr("(day - cohort_day) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -69,21 +69,23 @@ def _load_modules() -> None:
 # COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
 # "suggested_window"): stalest-witness-first, so driver freshness stays
 # bounded across rounds (VERDICT r03 next-round #1 + #7). Tiers:
-#   0. the 5 round-4 additions (percentile, SCD-2, bucketed join,
-#      triangles, hybrid search) — never driver-witnessed,
+#   0. the 7 round-4 additions (percentile, SCD-2, bucketed join,
+#      triangles, hybrid search, funnel, retention) — never
+#      driver-witnessed,
 #   1. the 4 sketch ids whose r03-upgraded hash oracles (band-join SQL,
 #      decimal IVF, shared-plane LSH) were never driver-witnessed — their
 #      last driver rows are r01 rows-only,
-#   2. 41 of the 42 ids whose latest driver row is r01 (relational core,
-#      scalar fns, LLM text/dedup family) — q_multimodal_meta and the 4
-#      r02 ids rotate out to make room, per the computed window.
+#   2. 39 of the 42 ids whose latest driver row is r01 (relational core,
+#      scalar fns, LLM text/dedup family) — q_set_union/q_set_intersect/
+#      q_multimodal_meta and the 4 r02 ids rotate out to make room, per
+#      the computed window (each holds a green r01/r02 driver row).
 # Ids not listed keep registration order after these; every one holds a green
 # r01/r02/r03 row and remains covered by the byte-identical local oracle gate
 # (tests/test_oracle_parity.py) every session.
 _PRIORITY: list[str] = [
     # --- tier 0: round-4 additions, never driver-witnessed ---
     "q_agg_percentile", "q_scd2", "q_join_bucketed",
-    "q_triangle_count", "q_hybrid_search",
+    "q_triangle_count", "q_hybrid_search", "q_funnel", "q_retention",
     # --- tier 1: r03 oracle upgrades, never driver-hash-witnessed ---
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
     # --- tier 2: latest driver row is r01 (stalest hash-green cohort) ---
@@ -91,7 +93,7 @@ _PRIORITY: list[str] = [
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
     "q_join_multi",
     "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
-    "q_set_union", "q_set_except", "q_set_intersect",
+    "q_set_except",
     "q_pivot", "q_unpivot",
     "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array",
     "q_agg_stats", "q_agg_collect", "q_agg_median",
@@ -103,7 +105,7 @@ _PRIORITY: list[str] = [
     "q_multimodal_frames",
     # --- everything below holds a green r01/r02/r03 row and stays covered
     # by the local oracle gate every session ---
-    "q_multimodal_meta",
+    "q_set_union", "q_set_intersect", "q_multimodal_meta",
     "q_join_full_outer", "q_join_salted", "q_agg_minmax",
     "q_agg_grouping_sets",
     "q_win_ntile", "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery",

@@ -258,3 +258,10 @@ def test_hybrid_search_partial_topk(spark):
     per-partition top-k), never a global Sort of the corpus."""
     plan = _plan(spark, "q_hybrid_search")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_single_exchange(spark):
+    """The three chained funnel-stage windows and the per-user collapse
+    all share one user_id partitioning — exactly one shuffle Exchange."""
+    plan = _plan(spark, "q_funnel")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -264,3 +264,58 @@ def test_hybrid_search_rrf_sanity(spark):
     if both:
         single_max = 1.0 / (HYBRID_RRF_K + 1)
         assert both[0]["rrf"] > single_max
+
+
+def test_funnel_stage_ordering_invariants(spark):
+    """Stage timestamps must be strictly increasing where present, stage
+    must match exactly which timestamps are set, and the per-user result
+    must equal a driver-side recompute of the chained-min definition."""
+    from hadoop_distexec_spark.operators.relational_ext import q_funnel
+    from hadoop_distexec_spark.sources.tables import table
+
+    got = {r["user_id"]: r for r in q_funnel(spark, SF).collect()}
+    ev = (
+        table(spark, SF, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .toPandas()
+    )
+    assert set(got) == set(ev["user_id"].unique())
+    for uid, g in ev.groupby("user_id"):
+        def first_after(kind, after):
+            ts = g[(g["event_type"] == kind) & (g["ts_us"] > after)]["ts_us"]
+            return int(ts.min()) if len(ts) else None
+
+        v = first_after("view", -1)
+        c = first_after("click", v) if v is not None else None
+        p = first_after("purchase", c) if c is not None else None
+        r = got[uid]
+        assert (r["view_us"], r["click_us"], r["purchase_us"]) == (v, c, p), uid
+        expect_stage = 3 if p else 2 if c else 1 if v else 0
+        assert r["funnel_stage"] == expect_stage, uid
+        if p is not None:
+            assert v < c < p
+
+
+def test_retention_offset_zero_equals_cohort_size(spark):
+    """Every user is active in their own first week, so the offset-0 cell
+    equals the cohort's size and no later cell exceeds it."""
+    from collections import Counter
+
+    from hadoop_distexec_spark.operators.relational_ext import (
+        _US_PER_DAY,
+        q_retention,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    rows = q_retention(spark, SF).collect()
+    ev = (
+        table(spark, SF, "events")
+        .select("user_id", F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day"))
+        .toPandas()
+    )
+    cohort_sizes = Counter(ev.groupby("user_id")["day"].min())
+    zero = {r["cohort_day"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    assert zero == dict(cohort_sizes)
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_users"] <= cohort_sizes[r["cohort_day"]]
