@@ -558,20 +558,30 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_COS_THRESHOLD = 0.2  # near-dup cosine cutoff (Spark filter + oracles)
+
+# the label-blocked exact-decimal cosine edge set, shared by the
+# q_dedup_embed oracle and every oracle built on its pair graph
+# (q_triangle_count) — one definition, so threshold/blocking changes
+# cannot drift between them
+_EMBED_EDGES_SQL = f"""en AS (
+      SELECT vec_id, label, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+               / SQRT(a.norm2 * b.norm2) AS cosine
+      FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
+               / SQRT(a.norm2 * b.norm2) >= {EMBED_COS_THRESHOLD})"""
+
+
 @register(
     "q_dedup_embed",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding,
-             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
-      FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
-             / SQRT(a.norm2 * b.norm2) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
-             / SQRT(a.norm2 * b.norm2) >= 0.2
+    WITH {_EMBED_EDGES_SQL}
+    SELECT vec_a, vec_b, cosine FROM edges
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,9 +625,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(dbl_cos >= 0.2 - 1e-6)  # cheap prefilter; see docstring
+        # cheap prefilter; see docstring
+        .filter(dbl_cos >= EMBED_COS_THRESHOLD - 1e-6)
         .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= 0.2)
+        .filter(F.col("cosine") >= EMBED_COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -2594,26 +2605,15 @@ def _lm_score_plan(bi: DataFrame) -> DataFrame:
 # round 4: graph triangle counting, hybrid (lexical + vector) retrieval
 # ---------------------------------------------------------------------------
 
-_EMBED_PAIRS_SQL = f"""en AS (
-      SELECT vec_id, label, embedding,
-             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
-      FROM embeddings),
-    edges AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_DEC_DOT.format(a='a.embedding', b='b.embedding')}
-              / SQRT(a.norm2 * b.norm2) >= 0.2)"""
-
-
 @register(
     "q_triangle_count",
     oracle=f"""
-    WITH {_EMBED_PAIRS_SQL},
+    WITH {_EMBED_EDGES_SQL},
     tri AS (
-      SELECT p1.va AS x, p1.vb AS y, p2.vb AS z
+      SELECT p1.vec_a AS x, p1.vec_b AS y, p2.vec_b AS z
       FROM edges p1
-      JOIN edges p2 ON p2.va = p1.vb
-      JOIN edges p3 ON p3.va = p1.va AND p3.vb = p2.vb),
+      JOIN edges p2 ON p2.vec_a = p1.vec_b
+      JOIN edges p3 ON p3.vec_a = p1.vec_a AND p3.vec_b = p2.vec_b),
     verts AS (SELECT UNNEST([x, y, z]) AS vec_id FROM tri)
     SELECT vec_id, COUNT(*) AS n_tri FROM verts GROUP BY vec_id
     """,
@@ -2633,8 +2633,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hub that would produce deg^2 wedges has the highest key, so its
     star is enumerated at its *neighbors*, never at the hub — making the
     wedge join's fan-out survivable at 100 TB where a naive
-    neighbors-of-neighbors join is quadratic in the hub degree. Three hash
-    equi-joins total (two degree lookups, one closing join), no windows.
+    neighbors-of-neighbors join is quadratic in the hub degree. Four hash
+    equi-joins total (two degree lookups, the wedge self-join on src —
+    the one orientation tames — and one closing join), no windows.
 
     The oracle counts the same triangles directly as ordered id-triples
     a<b<c (DuckDB's optimizer is welcome to its own plan); each triangle

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoop_distexec_spark.functions.numeric import SQL_REVENUE, revenue_expr
+from hadoop_distexec_spark.functions.numeric import SQL_REVENUE, dsum, revenue_expr
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
@@ -1248,13 +1248,17 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
       FROM events),
     c AS (
-      SELECT *, LAG(value) OVER
+      SELECT *,
+             LAG(value) OVER
                (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
-             AS prev_v
+               AS prev_v,
+             ROW_NUMBER() OVER
+               (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+               AS rn
       FROM e),
     chg AS (
       SELECT user_id, event_type, ts_us, event_id, value FROM c
-      WHERE prev_v IS NULL OR prev_v <> value)
+      WHERE rn = 1 OR prev_v IS DISTINCT FROM value)
     SELECT user_id, event_type, value,
            ts_us AS valid_from_us,
            LEAD(ts_us) OVER
@@ -1274,6 +1278,12 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead() closes each surviving interval; the open interval is flagged
     is_current.
 
+    The change test is NULL-safe (IS DISTINCT FROM / eqNullSafe): a
+    value->NULL transition opens a NULL-valued interval and NULL->value
+    closes it, instead of the naive `<>` silently dropping the NULL
+    period; the first row per key is kept by rank, not by `lag IS NULL`,
+    so a history that STARTS with a NULL value is still recorded.
+
     Shape: both windows share the (user_id, event_type) partitioning, so
     the whole build rides ONE Exchange — the change-filter between them
     preserves partitioning (no second shuffle; plan-gated in
@@ -1283,9 +1293,18 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type",
         F.unix_micros("ts").alias("ts_us"), "event_id", "value",
     )
+    return scd2_intervals(e)
+
+
+def scd2_intervals(e: DataFrame) -> DataFrame:
+    """The SCD-2 build over a (user_id, event_type, ts_us, event_id,
+    value) frame — see q_scd2; NULL-transition semantics are pytest-gated
+    (tests/test_round4_ops.py)."""
     w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-    chg = e.withColumn("prev_v", F.lag("value").over(w)).filter(
-        F.col("prev_v").isNull() | (F.col("prev_v") != F.col("value"))
+    chg = e.withColumns(
+        {"prev_v": F.lag("value").over(w), "rn": F.row_number().over(w)}
+    ).filter(
+        (F.col("rn") == 1) | ~F.col("prev_v").eqNullSafe(F.col("value"))
     )
     to = F.lead("ts_us").over(w)
     return chg.select(
@@ -1358,9 +1377,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucketed join must be shuffle-free:\n" + plan
         )
         out = j.groupBy("c_mktsegment").agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("segment_total"),
+            dsum("o_totalprice", "segment_total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         return out.localCheckpoint(eager=True)

@@ -265,3 +265,22 @@ def test_funnel_single_exchange(spark):
     all share one user_id partitioning — exactly one shuffle Exchange."""
     plan = _plan(spark, "q_funnel")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The bucketed-table join must plan as a SortMergeJoin with no
+    Exchange and no explicit Sort on either side (bucket files are
+    written sorted). The query fn also self-asserts this; this test pins
+    it against Spark upgrades with the broadcast path disabled."""
+    from hadoop_distexec_spark.operators.relational_ext import bucketed_tables
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bc = bucketed_tables(spark, SF_ORACLE)
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -141,17 +141,18 @@ def test_priority_ids_all_registered():
 def test_priority_window_holds_round4_ids():
     """The round-4 must-witness set sits inside the first 50 registry
     entries — the observed driver CORRECTNESS budget. Round 4 leads with
-    the 5 never-witnessed round-4 additions, then the 4 sketch ids whose
+    the 7 never-witnessed round-4 additions, then the 4 sketch ids whose
     r03-upgraded hash oracles were never driver-witnessed (VERDICT r03
-    #1), then the r01-latest cohort (q_multimodal_meta and the 4 r02 ids
-    rotate out per the computed ledger window — each holds a green r01/r02
-    driver row). Proven r02/r03 greens rotated out by design."""
+    #1), then the r01-latest cohort (q_set_union/q_set_intersect/
+    q_multimodal_meta and the 4 r02 ids rotate out per the computed ledger
+    window — each holds a green r01/r02 driver row). Proven r02/r03
+    greens rotated out by design."""
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
         # round-4 additions, never driver-witnessed
         "q_agg_percentile", "q_scd2", "q_join_bucketed",
-        "q_triangle_count", "q_hybrid_search",
+        "q_triangle_count", "q_hybrid_search", "q_funnel", "q_retention",
         # r03 oracle upgrades, last driver row is r01 rows-only
         "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
         # spot-checks from the r01-latest cohort

@@ -197,25 +197,6 @@ def test_scd2_interval_invariants(spark):
             assert a["value"] != b["value"], (key, "unchanged value not compressed")
 
 
-def test_bucketed_join_is_shuffle_free(spark):
-    """The bucketed-table join must plan as a SortMergeJoin with no
-    Exchange and no explicit Sort on either side (bucket files are
-    written sorted). The query fn also self-asserts this; this test pins
-    it against Spark upgrades with the broadcast path disabled."""
-    from hadoop_distexec_spark.operators.relational_ext import bucketed_tables
-
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bo, bc = bucketed_tables(spark, SF)
-        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan, plan
-        assert "Exchange" not in plan, plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-
-
 def test_triangle_counts_match_bruteforce(spark):
     """Degree-oriented counting must equal brute-force enumeration on a
     graph with a hub, a clique, and pendant edges."""
@@ -281,16 +262,20 @@ def test_funnel_stage_ordering_invariants(spark):
     )
     assert set(got) == set(ev["user_id"].unique())
     for uid, g in ev.groupby("user_id"):
-        def first_after(kind, after):
-            ts = g[(g["event_type"] == kind) & (g["ts_us"] > after)]["ts_us"]
+        def first_after(kind, after=None):
+            ts = g[g["event_type"] == kind]["ts_us"]
+            if after is not None:
+                ts = ts[ts > after]
             return int(ts.min()) if len(ts) else None
 
-        v = first_after("view", -1)
+        v = first_after("view")
         c = first_after("click", v) if v is not None else None
         p = first_after("purchase", c) if c is not None else None
         r = got[uid]
         assert (r["view_us"], r["click_us"], r["purchase_us"]) == (v, c, p), uid
-        expect_stage = 3 if p else 2 if c else 1 if v else 0
+        expect_stage = (
+            3 if p is not None else 2 if c is not None else 1 if v is not None else 0
+        )
         assert r["funnel_stage"] == expect_stage, uid
         if p is not None:
             assert v < c < p
@@ -319,3 +304,37 @@ def test_retention_offset_zero_equals_cohort_size(spark):
     for r in rows:
         assert r["week_offset"] >= 0
         assert 0 < r["n_users"] <= cohort_sizes[r["cohort_day"]]
+
+
+def test_scd2_null_value_transitions(spark):
+    """value->NULL opens a NULL interval, NULL->value closes it, and a
+    history STARTING with NULL is recorded — the IS DISTINCT FROM
+    semantics (a naive <> drops the NULL period entirely)."""
+    from hadoop_distexec_spark.operators.relational_ext import scd2_intervals
+
+    rows = [
+        # key A: A -> NULL -> A (same value resumes after a NULL gap)
+        (1, "x", 100, 1, 5.0),
+        (1, "x", 200, 2, None),
+        (1, "x", 300, 3, 5.0),
+        # key B: starts NULL, then a value
+        (2, "x", 100, 4, None),
+        (2, "x", 200, 5, 7.0),
+        # key C: NULL run compresses to one interval
+        (3, "x", 100, 6, None),
+        (3, "x", 200, 7, None),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id: long, event_type: string, ts_us: long, event_id: long, value: double"
+    )
+    got = {
+        u: [(r["value"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+            for r in rs]
+        for u, rs in __import__("itertools").groupby(
+            sorted(scd2_intervals(e).collect(), key=lambda r: (r["user_id"], r["valid_from_us"])),
+            key=lambda r: r["user_id"],
+        )
+    }
+    assert got[1] == [(5.0, 100, 200, False), (None, 200, 300, False), (5.0, 300, None, True)]
+    assert got[2] == [(None, 100, 200, False), (7.0, 200, None, True)]
+    assert got[3] == [(None, 100, None, True)]
