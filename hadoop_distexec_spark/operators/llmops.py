@@ -2793,3 +2793,187 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(HYBRID_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# round-4b: corpus sampling / mixing / BPE statistics
+# ---------------------------------------------------------------------------
+
+_WS_RATE_NUM = 1  # weighted-sample base rate numerator ..
+_WS_RATE_DEN = 2  # .. and denominator: p(doc) = (1/2) * n_chars / max_chars
+_POW60 = 1 << 60
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS u_int
+      FROM documents),
+    mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM keyed, mx
+    WHERE CAST(u_int AS HUGEINT) * max_chars * {_WS_RATE_DEN}
+          < CAST({_POW60} AS HUGEINT) * n_chars * {_WS_RATE_NUM}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli corpus sampling (importance sampling for a
+    training mix): each document is kept with probability
+    (1/2) * n_chars / max_chars — longer documents proportionally more
+    likely — using the split_train_test md5-uniform idea so the sample is
+    deterministic and retry-stable.
+
+    Determinism: the inclusion test is a PURE INTEGER predicate —
+    u_int * max_chars * 2 < 2^60 * n_chars — evaluated in decimal(38,0)
+    on Spark and HUGEINT in DuckDB, both exact, so the kept set is
+    bit-identical with no float anywhere.
+
+    Shape at 100 TB: one scalar aggregate (max weight) broadcast into a
+    stateless per-row filter — zero data shuffles; the filter pushes into
+    the scan stage. This is the scale-correct form of weighted sampling
+    (an Efraimidis-Spirakis top-k would pay a global sort for an exact
+    sample size; the Bernoulli form trades +/-sqrt(n) size variance for
+    shuffle-freedom)."""
+    docs = table(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")), "UTF-8")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(
+            u_int * F.col("max_chars").cast("decimal(38,0)") * _WS_RATE_DEN
+            < F.lit(_POW60).cast("decimal(38,0)")
+            * F.col("n_chars").cast("decimal(38,0)")
+            * _WS_RATE_NUM
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+MIX_PER_SOURCE = 20  # per-source document quota in the mixed corpus
+
+
+@register(
+    "q_data_mix",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS mix_key
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY mix_key, doc_id) AS rn
+      FROM keyed),
+    taken AS (SELECT * FROM ranked WHERE rn <= {MIX_PER_SOURCE})
+    SELECT k.source,
+           COUNT(*) AS n_available,
+           LEAST(COUNT(*), {MIX_PER_SOURCE}) AS quota,
+           (SELECT COUNT(*) FROM taken t WHERE t.source = k.source) AS n_taken,
+           (SELECT CAST(SUM(t.doc_id) AS BIGINT) FROM taken t
+            WHERE t.source = k.source) AS id_checksum
+    FROM keyed k GROUP BY k.source
+    """,
+)
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composer: cap every source at a fixed per-source
+    quota, choosing WHICH documents deterministically by md5 order (so
+    re-runs and incremental refreshes pick the same mix). Output is the
+    per-source mix report: available docs, quota, taken count, and an
+    exact bigint checksum of the taken doc_ids (proves the selected SET
+    matches, not just its size).
+
+    Shape: one source Exchange shared by the row_number window and both
+    aggregates. At 100 TB the window-over-giant-source-partition is the
+    hazard; the fix is the two-phase per-partition prefix-count pattern
+    already implemented in q_pack_sequences_dist (rank only within
+    hash-partition, then offset by the partition prefix sum) — the
+    semantics here are identical, so the quota cut needs no global
+    sort."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), "UTF-8")
+        ).alias("mix_key"),
+    )
+    w = W.partitionBy("source").orderBy("mix_key", "doc_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    taken = ranked.where(F.col("rn") <= MIX_PER_SOURCE)
+    avail = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_available"))
+    got = taken.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return (
+        avail.join(got, "source", "left")
+        .select(
+            "source",
+            "n_available",
+            F.least(F.col("n_available"), F.lit(MIX_PER_SOURCE))
+            .cast("long")
+            .alias("quota"),
+            "n_taken",
+            "id_checksum",
+        )
+    )
+
+
+BPE_TOPK = 20  # merge candidates reported per round
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i
+            FROM words WHERE length(w) >= 2))
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot inner statistic of BPE tokenizer training: adjacent
+    symbol-pair frequencies over the corpus (characters within
+    whitespace words, the round-0 symbol alphabet), reported as the
+    top-K merge candidates with the (count desc, pair asc) deterministic
+    tiebreak.
+
+    Shape: explode to pairs (flatMap in codegen — transform+sequence,
+    no Python), hash-aggregate on the pair (partial map-side combine
+    does nearly all the reduction: the pair alphabet is at most
+    |chars|^2), then TakeOrderedAndProject for the top-K — no global
+    sort. This is exactly the statistic a distributed BPE trainer
+    recomputes per merge round; the full trainer loops this plan with a
+    broadcast merge table, same as q_kmeans loops its assignment
+    plan."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOPK)
+    )

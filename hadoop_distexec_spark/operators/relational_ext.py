@@ -1509,3 +1509,368 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4b: path/behavior analytics over the events stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type) AS prob
+    FROM t
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (prev_type -> next_type) adjacent pair (ordered by timestamp
+    with event_id as the unique tiebreaker, numeric rule 5), the
+    transition count and the row-normalized probability.
+
+    Determinism: counts are exact ints; prob is ONE double division of
+    two bigints (numeric rule 2) — bit-identical across engines.
+
+    Shape: one user_id Exchange feeds the lag window; the pair aggregate
+    reduces to at most |event_types|^2 rows, so the normalizing window
+    over prev_type runs on a trivially small table. At 100 TB the only
+    real shuffle is the per-user sequence partitioning — the same key
+    every sessionization op already hashes — and AQE coalesces the
+    k^2-row tail."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wnorm = W.partitionBy("prev_type")
+    return t.withColumn(
+        "prob",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wnorm),
+    )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events)
+    SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch_type, '(none)')
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRECEDING non-purchase event of the same user (the "touch");
+    output is purchases and decimal-exact attributed value per touch
+    channel, '(none)' for purchases with no prior touch.
+
+    Shape: the ignore-nulls last_value rides the same single user_id
+    Exchange as every sequence op (window frame is rows-bounded, so
+    Spark streams it without buffering whole partitions); the final
+    aggregate reduces to |event_types| rows. No joins — the classic
+    as-of-style attribution join is expressed as a window, which is the
+    shuffle-minimal formulation at any scale."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch_type", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "attributed_value"),
+        )
+    )
+
+
+_MERGE_GAP_US = 300_000_000  # events within 5 min merge into one interval
+
+
+@register(
+    "q_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_MERGE_GAP_US} AS e,
+             event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS start_us, MAX(e) AS end_us
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens a 5-minute
+    activity interval; overlapping/touching intervals per user merge into
+    islands, and the output is each user's island count and total covered
+    time. (NULL-safe: the first row's running max is NULL, and NULL > s
+    is false -> flagged 0, so island numbering starts at 0 for every
+    user in BOTH engines.)
+
+    Determinism: all arithmetic is bigint epoch-micros (numeric rule 4);
+    the island flag and running sum use rows-frames over the unique
+    (s, event_id) order.
+
+    Shape: the canonical two-window island pattern — running max of
+    interval end, then a running sum of the new-island flag — stacked on
+    ONE user_id Exchange (both windows share partitioning + ordering, so
+    Catalyst fuses them into a single sort). The merge aggregate reuses
+    the same hash key. At 100 TB this is strictly cheaper than any
+    self-join formulation of interval overlap (which would be O(n^2) per
+    hot user)."""
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_MERGE_GAP_US)).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"), F.max("e").alias("end_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("end_us") - F.col("start_us")).alias("covered_us"),
+    )
+
+
+@register(
+    "q_win_cume",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    WINDOW w AS (PARTITION BY l_linestatus
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distribution windows (percent_rank + cume_dist) over
+    returned lineitems within each linestatus — the remaining two members
+    of the rank-function family (q_win_rank covers rank/dense_rank,
+    q_win_ntile the quantile buckets).
+
+    Determinism: the ORDER BY key is unique (price, orderkey,
+    linenumber), so rank has no peer groups to disagree on;
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are each one
+    IEEE division of exact ints (numeric rule 2).
+
+    Shape: pushed filter (l_returnflag = 'R' reaches the parquet scan),
+    then one l_linestatus Exchange shared by both window functions."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    w = W.partitionBy("l_linestatus").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over parts: minimize p_retailprice,
+    maximize p_size; a part survives iff no other part is at least as
+    good on both dimensions and strictly better on one.
+
+    The oracle states the O(n^2) NOT EXISTS definition; the Spark plan
+    is the O(n log n) sweep: collapse to one row per distinct price
+    (keeping the max size and its multiplicity), run a running max of
+    size over strictly-cheaper prices, then join the per-price verdict
+    back. A part is dominated iff a cheaper price level reaches its size
+    (prev_max >= size) or its own price level holds a strictly larger
+    size.
+
+    Shape at 100 TB: one price aggregate (shuffle on price), a window
+    over the distinct-price table (orders of magnitude smaller than the
+    input), and a broadcast join back — no self-join of the full table
+    anywhere. Comparisons are exact (same doubles both engines)."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("price_max_size")
+    )
+    w_cheaper = (
+        W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    )
+    verdict = per_price.withColumn(
+        "prev_max_size", F.max("price_max_size").over(w_cheaper)
+    )
+    return (
+        p.join(F.broadcast(verdict), "p_retailprice")
+        .where(
+            (
+                F.col("prev_max_size").isNull()
+                | (F.col("prev_max_size") < F.col("p_size"))
+            )
+            & (F.col("price_max_size") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@register(
+    "q_ab_lift",
+    oracle="""
+    WITH purch AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant, value
+      FROM events WHERE event_type = 'purchase'),
+    stats AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean_value,
+             (CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE)
+              - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                     AS DOUBLE)
+                * (CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*)))
+             / (COUNT(*) - 1) AS var_value
+      FROM purch GROUP BY variant)
+    SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_control,
+           MAX(CASE WHEN variant = 1 THEN n END) AS n_treatment,
+           MAX(CASE WHEN variant = 0 THEN mean_value END) AS mean_control,
+           MAX(CASE WHEN variant = 1 THEN mean_value END) AS mean_treatment,
+           MAX(CASE WHEN variant = 1 THEN mean_value END)
+             - MAX(CASE WHEN variant = 0 THEN mean_value END) AS lift_abs,
+           (MAX(CASE WHEN variant = 1 THEN mean_value END)
+             - MAX(CASE WHEN variant = 0 THEN mean_value END))
+           / SQRT(MAX(CASE WHEN variant = 1 THEN var_value END)
+                    / MAX(CASE WHEN variant = 1 THEN n END)
+                  + MAX(CASE WHEN variant = 0 THEN var_value END)
+                    / MAX(CASE WHEN variant = 0 THEN n END)) AS z_score
+    FROM stats
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test lift report: users split into control/treatment by
+    user_id parity (deterministic, the split_train_test hashing idea),
+    purchase value compared via Welch's z-score.
+
+    Determinism: sums are decimal-cast (values and squares, numeric
+    rule 1); mean and sample variance are then fixed double expression
+    trees over exact aggregates; sqrt is a single correctly-rounded IEEE
+    op. The two-row stats table collapses to one row with conditional
+    MAX — no ordering anywhere.
+
+    Shape: one variant aggregate (2 groups — partial agg does all the
+    work map-side), then a 2-row final collapse. Scales as a pure scan;
+    nothing here depends on data volume beyond the scan itself."""
+    purch = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "value"
+        )
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    dec_sumsq = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    stats = purch.groupBy("variant").agg(
+        n.alias("n"),
+        dec_sum.alias("revenue"),
+        (dec_sum / n).alias("mean_value"),
+        ((dec_sumsq - dec_sum * (dec_sum / n)) / (n - F.lit(1))).alias(
+            "var_value"
+        ),
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    lift = pick(1, "mean_value") - pick(0, "mean_value")
+    z = lift / F.sqrt(
+        pick(1, "var_value") / pick(1, "n") + pick(0, "var_value") / pick(0, "n")
+    )
+    return stats.agg(
+        pick(0, "n").alias("n_control"),
+        pick(1, "n").alias("n_treatment"),
+        pick(0, "mean_value").alias("mean_control"),
+        pick(1, "mean_value").alias("mean_treatment"),
+        lift.alias("lift_abs"),
+        z.alias("z_score"),
+    )

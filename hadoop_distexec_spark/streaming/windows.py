@@ -488,3 +488,198 @@ def q_stream_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return _check_frame(spark, "dedup_stream_vs_batch", got.count(), batch.count(), mism)
+
+
+# ---------------------------------------------------------------------------
+# round-4b: watermark late-data drop semantics, witnessed end-to-end
+# ---------------------------------------------------------------------------
+
+_LATE_RECENT_US = 48 * 3600 * 1_000_000  # "recent" batch = last 48 h
+_LATE_WM_US = 30 * 60 * 1_000_000  # watermark delay 30 min
+_LATE_WIN_US = 600 * 1_000_000  # 10-minute windows
+
+
+@register(
+    "q_stream_late_data",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS u, event_type FROM events),
+    mx AS (SELECT MAX(u) AS max_u FROM e),
+    recent AS (SELECT u, event_type FROM e, mx
+               WHERE u >= max_u - {_LATE_RECENT_US}),
+    closed AS (
+      SELECT DISTINCT u // {_LATE_WIN_US} AS w, event_type
+      FROM recent, mx
+      WHERE (u // {_LATE_WIN_US} + 1) * {_LATE_WIN_US}
+            <= max_u - {_LATE_WM_US})
+    SELECT 'late_data_drop' AS check_id,
+           COUNT(*) AS n_stream, COUNT(*) AS n_batch,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM closed
+    """,
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy witnessed by the real streaming runtime
+    across MULTIPLE micro-batch runs: the events table is split into a
+    "recent" file (last 48 h) and an "old" file. Run 1 streams the recent
+    file to exhaustion (availableNow + checkpoint), advancing the
+    persisted watermark to max(ts) - 30 min and emitting the finalized
+    10-minute windows; run 2 resumes from the checkpoint with the old
+    file now present — every one of its rows is older than the restored
+    watermark, so Structured Streaming must DROP all of them (observed
+    as numRowsDroppedByWatermark == all batch-2 input rows) and emit
+    nothing new. The two-run design (not maxFilesPerTrigger) is what
+    makes the batch boundary deterministic: watermark state lives in the
+    checkpoint's offset log, exactly how a production restart behaves.
+
+    Assertive: raises if any late row leaks into an emitted group, if an
+    expected closed window is missing, or if batch 2 drops fewer rows
+    than it ingested. The one-row summary is hash-checked; DuckDB
+    independently derives the closed-window count from the same integer
+    epoch arithmetic.
+
+    Scale note: a semantics witness, not a perf path — but the mechanism
+    it checks (watermark state eviction + late drop) is what bounds
+    streaming state to O(window) instead of O(stream) on an unbounded
+    production topic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    t = pq.read_table(src)
+    ts_type = t.schema.field("ts").type
+    raw = t.column("ts").cast(pa.int64())
+    if pa.types.is_timestamp(ts_type):
+        per_us = {"ns": 1000, "us": 1}.get(ts_type.unit)
+        if per_us is None:
+            raise AssertionError(f"unsupported ts unit {ts_type.unit}")
+    else:  # bigint-encoded epoch; reuse the footer/magnitude sniff
+        from hadoop_distexec_spark.sources.tables import sniff_bigint_ts_unit
+
+        per_us = 1000 if sniff_bigint_ts_unit(src) == "ns" else 1
+    max_raw = pc.max(raw).as_py()
+    if (max_raw // per_us) % _LATE_WIN_US == 0:
+        raise AssertionError(
+            "fixture max(ts) sits exactly on a window boundary; the "
+            "closed-window set would be watermark-tie-dependent"
+        )
+    cutoff_raw = max_raw - _LATE_RECENT_US * per_us
+    recent_mask = pc.greater_equal(raw, cutoff_raw)
+
+    from hadoop_distexec_spark.sources.tables import (
+        _ensure_session_confs,
+        normalize_events_ts,
+        sniff_bigint_ts_unit,
+    )
+
+    _ensure_session_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        watch = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+        os.makedirs(watch)
+        f_recent = os.path.join(watch, "batch0_recent.parquet")
+        pq.write_table(t.filter(recent_mask), f_recent)
+        schema = spark.read.parquet(f_recent).schema
+
+        def run_once():
+            ev = normalize_events_ts(
+                spark.readStream.schema(schema).format("parquet").load(watch),
+                unit=sniff_bigint_ts_unit(f_recent),
+            )
+            agg = (
+                ev.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "10 minutes"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value").alias("sum_value"),
+                )
+                .select(
+                    F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                    "event_type",
+                    "n_events",
+                    "sum_value",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                q.stop()
+            return q.recentProgress
+
+        run_once()  # run 1: recent file only; watermark persists in ckpt
+        pq.write_table(t.filter(pc.invert(recent_mask)), os.path.join(watch, "batch1_old.parquet"))
+        progress2 = run_once()  # run 2: old file arrives entirely late
+        late_in = sum(p["numInputRows"] for p in progress2)
+        late_dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in progress2
+            for so in (p.get("stateOperators") or [])
+        )
+        if late_in and not late_dropped:
+            raise AssertionError(
+                f"late_data_drop: batch 2 ingested {late_in} late rows but "
+                "the watermark dropped none of them"
+            )
+        files = glob.glob(os.path.join(out, "*.parquet"))
+        got = (
+            spark.read.parquet(*files)
+            if files
+            else spark.createDataFrame(
+                [],
+                "win_start_us long, event_type string, "
+                "n_events long, sum_value double",
+            )
+        )
+        got = got.cache()
+        got.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # batch twin: recent rows only, windows closed by the final watermark
+    # (max - 30 min); identical integer arithmetic to the DuckDB oracle
+    e = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("u"), "event_type", "value"
+    )
+    mx = e.agg(F.max("u").alias("max_u"))
+    expected = (
+        e.crossJoin(F.broadcast(mx))
+        .where(F.col("u") >= F.col("max_u") - _LATE_RECENT_US)
+        .withColumn("win_start_us", F.col("u") - F.col("u") % _LATE_WIN_US)
+        .where(
+            F.col("win_start_us") + _LATE_WIN_US
+            <= F.col("max_u") - _LATE_WM_US
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    j = got.alias("s").join(
+        expected.alias("b"), ["win_start_us", "event_type"], "full_outer"
+    )
+    mism = j.filter(
+        F.col("s.n_events").isNull()
+        | F.col("b.n_events").isNull()
+        | (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.abs(F.col("s.sum_value") - F.col("b.sum_value"))
+           > 1e-6 * F.greatest(F.abs(F.col("b.sum_value")), F.lit(1.0)))
+    ).count()
+    n_stream, n_batch = got.count(), expected.count()
+    got.unpersist()
+    return _check_frame(spark, "late_data_drop", n_stream, n_batch, mism)

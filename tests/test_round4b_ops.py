@@ -1,0 +1,234 @@
+"""Semantic invariants for the round-4b analytics / corpus-pipeline
+operators (auto-parity vs DuckDB is covered by test_oracle_parity; these
+pin the semantics the oracle can't see — brute-force equivalence, plan
+shape, exact-arithmetic recomputation)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark import registry
+from hadoop_distexec_spark.operators import llmops
+from hadoop_distexec_spark.sources.tables import table
+from tests.conftest import SF_SMALL, SF_ORACLE
+
+SPECS = registry.specs()
+
+
+def _run(spark, qid, sf=SF_SMALL):
+    return SPECS[qid].fn(spark, sf)
+
+
+def _plan(spark, qid, sf=SF_ORACLE):
+    return _run(spark, qid, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+# --- q_event_transitions ---------------------------------------------------
+
+
+def test_transition_probs_sum_to_one(spark):
+    rows = _run(spark, "q_event_transitions").collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], 0.0)
+        by_prev[r["prev_type"]] += r["prob"]
+        assert r["n_transitions"] > 0
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, f"{prev}: probs sum to {total}"
+
+
+def test_transitions_count_matches_sequences(spark):
+    # total transitions == total events - distinct users (each user's
+    # first event has no predecessor)
+    e = table(spark, SF_SMALL, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    total = sum(
+        r["n_transitions"] for r in _run(spark, "q_event_transitions").collect()
+    )
+    assert total == n_events - n_users
+
+
+# --- q_attribution ---------------------------------------------------------
+
+
+def test_attribution_covers_every_purchase(spark):
+    e = table(spark, SF_SMALL, "events")
+    n_purch = e.where(F.col("event_type") == "purchase").count()
+    rows = _run(spark, "q_attribution").collect()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert all(r["touch_type"] != "purchase" for r in rows)
+
+
+# --- q_interval_merge ------------------------------------------------------
+
+
+def test_interval_merge_matches_driver_recompute(spark):
+    gap = 300_000_000
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", F.unix_micros("ts").alias("u"))
+        .collect()
+    )
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r["u"])
+    expect = {}
+    for uid, us in per_user.items():
+        us.sort()
+        n, covered, cur_s, cur_e = 0, 0, None, None
+        for u in us:
+            if cur_e is None or u > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                n += 1
+                cur_s, cur_e = u, u + gap
+            else:
+                cur_e = max(cur_e, u + gap)
+        covered += cur_e - cur_s
+        expect[uid] = (n, covered)
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered_us"])
+        for r in _run(spark, "q_interval_merge").collect()
+    }
+    assert got == expect
+
+
+# --- q_win_cume ------------------------------------------------------------
+
+
+def test_win_cume_bounds_and_monotonicity(spark):
+    rows = _run(spark, "q_win_cume").collect()
+    assert rows, "empty result"
+    for r in rows:
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+
+
+# --- q_pareto_frontier -----------------------------------------------------
+
+
+def test_pareto_matches_bruteforce(spark):
+    parts = (
+        table(spark, SF_SMALL, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    pts = [(r["p_partkey"], r["p_retailprice"], r["p_size"]) for r in parts]
+    frontier = set()
+    for k, price, size in pts:
+        dominated = any(
+            qp <= price and qs >= size and (qp < price or qs > size)
+            for _, qp, qs in pts
+        )
+        if not dominated:
+            frontier.add(k)
+    got = {r["p_partkey"] for r in _run(spark, "q_pareto_frontier").collect()}
+    assert got == frontier
+
+
+def test_pareto_plan_has_no_nested_loop(spark):
+    plan = _plan(spark, "q_pareto_frontier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- q_ab_lift -------------------------------------------------------------
+
+
+def test_ab_lift_partitions_all_purchases(spark):
+    e = table(spark, SF_SMALL, "events")
+    n_purch = e.where(F.col("event_type") == "purchase").count()
+    row = _run(spark, "q_ab_lift").collect()[0]
+    assert row["n_control"] + row["n_treatment"] == n_purch
+    assert row["lift_abs"] == pytest.approx(
+        row["mean_treatment"] - row["mean_control"], abs=1e-12
+    )
+
+
+# --- q_weighted_sample -----------------------------------------------------
+
+
+def test_weighted_sample_predicate_exact(spark):
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "n_chars").collect()
+    max_chars = max(r["n_chars"] for r in docs)
+    expect = set()
+    for r in docs:
+        u = int(hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        if u * max_chars * llmops._WS_RATE_DEN < (1 << 60) * r["n_chars"] * llmops._WS_RATE_NUM:
+            expect.add(r["doc_id"])
+    got = {r["doc_id"] for r in _run(spark, "q_weighted_sample").collect()}
+    assert got == expect
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sampled = _run(spark, "q_weighted_sample")
+    mean_sampled = sampled.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sampled > mean_all  # length-weighting must bias the sample
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    # scalar max broadcast + stateless filter: no Exchange on the doc side
+    plan = _plan(spark, "q_weighted_sample")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- q_data_mix ------------------------------------------------------------
+
+
+def test_data_mix_quota_semantics(spark):
+    rows = _run(spark, "q_data_mix").collect()
+    for r in rows:
+        assert r["quota"] == min(r["n_available"], llmops.MIX_PER_SOURCE)
+        assert r["n_taken"] == r["quota"]
+        assert r["id_checksum"] is not None
+
+
+def test_data_mix_selection_is_deterministic_md5_prefix(spark):
+    # recompute one source's taken set driver-side
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "source").collect()
+    by_source = {}
+    for r in docs:
+        key = hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()
+        by_source.setdefault(r["source"], []).append((key, r["doc_id"]))
+    src0 = sorted(by_source)[0]
+    chosen = sorted(by_source[src0])[: llmops.MIX_PER_SOURCE]
+    expect_sum = sum(d for _, d in chosen)
+    got = {
+        r["source"]: r["id_checksum"] for r in _run(spark, "q_data_mix").collect()
+    }
+    assert got[src0] == expect_sum
+
+
+# --- q_bpe_pair_counts -----------------------------------------------------
+
+
+def test_bpe_pairs_match_python_recount(spark):
+    texts = [r["text"] for r in table(spark, SF_SMALL, "documents").select("text").collect()]
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: llmops.BPE_TOPK]
+    got = [(r["pair"], r["n"]) for r in _run(spark, "q_bpe_pair_counts").collect()]
+    assert got == expect
+
+
+def test_bpe_topk_is_partial(spark):
+    plan = _plan(spark, "q_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- q_win_cume plan -------------------------------------------------------
+
+
+def test_win_cume_filter_pushed(spark):
+    plan = _plan(spark, "q_win_cume")
+    i = plan.find("PushedFilters")
+    assert i >= 0 and "l_returnflag" in plan[i : i + 200]
