@@ -141,24 +141,25 @@ def test_priority_ids_all_registered():
 def test_priority_window_holds_round4_ids():
     """The round-4 must-witness set sits inside the first 50 registry
     entries — the observed driver CORRECTNESS budget. Round 4 leads with
-    the 7 never-witnessed round-4 additions, then the 4 sketch ids whose
-    r03-upgraded hash oracles were never driver-witnessed (VERDICT r03
-    #1), then the r01-latest cohort (q_set_union/q_set_intersect/
-    q_multimodal_meta and the 4 r02 ids rotate out per the computed ledger
-    window — each holds a green r01/r02 driver row). Proven r02/r03
-    greens rotated out by design."""
+    the 17 never-witnessed round-4 additions (waves 1-3), then the 4
+    sketch ids whose r03-upgraded hash oracles were never driver-witnessed
+    (VERDICT r03 #1), then the stalest r01-latest cohort fills the window
+    (per the computed ledger; proven r02/r03 greens rotate out by
+    design)."""
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
         # round-4 additions, never driver-witnessed
         "q_agg_percentile", "q_scd2", "q_join_bucketed",
         "q_triangle_count", "q_hybrid_search", "q_funnel", "q_retention",
+        "q_stream_late_data", "q_event_transitions", "q_attribution",
+        "q_interval_merge", "q_win_cume", "q_pareto_frontier", "q_ab_lift",
+        "q_weighted_sample", "q_data_mix", "q_bpe_pair_counts",
         # r03 oracle upgrades, last driver row is r01 rows-only
         "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
         # spot-checks from the r01-latest cohort
         "q_agg_groupby", "q_join_broadcast", "q_join_multi", "q_topk",
-        "q_dedup_exact", "q_dedup_groups", "q_sim_topk",
-        "q_multimodal_frames",
+        "q_dedup_exact", "q_sim_topk",
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
