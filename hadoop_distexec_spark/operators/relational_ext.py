@@ -1874,3 +1874,204 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lift.alias("lift_abs"),
         z.alias("z_score"),
     )
+
+
+_US_PER_MIN = 60_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "q_rollup_time",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS u, value FROM events),
+    m AS (
+      SELECT (u // {_US_PER_MIN}) * {_US_PER_MIN} AS bucket_us,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      FROM e GROUP BY 1)
+    SELECT 'minute' AS granularity, bucket_us, n_events,
+           CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', (bucket_us // {_US_PER_HOUR}) * {_US_PER_HOUR},
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(CAST(SUM(sv) AS VARCHAR) AS DOUBLE)
+    FROM m GROUP BY 2
+    UNION ALL
+    SELECT 'day', (bucket_us // {_US_PER_DAY}) * {_US_PER_DAY},
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(CAST(SUM(sv) AS VARCHAR) AS DOUBLE)
+    FROM m GROUP BY 2
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: event counts and
+    decimal-exact value sums at minute, hour, and day granularity in one
+    result (the TimescaleDB continuous-aggregate shape).
+
+    Shape — partials are REUSED, not recomputed: the stream aggregates
+    once at the finest granularity (minute buckets — one shuffle over
+    the raw volume), then hour and day REAGGREGATE the minute partials
+    (sum-of-decimal-sums is exact, so the rollup is lossless). At 100 TB
+    this is 1 full-volume shuffle + two shuffles over at most
+    |minutes-in-retention| rows, versus the GROUPING SETS/Expand
+    formulation that triples the pre-shuffle volume. The minute partial
+    is exactly what a materialized continuous aggregate would persist;
+    hour/day views are then free.
+
+    Determinism: bucket starts are integer epoch-micro arithmetic; sums
+    decimal-cast (numeric rules 1/4)."""
+    e = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("u"), "value"
+    )
+    minute = (
+        e.groupBy(
+            (F.expr(f"u div {_US_PER_MIN}") * _US_PER_MIN).alias("bucket_us")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+        .localCheckpoint()  # materialize the partial once; both rollups reuse it
+    )
+
+    def _roll(label: str, us_per: int) -> DataFrame:
+        return (
+            minute.groupBy(
+                (F.expr(f"bucket_us div {us_per}") * us_per).alias("bucket_us")
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sv").alias("sv"),
+            )
+            .select(
+                F.lit(label).alias("granularity"),
+                "bucket_us",
+                "n_events",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+        )
+
+    minute_out = minute.select(
+        F.lit("minute").alias("granularity"),
+        "bucket_us",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+    return minute_out.unionAll(_roll("hour", _US_PER_HOUR)).unionAll(
+        _roll("day", _US_PER_DAY)
+    )
+
+
+PATHS_TOPK = 15
+
+
+@register(
+    "q_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           COUNT(*) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT {PATHS_TOPK}
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the most frequent 3-step ordered event-type
+    sequences across all user journeys (the product-analytics "path
+    explorer" statistic). Two lag windows build the trigram; the unique
+    (ts, event_id) order pins it cross-engine.
+
+    Shape: both lags ride ONE user_id Exchange; the path aggregate
+    reduces to at most |event_types|^3 rows (map-side combine does
+    nearly all of it) and the top-K is TakeOrderedAndProject — no
+    global sort at any scale."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATHS_TOPK)
+    )
+
+
+_CDC_INSERT_OFFSET = 1_000_000
+
+
+@register(
+    "q_cdc_merge",
+    oracle=f"""
+    WITH delta AS (
+      SELECT CASE WHEN o_orderstatus = 'P'
+                  THEN o_custkey + {_CDC_INSERT_OFFSET}
+                  ELSE o_custkey END AS key,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS new_bal
+      FROM orders GROUP BY 1),
+    merged AS (
+      SELECT COALESCE(c.c_custkey, d.key) AS c_custkey,
+             CASE WHEN d.key IS NULL THEN c.c_acctbal
+                  ELSE CAST(CAST(d.new_bal AS VARCHAR) AS DOUBLE) END AS c_acctbal,
+             c.c_mktsegment,
+             CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                  WHEN d.key IS NULL THEN 'keep'
+                  ELSE 'update' END AS op
+      FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.key)
+    SELECT * FROM merged
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (lakehouse upsert) semantics as a full-outer join: a
+    change batch derived from orders (decimal-exact new balances; 'P'
+    status rows offset into fresh keys to exercise the insert arm) is
+    merged into the customer snapshot — matched rows update, unmatched
+    delta rows insert, untouched snapshot rows pass through, and every
+    row is tagged with its merge op. This is the rewrite Delta/Iceberg
+    MERGE performs under the hood.
+
+    Shape at 100 TB: the delta aggregates first (one shuffle over the
+    change volume, usually tiny vs the snapshot), then one equi-join —
+    broadcast when the delta fits, hash otherwise. Copy-on-write file
+    rewriting is the sink's concern (sources/sinks.py); the dataflow
+    here is the whole query-side cost."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    delta = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(
+                F.col("o_orderstatus") == "P",
+                F.col("o_custkey") + _CDC_INSERT_OFFSET,
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("key")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("new_bal"))
+    )
+    j = c.join(delta, c.c_custkey == delta.key, "full_outer")
+    return j.select(
+        F.coalesce(c.c_custkey, delta.key).alias("c_custkey"),
+        F.when(delta.key.isNull(), c.c_acctbal)
+        .otherwise(delta.new_bal.cast("double"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(c.c_custkey.isNull(), "insert")
+        .when(delta.key.isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )

@@ -232,3 +232,74 @@ def test_win_cume_filter_pushed(spark):
     plan = _plan(spark, "q_win_cume")
     i = plan.find("PushedFilters")
     assert i >= 0 and "l_returnflag" in plan[i : i + 200]
+
+
+# --- q_rollup_time ---------------------------------------------------------
+
+
+def test_rollup_time_granularities_conserve_totals(spark):
+    rows = _run(spark, "q_rollup_time").collect()
+    by_g = {}
+    for r in rows:
+        g = by_g.setdefault(r["granularity"], [0, 0.0])
+        g[0] += r["n_events"]
+        g[1] += r["sum_value"]
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert {g: v[0] for g, v in by_g.items()} == {
+        "minute": n_events, "hour": n_events, "day": n_events
+    }
+    # decimal-exact reaggregation: value totals identical across tiers
+    assert by_g["minute"][1] == pytest.approx(by_g["hour"][1], abs=1e-9)
+    assert by_g["minute"][1] == pytest.approx(by_g["day"][1], abs=1e-9)
+
+
+def test_rollup_time_buckets_nest(spark):
+    rows = _run(spark, "q_rollup_time").collect()
+    hours = {r["bucket_us"] for r in rows if r["granularity"] == "hour"}
+    for r in rows:
+        if r["granularity"] == "minute":
+            assert (r["bucket_us"] // 3_600_000_000) * 3_600_000_000 in hours
+
+
+# --- q_top_paths -----------------------------------------------------------
+
+
+def test_top_paths_match_python_recount(spark):
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("u"), "event_id")
+        .collect()
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["u"], r["event_id"], r["event_type"]))
+    counts = {}
+    for trail in seqs.values():
+        trail.sort()
+        types = [t for _, _, t in trail]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r["path"], r["n"]) for r in _run(spark, "q_top_paths").collect()]
+    assert got == expect
+
+
+# --- q_cdc_merge -----------------------------------------------------------
+
+
+def test_cdc_merge_op_partition(spark):
+    rows = _run(spark, "q_cdc_merge").collect()
+    n_cust = table(spark, SF_SMALL, "customer").count()
+    ops = {}
+    for r in rows:
+        ops[r["op"]] = ops.get(r["op"], 0) + 1
+    # keeps + updates == snapshot size; inserts are the offset 'P' keys
+    assert ops.get("keep", 0) + ops.get("update", 0) == n_cust
+    assert ops.get("insert", 0) > 0
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["c_mktsegment"] is None
+            assert r["c_custkey"] >= 1_000_000
+        if r["op"] == "keep":
+            assert r["c_acctbal"] is not None
