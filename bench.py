@@ -57,6 +57,12 @@ HEADLINE = [
     "q_hybrid_search",
     "q_funnel",
     "q_retention",
+    # round-4 wave 3 (absent from BENCH_r01..r03 likewise)
+    "q_rollup_time",
+    "q_interval_merge",
+    "q_event_transitions",
+    "q_bpe_pair_counts",
+    "q_weighted_sample",
 ]
 
 HEADLINE_TRIALS = 3
