@@ -513,10 +513,10 @@ def _spark_dot(a, b):
     ).cast("double")
 
 
-@register(
-    "q_sim_topk",
-    oracle=f"""
-    WITH e AS (
+# exact brute-force cosine top-k as composable CTEs (final relation: r),
+# shared by the q_sim_topk oracle and the q_recall_eval oracle so the two
+# cannot drift
+_EXACT_TOPK_CTE = f"""e AS (
       SELECT vec_id, embedding,
              {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
       FROM embeddings
@@ -529,7 +529,13 @@ def _spark_dot(a, b):
     ),
     r AS (SELECT q_id, c_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
-          FROM p)
+          FROM p)"""
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE}
     SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10
     """,
 )
@@ -671,10 +677,9 @@ def _spark_dot_cc(a, b):
     ).cast("double")
 
 
-@register(
-    "q_sim_ivf",
-    oracle=f"""
-    WITH ex AS (
+# IVF cell-probe top-k as composable CTEs (final relation: ivr), shared by
+# the q_sim_ivf oracle and the q_recall_eval oracle
+_IVF_TOPK_CTE = f"""ex AS (
       SELECT label, embedding, UNNEST(range(1, len(embedding) + 1)) AS dim
       FROM embeddings
     ),
@@ -709,13 +714,20 @@ def _spark_dot_cc(a, b):
                / (sqrt({_DEC_DOT.format(a='qc.q_emb', b='qc.q_emb')})
                   * sqrt({_DEC_DOT.format(a='e.embedding', b='e.embedding')})) AS cosine
       FROM qc JOIN embeddings e ON qc.label = e.label AND e.vec_id <> qc.q_id
-    )
-    SELECT q_id, c_id, cosine, rnk FROM (
+    ),
+    ivr AS (
       SELECT q_id, c_id, cosine,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
                   AS INT) AS rnk
       FROM cand
-    ) WHERE rnk <= 10
+    )"""
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH {_IVF_TOPK_CTE}
+    SELECT q_id, c_id, cosine, rnk FROM ivr WHERE rnk <= 10
     """,
 )
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2976,4 +2988,53 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOPK)
+    )
+
+
+@register(
+    "q_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTE},
+    {_IVF_TOPK_CTE},
+    et AS (SELECT q_id, c_id FROM r WHERE rnk <= 10),
+    it AS (SELECT q_id, c_id FROM ivr WHERE rnk <= 10)
+    SELECT et.q_id,
+           COUNT(*) AS k_exact,
+           COUNT(it.c_id) AS hits,
+           CAST(COUNT(it.c_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+    FROM et LEFT JOIN it ON et.q_id = it.q_id AND et.c_id = it.c_id
+    GROUP BY et.q_id
+    """,
+)
+def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF cell-probe path
+    against the exact brute-force top-10, per query — the measurement
+    every approximate index must ship with (an ANN path without a recall
+    harness is untrustworthy at any scale). Composes the two registered
+    operators directly; the oracle composes the SAME shared CTE constants
+    (_EXACT_TOPK_CTE / _IVF_TOPK_CTE), so operator and evaluation cannot
+    drift.
+
+    Determinism: hit counts are exact ints; recall is one IEEE division.
+
+    Shape at 100 TB: the exact arm is the expensive baseline — run it
+    over a query SAMPLE (as here: the fixed probe set), never the full
+    query log; the join is per-query top-k sized (k x |queries| rows), so
+    evaluation cost is dominated by the exact arm's scan exactly as
+    designed."""
+    exact = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = q_sim_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("iq_id"), F.col("c_id").alias("ic_id")
+    )
+    j = exact.join(
+        approx,
+        (exact.q_id == approx.iq_id) & (exact.c_id == approx.ic_id),
+        "left",
+    )
+    return j.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("k_exact"),
+        F.count("ic_id").alias("hits"),
+        (F.count("ic_id").cast("double") / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        ),
     )

@@ -303,3 +303,20 @@ def test_cdc_merge_op_partition(spark):
             assert r["c_custkey"] >= 1_000_000
         if r["op"] == "keep":
             assert r["c_acctbal"] is not None
+
+
+# --- q_recall_eval ---------------------------------------------------------
+
+
+def test_recall_eval_bounds_and_hit_subset(spark):
+    rows = _run(spark, "q_recall_eval").collect()
+    assert len(rows) == 5  # the fixed probe set
+    for r in rows:
+        assert r["k_exact"] == 10
+        assert 0 <= r["hits"] <= r["k_exact"]
+        assert r["recall_at_10"] == pytest.approx(r["hits"] / 10.0, abs=0)
+    # the measured value is the point of the operator (observed ~0.2 at
+    # sf0.001: the synthetic cosines are near-uniform, so the exact top-10
+    # scatters across cells — exactly the tradeoff a recall harness exposes);
+    # invariant: the probe of a vector's own cell always finds SOME overlap
+    assert sum(r["hits"] for r in rows) >= 1
