@@ -3038,3 +3038,90 @@ def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+BPE_ROUNDS = 3  # merge rounds the trainer runs
+
+
+@register(
+    "q_bpe_train",
+    # rows-only by the iterative-algorithm exemption (driver contract):
+    # greedy left-to-right merge APPLICATION is sequential per word and not
+    # SQL-expressible (unlike PageRank/kmeans, whose update steps are
+    # relational and were unrolled as CTE chains). The semantics are pinned
+    # instead by tests/test_round4b_ops.py::test_bpe_train_matches_reference
+    # — an exact driver-side greedy BPE reference over the same corpus.
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, the real loop: 3 rounds of
+    (count adjacent symbol pairs) -> (pick the most frequent, ties to the
+    lexicographically smallest) -> (apply the merge corpus-wide,
+    greedy left-to-right). Output: one row per learned merge with its
+    pre-merge pair count, plus the corpus vocabulary size after each
+    round — the artifact a tokenizer build job persists.
+
+    Implementation: words live as symbol ARRAYS (split to chars once);
+    pair counting is the q_bpe_pair_counts plan (codegen explode +
+    map-side-combined hash agg); the winning merge is a 1-row collect
+    (driver holds ONE (pair, count) tuple per round — bounded planning
+    metadata, like the split planner); merge application is a higher-order
+    aggregate over the symbol array (JVM codegen, no Python): fold left,
+    appending either a merged symbol or the raw next symbol — greedy
+    left-to-right exactly like the reference trainer.
+
+    Scale: each round = 1 explode->agg shuffle over the corpus + a
+    broadcast of one scalar pair. Rounds are the standard BPE sequential
+    dependency (real trainers batch non-overlapping merges per sweep; the
+    per-round dataflow is identical). localCheckpoint between rounds
+    releases lineage exactly like q_dedup_groups' CC loop."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 1)
+    syms = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms")
+    ).localCheckpoint()
+
+    merges = []
+    for rnd in range(BPE_ROUNDS):
+        top = (
+            syms.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(element_at(syms, i + 1) AS a, "
+                        "element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((rnd + 1, a, b, a + b, n))
+        # greedy left-to-right merge application as a JVM-side fold; the
+        # merged symbol (a+b) never re-matches as `a` within the same
+        # sweep (a+b != a for nonempty b), which IS the greedy semantics
+        qa, qb, qm = (x.replace("'", "\\'") for x in (a, b, a + b))
+        merged_expr = F.expr(
+            "aggregate(syms, CAST(array() AS array<string>),"
+            " (acc, s) -> CASE WHEN size(acc) > 0"
+            f"   AND element_at(acc, -1) = '{qa}' AND s = '{qb}'"
+            f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+            "  ELSE concat(acc, array(s)) END)"
+        )
+        syms = syms.select(merged_expr.alias("syms")).localCheckpoint()
+
+    vocab = syms.select(F.explode("syms").alias("s")).distinct().count()
+    rows = [(r, a, b, m, int(n), int(vocab)) for (r, a, b, m, n) in merges]
+    return spark.createDataFrame(
+        rows,
+        "round int, sym_a string, sym_b string, merged string, "
+        "pair_count long, final_vocab long",
+    )

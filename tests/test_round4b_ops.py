@@ -320,3 +320,50 @@ def test_recall_eval_bounds_and_hit_subset(spark):
     # scatters across cells — exactly the tradeoff a recall harness exposes);
     # invariant: the probe of a vector's own cell always finds SOME overlap
     assert sum(r["hits"] for r in rows) >= 1
+
+
+# --- q_bpe_train -----------------------------------------------------------
+
+
+def test_bpe_train_matches_reference(spark):
+    """Exact greedy BPE reference (driver-side) over the same corpus must
+    produce the identical merge table — pair choice (max count, lexical
+    tiebreak), pre-merge counts, and post-training vocabulary size. This
+    is the correctness pin for the rows-only iterative trainer."""
+    texts = [r["text"] for r in table(spark, SF_SMALL, "documents").select("text").collect()]
+    words = [list(w) for t in texts for w in t.split(" ") if w]
+
+    def count_pairs(ws):
+        c = {}
+        for syms in ws:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                c[k] = c.get(k, 0) + 1
+        return c
+
+    def apply_merge(syms, a, b, m):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = m
+            else:
+                out.append(s)
+        return out
+
+    expect = []
+    for rnd in range(llmops.BPE_ROUNDS):
+        counts = count_pairs(words)
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd + 1, a, b, a + b, n))
+        words = [apply_merge(w, a, b, a + b) for w in words]
+    vocab = len({s for w in words for s in w})
+
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in _run(spark, "q_bpe_train").collect()
+    ]
+    assert got == expect
+    vocab_got = _run(spark, "q_bpe_train").collect()[0]["final_vocab"]
+    assert vocab_got == vocab
