@@ -284,3 +284,31 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_merge_single_exchange(spark):
+    """Both island windows AND the two aggregates must share ONE user_id
+    hash partitioning — the whole point of the window formulation over a
+    self-join (SCALE.md round-4 wave 3)."""
+    import re
+
+    plan = _plan(spark, "q_interval_merge")
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"interval_merge gained a shuffle ({n} Exchanges):\n{plan[:800]}"
+
+
+def test_sequence_ops_bounded_exchanges(spark):
+    """Sequence analytics must pay exactly one full-volume Exchange (the
+    user_id window); later Exchanges operate on aggregated key spaces
+    bounded by |event_types|^k. A count above 3 means a window stopped
+    sharing the partitioning."""
+    import re
+
+    for qid, cap in (("q_event_transitions", 3), ("q_attribution", 2),
+                     ("q_top_paths", 2), ("q_funnel", 1)):
+        plan = _plan(spark, qid)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= cap, f"{qid}: {n} hash Exchanges (cap {cap})"
+        assert re.search(r"Exchange hashpartitioning\(user_id", plan), (
+            f"{qid}: no user_id-keyed Exchange found"
+        )
