@@ -12,7 +12,11 @@ semantics and dedup structure:
     a HARSHER dedup graph than plain scaling);
   - lineitem/orders: l_orderkey'/o_orderkey' = key*10 + rep keeps the
     join 1:N exactly as TPC-H has it; o_custkey joins the unreplicated
-    customer dim (denser per-customer fan-in, the skew direction).
+    customer dim (denser per-customer fan-in, the skew direction);
+  - embeddings: vec_id remapped, labels SHARED across replicas, so each
+    blocking cell holds 10x vectors (100x candidate pairs) — the harshest
+    direction for the wedge-capped triangle count;
+  - events: event_id/user_id remapped (10x users, same per-user shape).
 
 Run:  python scripts/sf1_stress.py          (writes /tmp/sf1_stress, ~10 min)
 The JSON line it prints is meant to be pasted into BENCH_r{N}.json as the
@@ -33,7 +37,8 @@ sys.path.insert(0, REPO)
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1_stress"
 REPS = 10
-QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups"]
+QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
+           "q_triangle_count", "q_interval_merge"]
 
 
 def synthesize(spark) -> None:
@@ -53,6 +58,12 @@ def synthesize(spark) -> None:
     replicate("documents", ["doc_id"])
     replicate("lineitem", ["l_orderkey"])
     replicate("orders", ["o_orderkey"])
+    # embeddings: replicas share labels, so every IVF/near-dup cell grows
+    # 10x and the pair space inside a cell grows 100x — the wedge-cap and
+    # blocking strategies must absorb it (round-4 triangle_count stress)
+    replicate("embeddings", ["vec_id"])
+    # events: 10x users with identical per-user patterns (window stress)
+    replicate("events", ["event_id", "user_id"])
     # dims stay 1x: the fact side fans in 10x per dim row — the skew
     # direction a 100 TB star schema actually has
     for name in ("customer", "supplier", "part", "nation", "region"):
