@@ -63,6 +63,10 @@ HEADLINE = [
     "q_event_transitions",
     "q_bpe_pair_counts",
     "q_weighted_sample",
+    "q_recall_eval",
+    # iterative trainer (3 merge rounds; times the loop family alongside
+    # q_dedup_groups' connected components)
+    "q_bpe_train",
 ]
 
 HEADLINE_TRIALS = 3
