@@ -367,3 +367,114 @@ def test_bpe_train_matches_reference(spark):
     assert got == expect
     vocab_got = _run(spark, "q_bpe_train").collect()[0]["final_vocab"]
     assert vocab_got == vocab
+
+
+# --- randomized cross-checks (small Spark frames, few examples) ------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2_000_000_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_merge_logic_randomized(spark, events):
+    """The island windows must match the greedy merge on ANY input —
+    including duplicate timestamps within a user, which the fixture never
+    produces (tie-handling is where window formulations break)."""
+    from pyspark.sql import Row
+
+    gap = 300_000_000
+    df = spark.createDataFrame(
+        [Row(user_id=u, s=s, e=s + gap, event_id=i)
+         for i, (u, s) in enumerate(events)],
+        "user_id long, s long, e long, event_id long",
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "new_island", F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0)
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("start"), F.max("e").alias("end"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("end") - F.col("start")).alias("covered"))
+    )
+    got = {r["user_id"]: (r["n"], r["covered"]) for r in merged.collect()}
+
+    per_user = {}
+    for u, s in events:
+        per_user.setdefault(u, []).append(s)
+    expect = {}
+    for u, ss in per_user.items():
+        ss.sort()
+        n, covered, cs, ce = 0, 0, None, None
+        for s in ss:
+            if ce is None or s > ce:
+                if ce is not None:
+                    covered += ce - cs
+                n += 1
+                cs, ce = s, s + gap
+            else:
+                ce = max(ce, s + gap)
+        covered += ce - cs
+        expect[u] = (n, covered)
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_sweep_logic_randomized(spark, pts):
+    """The per-price sweep must equal brute-force domination on ANY point
+    set — duplicate prices, duplicate sizes, and fully-duplicated points
+    (which dominate nobody and survive together)."""
+    from pyspark.sql import Row, Window as W
+
+    df = spark.createDataFrame(
+        [Row(k=i, price=float(p), size=s) for i, (p, s) in enumerate(pts)],
+        "k long, price double, size int",
+    )
+    per_price = df.groupBy("price").agg(F.max("size").alias("pmax"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    verdict = per_price.withColumn("prev_max", F.max("pmax").over(w))
+    got = {
+        r["k"]
+        for r in df.join(F.broadcast(verdict), "price")
+        .where(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("size")))
+            & (F.col("pmax") <= F.col("size"))
+        )
+        .collect()
+    }
+    expect = set()
+    for i, (p, s) in enumerate(pts):
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s) for qp, qs in pts
+        ):
+            expect.add(i)
+    assert got == expect
