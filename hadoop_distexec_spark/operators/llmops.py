@@ -3125,3 +3125,108 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, sym_a string, sym_b string, merged string, "
         "pair_count long, final_vocab long",
     )
+
+
+SPARSE_MAX_DF = 100  # inverted-index posting cap (the MAX_SHINGLE_DF rule)
+SPARSE_COS_THRESHOLD = 0.5
+
+
+@register(
+    "q_tfidf_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    len AS (SELECT doc_id, SUM(c) AS n_toks FROM cnt GROUP BY doc_id),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM cnt GROUP BY tok
+              HAVING COUNT(*) <= {SPARSE_MAX_DF}),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM cnt),
+    w AS (
+      SELECT c.doc_id, c.tok,
+             CAST((CAST(c.c AS DOUBLE) / n_toks)
+                  * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(12,8)) AS wt
+      FROM cnt c JOIN dfreq USING (tok) JOIN len USING (doc_id) CROSS JOIN nd),
+    norms AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(wt * wt) AS VARCHAR) AS DOUBLE) AS norm2
+      FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(CAST(SUM(a.wt * b.wt) AS VARCHAR) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           dot / sqrt(na.norm2 * nb.norm2) AS cosine
+    FROM dots JOIN norms na ON na.doc_id = doc_a
+              JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / sqrt(na.norm2 * nb.norm2) >= {SPARSE_COS_THRESHOLD}
+    """,
+)
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector near-dup pairs: cosine similarity in TF-IDF space via
+    an INVERTED-INDEX self-join — the sparse counterpart of q_dedup_embed
+    (dense) and q_dedup_ngram (set overlap). Terms with document
+    frequency > SPARSE_MAX_DF are dropped from the index (the
+    stop-shingle rule): common terms contribute little weight but
+    quadratic join fan-out, so the cap is the scale contract, mirrored in
+    the oracle.
+
+    Determinism: tf·idf weights are per-row IEEE doubles (identical
+    expression trees), then quantized to DECIMAL(12,8) BEFORE any
+    cross-row sum — dots and norms are exact decimal reductions
+    (numeric rule 1; same ulp-headroom tradeoff as q_lm_score).
+
+    Shape at 100 TB: one tok-keyed self-join whose fan-out per posting
+    list is <= SPARSE_MAX_DF^2, one (doc_a, doc_b) aggregate, one
+    broadcast-or-shuffle join of the per-doc norms. No all-pairs join
+    anywhere; candidate volume is sum_tok(df^2), the inverted-index
+    bound."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    cnt.count()
+    length = cnt.groupBy("doc_id").agg(F.sum("c").alias("n_toks"))
+    dfreq = (
+        cnt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SPARSE_MAX_DF)
+    )
+    nd = cnt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    wt = (
+        (F.col("c").cast("double") / F.col("n_toks"))
+        * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    ).cast("decimal(12,8)")
+    w = (
+        cnt.join(F.broadcast(dfreq), "tok")
+        .join(length, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "tok", wt.alias("wt"))
+        .persist()
+    )
+    w.count()
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).cast("double").alias("norm2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("n2b"))
+    cos = F.col("dot") / F.sqrt(F.col("n2a") * F.col("n2b"))
+    result = (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= SPARSE_COS_THRESHOLD)
+        .localCheckpoint(eager=True)
+    )
+    w.unpersist()
+    cnt.unpersist()
+    return result

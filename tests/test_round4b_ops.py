@@ -478,3 +478,69 @@ def test_pareto_sweep_logic_randomized(spark, pts):
         ):
             expect.add(i)
     assert got == expect
+
+
+# --- q_tfidf_pairs ---------------------------------------------------------
+
+
+def test_tfidf_pairs_symmetric_bounded_and_ordered(spark):
+    rows = _run(spark, "q_tfidf_pairs").collect()
+    assert rows, "dup-heavy corpus must yield sparse-cosine pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert llmops.SPARSE_COS_THRESHOLD <= r["cosine"] <= 1.0 + 1e-12
+
+
+def test_tfidf_pairs_match_python_recompute(spark):
+    """Full driver-side recompute of the df-capped TF-IDF cosine pair set
+    (plain floats; decimal quantization mirrored) — pair sets must match
+    away from the threshold boundary, cosines to 1e-9."""
+    from decimal import Decimal, ROUND_HALF_UP
+    import math
+
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    cnt = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        for t in toks:
+            cnt[(r["doc_id"], t)] = cnt.get((r["doc_id"], t), 0) + 1
+    n_toks = {}
+    dfreq = {}
+    for (d, t), c in cnt.items():
+        n_toks[d] = n_toks.get(d, 0) + c
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n_docs = len({d for d, _ in cnt})
+    w = {}
+    for (d, t), c in cnt.items():
+        if dfreq[t] <= llmops.SPARSE_MAX_DF:
+            raw = (c / n_toks[d]) * math.log(n_docs / dfreq[t])
+            w[(d, t)] = Decimal(repr(raw)).quantize(
+                Decimal("1.00000000"), rounding=ROUND_HALF_UP
+            )
+    norms = {}
+    postings = {}
+    for (d, t), wt in w.items():
+        norms[d] = norms.get(d, Decimal(0)) + wt * wt
+        postings.setdefault(t, []).append((d, wt))
+    dots = {}
+    for t, plist in postings.items():
+        plist.sort()
+        for i, (da, wa) in enumerate(plist):
+            for db, wb in plist[i + 1:]:
+                dots[(da, db)] = dots.get((da, db), Decimal(0)) + wa * wb
+    expect = {}
+    for (da, db), dot in dots.items():
+        cosv = float(dot) / math.sqrt(float(norms[da]) * float(norms[db]))
+        if cosv >= llmops.SPARSE_COS_THRESHOLD:
+            expect[(da, db)] = cosv
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in _run(spark, "q_tfidf_pairs").collect()
+    }
+    thr = llmops.SPARSE_COS_THRESHOLD
+    # away from the boundary the sets must agree exactly
+    assert {k for k, v in got.items() if abs(v - thr) > 1e-6} == {
+        k for k, v in expect.items() if abs(v - thr) > 1e-6
+    }
+    for k in set(got) & set(expect):
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
