@@ -2075,3 +2075,187 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+def _median_sql(src: str, g: str, v: str, out: str) -> str:
+    """Composable CTE block computing the integer-exact interpolated median
+    of ``v`` per ``g`` over relation ``src`` (the q_agg_percentile rank
+    arithmetic specialized to p50). Emits CTEs ``{out}_r`` / ``{out}``;
+    ``{out}`` has columns (g, n_{out}, {out})."""
+    return f"""{out}_r AS (
+      SELECT {g} AS g, {v} AS v,
+             ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {v}) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY {g}) AS n
+      FROM {src}),
+    {out} AS (
+      SELECT g, MAX(n) AS n_{out},
+             MAX(CASE WHEN i = (n - 1) // 2 THEN v END)
+             + (MAX(CASE WHEN i = (n - 1) // 2 + CASE WHEN ((n - 1) * 50) % 100 > 0
+                                                       THEN 1 ELSE 0 END
+                     THEN v END)
+                - MAX(CASE WHEN i = (n - 1) // 2 THEN v END))
+               * (CAST(((n - 1) * 50) % 100 AS DOUBLE) / 100.0) AS {out}
+      FROM {out}_r GROUP BY g, n)"""
+
+
+def _spark_median(df: DataFrame, g: str, v: str, out: str) -> DataFrame:
+    """Spark twin of _median_sql: integer-exact interpolated per-group
+    median. Returns (g, n_{out}, {out})."""
+    w = W.partitionBy(g).orderBy(v)
+    ranked = df.select(
+        F.col(g).alias("g"),
+        F.col(v).alias("v"),
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy(g)).alias("n"),
+    )
+    lo = F.expr("(n - 1) div 2")
+    rem = ((F.col("n") - 1) * 50) % 100
+    hi = lo + F.when(rem > 0, 1).otherwise(0)
+    ranked = ranked.select(
+        "g", "n",
+        F.when(F.col("i") == lo, F.col("v")).alias("_vlo"),
+        F.when(F.col("i") == hi, F.col("v")).alias("_vhi"),
+        rem.alias("_rem"),
+    )
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.max("n").alias(f"n_{out}"),
+            F.max("_vlo").alias("_vlo"),
+            F.max("_vhi").alias("_vhi"),
+            F.max("_rem").alias("_rem"),
+        )
+        .select(
+            "g",
+            f"n_{out}",
+            (
+                F.col("_vlo")
+                + (F.col("_vhi") - F.col("_vlo"))
+                * (F.col("_rem").cast("double") / 100.0)
+            ).alias(out),
+        )
+    )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma for normals
+_MAD_Z = 3.0
+
+
+@register(
+    "q_robust_stats",
+    oracle=f"""
+    WITH vals AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    {_median_sql('vals', 'g', 'v', 'med')},
+    devs AS (
+      SELECT vals.g AS g, ABS(vals.v - med.med) AS v
+      FROM vals JOIN med USING (g)),
+    {_median_sql('devs', 'g', 'v', 'mad')}
+    SELECT med.g AS l_returnflag, n_med AS n,
+           med.med AS median, mad.mad AS mad,
+           (SELECT COUNT(*) FROM devs d
+            WHERE d.g = med.g AND d.v > {_MAD_Z} * ({_MAD_K} * mad.mad))
+             AS n_outliers
+    FROM med JOIN mad USING (g)
+    """,
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per group: exact interpolated median, MAD
+    (median absolute deviation), and the robust-z outlier count
+    (|x - med| > 3 * 1.4826 * MAD) — the outlier detector that, unlike
+    q_anomaly's z-score, is not itself corrupted by the outliers it
+    hunts.
+
+    Determinism: both medians use q_agg_percentile's integer-exact rank
+    arithmetic (shared _median_sql / _spark_median twins); deviations and
+    the outlier threshold are fixed per-row IEEE expression trees.
+
+    Shape: two group-key Exchanges (one per ordered pass — the
+    irreducible cost of exact order statistics), with the tiny per-group
+    median table broadcast back between them. At 100 TB the same
+    audit-vs-production split as q_agg_percentile applies: run this exact
+    tier on samples, approx_percentile for the always-on path."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    med = _spark_median(li, "g", "v", "med")
+    devs = (
+        li.join(F.broadcast(med), li.g == med.g)
+        .select(li.g.alias("g"), F.abs(li.v - F.col("med")).alias("v"))
+        .persist()
+    )
+    devs.count()
+    mad = _spark_median(devs, "g", "v", "mad")
+    thresh = F.lit(_MAD_Z) * (F.lit(_MAD_K) * F.col("mad"))
+    outl = (
+        devs.join(F.broadcast(mad), "g")
+        .where(F.col("v") > thresh)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    result = (
+        med.join(mad, "g")
+        .join(outl, "g", "left")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n_med").alias("n"),
+            F.col("med").alias("median"),
+            "mad",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    devs.unpersist()
+    return result
+
+
+@register(
+    "q_dq_referential",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_rows,
+           COUNT(*) FILTER (o.o_orderkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+           COUNT(*) FILTER (c.c_custkey IS NULL)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*),
+           COUNT(*) FILTER (p.p_partkey IS NULL)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*),
+           COUNT(*) FILTER (n.n_nationkey IS NULL)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign key of
+    the star schema (the constraint validation a lakehouse pipeline runs
+    before publishing a snapshot — complements q_dq_profile's
+    single-table checks).
+
+    Shape: each FK check is a left join counting nulls — dims broadcast,
+    the one big-big edge (lineitem->orders) shuffles on the key it would
+    shuffle on anyway; output is one row per FK regardless of volume. At
+    100 TB run the checks in one pass per fact table (Catalyst shares the
+    scan across the two lineitem checks here)."""
+
+    def check(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        j = fact.join(dim, fact[fk] == dim[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(dim[pk].isNull(), 1)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    n = table(spark, sf_dir, "nation")
+    return (
+        check(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey", "lineitem->orders")
+        .unionAll(check(o, "o_custkey", c.select("c_custkey"), "c_custkey", "orders->customer"))
+        .unionAll(check(li, "l_partkey", p.select("p_partkey"), "p_partkey", "lineitem->part"))
+        .unionAll(check(c, "c_nationkey", n.select("n_nationkey"), "n_nationkey", "customer->nation"))
+    )

@@ -544,3 +544,62 @@ def test_tfidf_pairs_match_python_recompute(spark):
     }
     for k in set(got) & set(expect):
         assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
+# --- q_robust_stats --------------------------------------------------------
+
+
+def test_robust_stats_match_python_recompute(spark):
+    vals = {}
+    for r in table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        lo = (n - 1) // 2
+        rem = ((n - 1) * 50) % 100
+        hi = lo + (1 if rem > 0 else 0)
+        return xs[lo] + (xs[hi] - xs[lo]) * (rem / 100.0)
+
+    got = {r["l_returnflag"]: r for r in _run(spark, "q_robust_stats").collect()}
+    for g, xs in vals.items():
+        m = med(xs)
+        devs = [abs(x - m) for x in xs]
+        mad = med(devs)
+        n_out = sum(1 for d in devs if d > 3.0 * (1.4826 * mad))
+        r = got[g]
+        assert r["n"] == len(xs)
+        assert r["median"] == pytest.approx(m, abs=1e-9)
+        assert r["mad"] == pytest.approx(mad, abs=1e-9)
+        assert r["n_outliers"] == n_out
+
+
+# --- q_dq_referential ------------------------------------------------------
+
+
+def test_dq_referential_clean_fixture(spark):
+    rows = {r["fk"]: r for r in _run(spark, "q_dq_referential").collect()}
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer", "lineitem->part",
+        "customer->nation",
+    }
+    li_n = table(spark, SF_SMALL, "lineitem").count()
+    assert rows["lineitem->orders"]["n_rows"] == li_n
+    for r in rows.values():
+        assert r["n_orphans"] == 0  # driver fixture is referentially clean
+
+
+def test_dq_referential_detects_orphans(spark):
+    """Injecting a bogus FK row must surface as exactly one orphan (the
+    operator logic, not just the fixture's cleanliness)."""
+    from pyspark.sql import Row
+
+    li = table(spark, SF_SMALL, "lineitem").limit(5)
+    bad = spark.createDataFrame(
+        [Row(**{**li.collect()[0].asDict(), "l_orderkey": -999})]
+    )
+    o = table(spark, SF_SMALL, "orders")
+    j = li.unionByName(bad).join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    n_orph = j.where(F.col("o_orderkey").isNull()).count()
+    assert n_orph == 1
