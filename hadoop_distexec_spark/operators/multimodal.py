@@ -286,3 +286,93 @@ def extract_features(
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "feature": feats})
 
     return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
+
+
+_RES_W, _RES_H = 64, 64
+_RES_LEN = _RES_W * _RES_H
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_RES_LEN} AS BIGINT) AS out_len,
+           CAST({_RES_W} AS INT) AS width, CAST({_RES_H} AS INT) AS height,
+           hex(encode(substr(text, 1, 16))) AS head16,
+           (SELECT hex(encode(string_agg(
+                     substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1),
+                     '' ORDER BY i)))
+            FROM range({_RES_LEN - 15}, {_RES_LEN + 1}) t(i)) AS tail16
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end on real data: text bytes as the fake
+    image payload cycled to a constant 64x64 stride through the Arrow
+    mapInPandas path. The oracle recomputes the cycling arithmetic
+    byte-for-byte at both ends of the payload (head16 = source prefix,
+    tail16 = bytes 4081..4096 under modular cycling), so a broken stride,
+    off-by-one cycle, or padding bug hash-fails."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    resized = resize_image(docs, width=_RES_W, height=_RES_H)
+    return resized.select(
+        "doc_id",
+        F.length("content").cast("long").alias("out_len"),
+        "width",
+        "height",
+        F.hex(F.expr("substring(content, 1, 16)")).alias("head16"),
+        F.hex(F.expr(f"substring(content, {_RES_LEN - 15}, 16)")).alias("tail16"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, ascii(c) * {FEATURE_DIM} // 256 AS bucket
+      FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c
+            FROM documents)
+      WHERE c <> ''),
+    hist AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt FROM chars GROUP BY doc_id, bucket),
+    best AS (
+      SELECT doc_id, bucket, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bucket) AS rnk
+      FROM hist)
+    SELECT b.doc_id,
+           CAST(b.bucket AS INT) AS top_bucket,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+    FROM best b JOIN documents d USING (doc_id) WHERE rnk = 1
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing end-to-end: byte-histogram features
+    (the stub encoder, dim=FEATURE_DIM) computed through the Arrow
+    mapInPandas path, reduced to the argmax bucket per document. The
+    reduction is chosen for cross-engine exactness: distinct integer
+    counts stay distinct after the float32 L1 normalization (gaps are
+    >=1/n_bytes, orders of magnitude above float32 eps at corpus doc
+    sizes), so argmax-with-lowest-bucket-tiebreak is identical to the
+    oracle's integer argmax — numpy argmax takes the first maximum, the
+    SQL rank breaks ties on bucket asc. A padding bug, bucket-mapping
+    drift, or normalization error changes the winner and hash-fails."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    feats = extract_features(docs)
+    j = feats.join(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes")
+        ),
+        "doc_id",
+    )
+    return j.select(
+        "doc_id",
+        (F.expr("array_position(feature, array_max(feature))") - 1)
+        .cast("int")
+        .alias("top_bucket"),
+        "n_bytes",
+    )

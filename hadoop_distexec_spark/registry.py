@@ -69,12 +69,13 @@ def _load_modules() -> None:
 # COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
 # "suggested_window"): stalest-witness-first, so driver freshness stays
 # bounded across rounds (VERDICT r03 next-round #1 + #7). Tiers:
-#   0. the 25 round-4 additions (percentile, SCD-2, bucketed join,
+#   0. the 27 round-4 additions (percentile, SCD-2, bucketed join,
 #      triangles, hybrid search, funnel, retention, late-data stream,
 #      transitions, attribution, interval merge, cume windows, pareto,
 #      A/B lift, weighted sample, data mix, BPE pairs, time rollup,
 #      top paths, CDC merge, ANN recall eval, BPE trainer, sparse
-#      TF-IDF pairs, robust stats, referential DQ) — never
+#      TF-IDF pairs, robust stats, referential DQ, multimodal
+#      resize/features) — never
 #      driver-witnessed,
 #   1. the 4 sketch ids whose r03-upgraded hash oracles (band-join SQL,
 #      decimal IVF, shared-plane LSH) were never driver-witnessed — their
@@ -87,7 +88,7 @@ def _load_modules() -> None:
 _PRIORITY: list[str] = [
     # --- driver window (50): computed by scripts/witness_ledger.py
     #     (WITNESS_LEDGER.json "suggested_window", stalest-witness-first):
-    #     25 round-4 additions never driver-witnessed, then the 4 sketch
+    #     27 round-4 additions never driver-witnessed, then the 4 sketch
     #     ids whose r03 oracle upgrades are unwitnessed (last rows r01
     #     rows-only), then the stalest hash-green r01 cohort. ---
     "q_agg_percentile", "q_scd2", "q_join_bucketed", "q_triangle_count",
@@ -96,19 +97,20 @@ _PRIORITY: list[str] = [
     "q_pareto_frontier", "q_ab_lift", "q_weighted_sample", "q_data_mix",
     "q_bpe_pair_counts", "q_rollup_time", "q_top_paths", "q_cdc_merge",
     "q_recall_eval", "q_bpe_train", "q_tfidf_pairs", "q_robust_stats",
-    "q_dq_referential", "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf",
-    "q_sim_lsh", "q_agg_groupby", "q_agg_distinct", "q_agg_rollup",
-    "q_agg_cube", "q_join_inner", "q_join_broadcast", "q_join_semi",
-    "q_join_anti", "q_join_multi", "q_win_rank", "q_win_running",
-    "q_win_lag", "q_topk", "q_set_except", "q_pivot", "q_unpivot",
-    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_agg_stats",
+    "q_dq_referential", "q_multimodal_resize", "q_multimodal_features",
+    "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
+    "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
+    "q_join_multi", "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
+    "q_set_except", "q_pivot", "q_unpivot", "q_fn_string", "q_fn_date",
+    "q_fn_math",
     # --- below the window: every id holds a green r01/r02/r03 driver row
     #     and stays covered by the local oracle gate every session ---
-    "q_agg_collect", "q_agg_median", "q_dedup_exact", "q_dedup_ngram",
-    "q_sim_topk", "q_dedup_embed", "q_text_stats", "q_lang_id",
-    "q_token_count", "q_quality_score", "q_fingerprint",
-    "q_winnow_fingerprint", "q_split_train_test", "q_pii_redact",
-    "q_doc_chunks", "q_pack_sequences", "q_dedup_groups",
+    "q_fn_array", "q_agg_stats", "q_agg_collect", "q_agg_median",
+    "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_dedup_embed",
+    "q_text_stats", "q_lang_id", "q_token_count", "q_quality_score",
+    "q_fingerprint", "q_winnow_fingerprint", "q_split_train_test",
+    "q_pii_redact", "q_doc_chunks", "q_pack_sequences", "q_dedup_groups",
     "q_multimodal_frames", "q_set_union", "q_set_intersect",
     "q_multimodal_meta", "q_join_full_outer", "q_join_salted",
     "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile", "q_sql_star",

@@ -113,3 +113,51 @@ def test_features_feed_similarity_ops(spark):
     feats = extract_features(_media(spark)).selectExpr("doc_id AS vec_id", "feature AS embedding")
     n = feats.filter(F.size("embedding") == 16).count()
     assert n == feats.count() and n > 0
+
+
+def test_resize_query_cycles_exactly(spark):
+    """q_multimodal_resize's tail bytes must equal the modular cycling of
+    the source text (driver-side recompute, one doc is enough)."""
+    from hadoop_distexec_spark import registry
+
+    row = (
+        registry.specs()["q_multimodal_resize"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    import duckdb
+
+    txt = duckdb.connect().execute(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0].encode()
+    target = 64 * 64
+    reps = -(-target // len(txt))
+    full = (txt * reps)[:target]
+    assert row["out_len"] == target
+    assert bytes.fromhex(row["head16"]) == full[:16]
+    assert bytes.fromhex(row["tail16"]) == full[-16:]
+
+
+def test_features_query_argmax_matches_python(spark):
+    from hadoop_distexec_spark import registry
+    from hadoop_distexec_spark.operators.multimodal import FEATURE_DIM
+
+    got = {
+        r["doc_id"]: r["top_bucket"]
+        for r in registry.specs()["q_multimodal_features"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in rows:
+        hist = [0] * FEATURE_DIM
+        for byt in text.encode():
+            hist[byt * FEATURE_DIM // 256] += 1
+        assert got[doc_id] == hist.index(max(hist))

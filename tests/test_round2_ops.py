@@ -141,7 +141,7 @@ def test_priority_ids_all_registered():
 def test_priority_window_holds_round4_ids():
     """The round-4 must-witness set sits inside the first 50 registry
     entries — the observed driver CORRECTNESS budget. Round 4 leads with
-    the 25 never-witnessed round-4 additions (waves 1-3), then the 4
+    the 27 never-witnessed round-4 additions (waves 1-3), then the 4
     sketch ids whose r03-upgraded hash oracles were never driver-witnessed
     (VERDICT r03 #1), then the stalest r01-latest cohort fills the window
     (per the computed ledger; proven r02/r03 greens rotate out by
@@ -158,6 +158,7 @@ def test_priority_window_holds_round4_ids():
         "q_rollup_time", "q_top_paths", "q_cdc_merge", "q_recall_eval",
         "q_bpe_train", "q_tfidf_pairs",
         "q_robust_stats", "q_dq_referential",
+        "q_multimodal_resize", "q_multimodal_features",
         # r03 oracle upgrades, last driver row is r01 rows-only
         "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
         # spot-checks from the r01-latest cohort
