@@ -67,6 +67,10 @@ HEADLINE = [
     # iterative trainer (3 merge rounds; times the loop family alongside
     # q_dedup_groups' connected components)
     "q_bpe_train",
+    # round-4 wave 4
+    "q_tfidf_pairs",
+    "q_robust_stats",
+    "q_dq_referential",
 ]
 
 HEADLINE_TRIALS = 3
