@@ -603,3 +603,78 @@ def test_dq_referential_detects_orphans(spark):
     j = li.unionByName(bad).join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left")
     n_orph = j.where(F.col("o_orderkey").isNull()).count()
     assert n_orph == 1
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b", "c"]),
+                  st.integers(0, 10**9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_transitions_logic_randomized(spark, events):
+    """Transition counts on ANY sequence — including duplicate timestamps
+    within a user, where the event_id tiebreaker decides adjacency."""
+    from pyspark.sql import Row, Window as W
+
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts_us=s, event_id=i)
+         for i, (u, t, s) in enumerate(events)],
+        "user_id long, event_type string, ts_us long, event_id long",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in df.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    seqs = {}
+    for i, (u, t, s) in enumerate(events):
+        seqs.setdefault(u, []).append((s, i, t))
+    expect = {}
+    for trail in seqs.values():
+        trail.sort()
+        for (_, _, a), (_, _, b) in zip(trail, trail[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]),
+                  st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_median_twin_logic_randomized(spark, vals):
+    """_spark_median must equal the textbook interpolated median on ANY
+    multiset — even/odd sizes, ties, negatives."""
+    from pyspark.sql import Row
+
+    from hadoop_distexec_spark.operators.relational_ext import _spark_median
+
+    df = spark.createDataFrame(
+        [Row(g=g, v=float(v)) for g, v in vals], "g string, v double"
+    )
+    got = {r["g"]: (r["n_m"], r["m"]) for r in _spark_median(df, "g", "v", "m").collect()}
+    groups = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(float(v))
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        lo = (n - 1) // 2
+        rem = ((n - 1) * 50) % 100
+        hi = lo + (1 if rem > 0 else 0)
+        m = xs[lo] + (xs[hi] - xs[lo]) * (rem / 100.0)
+        assert got[g][0] == n
+        assert got[g][1] == pytest.approx(m, abs=1e-12)
