@@ -3078,9 +3078,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") >= 1)
-    syms = words.select(
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms")
-    ).localCheckpoint()
+    # the documents fixture is a single parquet file => one input
+    # partition; the per-round fold + explode would otherwise run on ONE
+    # task no matter the cluster — spread the symbol table first
+    syms = (
+        words.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms")
+        )
+        .localCheckpoint()
+    )
 
     merges = []
     for rnd in range(BPE_ROUNDS):
