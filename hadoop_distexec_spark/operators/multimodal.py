@@ -131,6 +131,21 @@ def sample_frames(
     return df.mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
+
+
+def _content_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a (doc_id, content: binary) frame, spread to full
+    parallelism BEFORE the Arrow stage: the fixture is one small parquet
+    file (one input partition), and a mapInPandas decode/resize/encode
+    over it would otherwise run as a single task — with real codecs
+    injected, the difference between one core and the cluster."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 @register(
     "q_multimodal_frames",
     oracle=f"""
@@ -146,9 +161,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling end-to-end on real data: text bytes as the fake
     video payload, every 4th 256-byte frame emitted via the mapInPandas
     fan-out; the oracle mirrors the chunk arithmetic."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    docs = _content_df(spark, sf_dir)
     return sample_frames(docs, every_n=4)
 
 
@@ -170,10 +183,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas path. The stub decode is arithmetic on byte length, which
     is exactly what the oracle mirrors — so this *does* hash-check the
     whole Pandas-UDF plumbing."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lit("text/plain").alias("media_type"),
-        F.encode("text", "UTF-8").alias("content"),
+    docs = _content_df(spark, sf_dir).withColumn(
+        "media_type", F.lit("text/plain")
     )
     return extract_media_meta(docs)
 
@@ -313,9 +324,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte at both ends of the payload (head16 = source prefix,
     tail16 = bytes 4081..4096 under modular cycling), so a broken stride,
     off-by-one cycle, or padding bug hash-fails."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    docs = _content_df(spark, sf_dir)
     resized = resize_image(docs, width=_RES_W, height=_RES_H)
     return resized.select(
         "doc_id",
@@ -359,9 +368,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's integer argmax — numpy argmax takes the first maximum, the
     SQL rank breaks ties on bucket asc. A padding bug, bucket-mapping
     drift, or normalization error changes the winner and hash-fails."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    docs = _content_df(spark, sf_dir)
     feats = extract_features(docs)
     j = feats.join(
         table(spark, sf_dir, "documents").select(
