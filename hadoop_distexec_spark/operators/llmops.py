@@ -2331,7 +2331,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     +0.0-seeded left fold of (d*d) terms in both engines, and cluster-id
     argmin tiebreaks. The Lloyd invariants (total assignment, cluster-id
     range, monotone inertia) remain asserted in tests/test_round2_ops.py."""
-    e = table(spark, sf_dir, "embeddings").persist()
+    # spread first: the fixture is one parquet file (one input partition);
+    # every Lloyd assignment pass would otherwise run as a single task
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     e.count()  # materialize once; iterations re-read the cache, not parquet
     try:
         assign, _ = kmeans(e)
@@ -2350,7 +2356,13 @@ def q_kmeans_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq_dist column is projected out because numpy's pairwise summation is
     ulp-different from the sequential fold (tier equivalence within 1e-9
     is asserted in tests/test_round3_ops.py instead)."""
-    e = table(spark, sf_dir, "embeddings").persist()
+    # spread first: the fixture is one parquet file (one input partition);
+    # every Lloyd assignment pass would otherwise run as a single task
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     e.count()
     try:
         assign, _ = kmeans(e, scorer="pandas")
