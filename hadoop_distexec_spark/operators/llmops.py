@@ -3053,16 +3053,75 @@ def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_ROUNDS = 3  # merge rounds the trainer runs
+_BPE_SEP = "\x1f"  # oracle symbol delimiter; must not occur in corpus text
+
+
+def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """DuckDB twin of the Spark trainer's greedy fold, as a chained CTE
+    (the VERDICT r04 #2 upgrade: the former 'not SQL-expressible' claim
+    was too strong). Each word is encoded as a delimiter-framed symbol
+    string — SEP sym (SEP SEP sym)* SEP — so the per-round rewrite
+    ``REPLACE(st, SEP||a||SEP||SEP||b||SEP, SEP||a+b||SEP)`` is
+
+      * fully boundary-anchored: both a and b sit between single SEPs,
+        and symbols never contain SEP, so a symbol whose suffix equals a
+        (e.g. 'th' vs pattern a='h') or whose prefix equals b can never
+        false-match — the failure mode of naive one-sided encodings; and
+      * greedy-adjacency-preserving: each match consumes one SEP from
+        each flanking double separator and the replacement restores
+        them, so an immediately following match (a=b runs like 'aaaa')
+        still sees its leading SEP — REPLACE's leftmost-first,
+        continue-after-replacement scan is then EXACTLY the Spark
+        fold's greedy left-to-right non-overlapping semantics (the
+        merged symbol a+b can re-match neither as a nor inside the same
+        sweep, mirroring element_at(acc,-1) = a being impossible for
+        acc tail = a+b). Verified against a Python greedy reference on
+        adversarial suffix/prefix-trap and a-run corpora.
+
+    The per-round winner (count DESC, a, b) and the final vocabulary are
+    the same aggregations the Spark side runs; an empty round (no pairs
+    left) LEFT-JOINs through unchanged."""
+    s = _BPE_SEP
+    ctes = [
+        f"""w0 AS (
+      SELECT '{s}' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)), '{s}{s}')
+           || '{s}' AS st
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 1)"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""l{r} AS (
+      SELECT string_split(substr(st, 2, length(st) - 2), '{s}{s}') AS l
+      FROM w{r})""")
+        ctes.append(f"""p{r} AS (
+      SELECT l, unnest(range(1, len(l))) AS i FROM l{r} WHERE len(l) >= 2)""")
+        ctes.append(f"""win{r} AS (
+      SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+             COUNT(*) AS n
+      FROM p{r} GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{r + 1} AS (
+      SELECT CASE WHEN a IS NULL THEN st
+             ELSE REPLACE(st, '{s}' || a || '{s}{s}' || b || '{s}',
+                              '{s}' || a || b || '{s}') END AS st
+      FROM w{r} LEFT JOIN win{r} ON TRUE)""")
+    ctes.append(f"""vocab AS (
+      SELECT COUNT(DISTINCT sym) AS v FROM (
+        SELECT unnest(string_split(substr(st, 2, length(st) - 2), '{s}{s}')) AS sym
+        FROM w{rounds}))""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS INT) AS round, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, n AS pair_count, (SELECT v FROM vocab) AS final_vocab "
+        f"FROM win{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
 @register(
     "q_bpe_train",
-    # rows-only by the iterative-algorithm exemption (driver contract):
-    # greedy left-to-right merge APPLICATION is sequential per word and not
-    # SQL-expressible (unlike PageRank/kmeans, whose update steps are
-    # relational and were unrolled as CTE chains). The semantics are pinned
-    # instead by tests/test_round4b_ops.py::test_bpe_train_matches_reference
-    # — an exact driver-side greedy BPE reference over the same corpus.
+    oracle=_bpe_train_oracle(),
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training, the real loop: 3 rounds of
@@ -3085,7 +3144,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of one scalar pair. Rounds are the standard BPE sequential
     dependency (real trainers batch non-overlapping merges per sweep; the
     per-round dataflow is identical). localCheckpoint between rounds
-    releases lineage exactly like q_dedup_groups' CC loop."""
+    releases lineage exactly like q_dedup_groups' CC loop.
+
+    Oracle: hash-checked via the REPLACE-chain CTE (_bpe_train_oracle),
+    whose delimiter-framed encoding makes DuckDB's REPLACE bit-equivalent
+    to the fold (assumes corpus text contains no \\x1f, true of the
+    fixtures); the exact Python-reference pytest
+    (test_round4b_ops.py::test_bpe_train_matches_reference) stays as the
+    third witness."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split("text", " ")).alias("w")
@@ -3126,8 +3192,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rnd + 1, a, b, a + b, n))
         # greedy left-to-right merge application as a JVM-side fold; the
         # merged symbol (a+b) never re-matches as `a` within the same
-        # sweep (a+b != a for nonempty b), which IS the greedy semantics
-        qa, qb, qm = (x.replace("'", "\\'") for x in (a, b, a + b))
+        # sweep (a+b != a for nonempty b), which IS the greedy semantics.
+        # Spark SQL string literals honor backslash escapes, so backslashes
+        # must be doubled BEFORE quote-escaping (ADVICE r04 #1) or a
+        # corpus token containing '\' would corrupt the parsed literal.
+        qa, qb, qm = (
+            x.replace("\\", "\\\\").replace("'", "\\'") for x in (a, b, a + b)
+        )
         merged_expr = F.expr(
             "aggregate(syms, CAST(array() AS array<string>),"
             " (acc, s) -> CASE WHEN size(acc) > 0"

