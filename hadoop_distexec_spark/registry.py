@@ -65,73 +65,63 @@ def _load_modules() -> None:
 
 # Driver-facing registration order. The driver's CORRECTNESS harness checks
 # queries in the order `queries()` yields them, with a bounded entry budget
-# (r01 witnessed only the first 50 of 76). This list is the round-4 rotation
+# (r01 witnessed only the first 50 of 76). This list is the round-5 rotation
 # COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
 # "suggested_window"): stalest-witness-first, so driver freshness stays
-# bounded across rounds (VERDICT r03 next-round #1 + #7). Tiers:
-#   0. the 27 round-4 additions (percentile, SCD-2, bucketed join,
-#      triangles, hybrid search, funnel, retention, late-data stream,
-#      transitions, attribution, interval merge, cume windows, pareto,
-#      A/B lift, weighted sample, data mix, BPE pairs, time rollup,
-#      top paths, CDC merge, ANN recall eval, BPE trainer, sparse
-#      TF-IDF pairs, robust stats, referential DQ, multimodal
-#      resize/features) — never
-#      driver-witnessed,
-#   1. the 4 sketch ids whose r03-upgraded hash oracles (band-join SQL,
-#      decimal IVF, shared-plane LSH) were never driver-witnessed — their
-#      last driver rows are r01 rows-only,
-#   2. the stalest hash-green r01 cohort (relational core, scalar fns,
-#      LLM text/dedup family) fills the window to 50.
-# Ids after the window keep their previous rotation order; every one holds a
-# green r01/r02/r03 row and remains covered by the byte-identical local
-# oracle gate (tests/test_oracle_parity.py) every session.
+# bounded across rounds. After r04's window (all 27 round-4 additions plus
+# the upgraded sketch oracles) went 49/50 hash-green, the stalest ids are
+# the r01/r02 cohorts — exactly VERDICT r04 next-round #1.
 _PRIORITY: list[str] = [
     # --- driver window (50): computed by scripts/witness_ledger.py
     #     (WITNESS_LEDGER.json "suggested_window", stalest-witness-first):
-    #     27 round-4 additions never driver-witnessed, then the 4 sketch
-    #     ids whose r03 oracle upgrades are unwitnessed (last rows r01
-    #     rows-only), then the stalest hash-green r01 cohort. ---
-    "q_agg_percentile", "q_scd2", "q_join_bucketed", "q_triangle_count",
-    "q_hybrid_search", "q_funnel", "q_retention", "q_stream_late_data",
-    "q_event_transitions", "q_attribution", "q_interval_merge", "q_win_cume",
-    "q_pareto_frontier", "q_ab_lift", "q_weighted_sample", "q_data_mix",
-    "q_bpe_pair_counts", "q_rollup_time", "q_top_paths", "q_cdc_merge",
-    "q_recall_eval", "q_bpe_train", "q_tfidf_pairs", "q_robust_stats",
-    "q_dq_referential", "q_multimodal_resize", "q_multimodal_features",
-    "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
-    "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
-    "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",
-    "q_join_multi", "q_win_rank", "q_win_running", "q_win_lag", "q_topk",
-    "q_set_except", "q_pivot", "q_unpivot", "q_fn_string", "q_fn_date",
-    "q_fn_math",
-    # --- below the window: every id holds a green r01/r02/r03 driver row
-    #     and stays covered by the local oracle gate every session ---
-    "q_fn_array", "q_agg_stats", "q_agg_collect", "q_agg_median",
-    "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_dedup_embed",
-    "q_text_stats", "q_lang_id", "q_token_count", "q_quality_score",
-    "q_fingerprint", "q_winnow_fingerprint", "q_split_train_test",
-    "q_pii_redact", "q_doc_chunks", "q_pack_sequences", "q_dedup_groups",
-    "q_multimodal_frames", "q_set_union", "q_set_intersect",
-    "q_multimodal_meta", "q_join_full_outer", "q_join_salted",
-    "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile", "q_sql_star",
-    "q_sql_corr_subquery", "q_scalar_subquery", "q_text_normalize",
-    "q_dedup_contain", "q_bm25", "q_join_bloom", "q_anomaly",
-    "q_hll_distinct", "q_pagerank", "q_kmeans", "q_kmeans_vec", "q_lm_score",
-    "q_source_stats", "q_corpus_shuffle", "q_group_representative",
-    "q_fuzzy_join", "q_semantic_dedup_groups", "q_cluster_sample",
-    "q_agg_salted", "q_stream_tumble", "q_stream_slide", "q_stream_session",
-    "q_ts_gapfill", "q_sessionize", "q_win_frame", "q_range_join_bucketed",
-    "q_latest_by_key", "q_dq_profile", "q_asof_join", "q_range_join",
-    "q_fn_json", "q_agg_approx", "q_stream_smoke", "q_stream_join_smoke",
-    "q_stream_stateful_smoke", "q_stream_dedup_smoke", "q_agg_mode",
-    "q_regex_extract_all", "q_scan_manifest", "q_rel_dst", "q_size_stats",
-    "q_filter_files", "q_proj_manifest", "q_dup_check", "q_split_plan",
-    "q_pipe_exec", "q_pipe_rows", "q_pipe_grep", "q_fn_levenshtein",
-    "q_fn_explode", "q_join_left_outer", "q_fn_cond", "q_vocab_topk",
+    #     q_bpe_train leads (tier 1 — its r04 row was rows-only and the
+    #     REPLACE-chain hash oracle landed this round, so the driver has
+    #     never witnessed the hash check), then the 23 r01-stale and 22
+    #     r02-stale hash-green ids (VERDICT r04 next-round #1), topped up
+    #     to 50 with the 4 stalest r03 ids. ---
+    "q_bpe_train", "q_fn_array", "q_agg_stats", "q_agg_collect",
+    "q_agg_median", "q_dedup_exact", "q_dedup_ngram", "q_sim_topk",
+    "q_dedup_embed", "q_text_stats", "q_lang_id", "q_token_count",
+    "q_quality_score", "q_fingerprint", "q_winnow_fingerprint",
+    "q_split_train_test", "q_pii_redact", "q_doc_chunks", "q_pack_sequences",
+    "q_dedup_groups", "q_multimodal_frames", "q_set_union",
+    "q_set_intersect", "q_multimodal_meta", "q_join_full_outer",
+    "q_join_salted", "q_agg_minmax", "q_agg_grouping_sets", "q_win_ntile",
+    "q_sql_star", "q_sql_corr_subquery", "q_scalar_subquery", "q_vocab_topk",
     "q_ngram_counts", "q_repetition", "q_len_hist", "q_decontam",
     "q_token_entropy", "q_sample_stratified", "q_tfidf", "q_embed_quantize",
     "q_dedup_incremental", "q_rag_retrieval", "q_cooc_pmi",
-    "q_pack_sequences_dist", "q_corpus_pipeline",
+    "q_pack_sequences_dist", "q_corpus_pipeline", "q_text_normalize",
+    "q_dedup_contain", "q_bm25", "q_join_bloom",
+    # --- below the window: every id holds a green r03/r04 driver row
+    #     (freshness bounded at N-2 once r05 lands) and stays covered by
+    #     the local byte-identical oracle gate every session ---
+    "q_agg_percentile",
+    "q_scd2", "q_join_bucketed", "q_triangle_count", "q_hybrid_search",
+    "q_funnel", "q_retention", "q_stream_late_data", "q_event_transitions",
+    "q_attribution", "q_interval_merge", "q_win_cume", "q_pareto_frontier",
+    "q_ab_lift", "q_weighted_sample", "q_data_mix", "q_bpe_pair_counts",
+    "q_rollup_time", "q_top_paths", "q_cdc_merge", "q_recall_eval",
+    "q_tfidf_pairs", "q_robust_stats", "q_dq_referential",
+    "q_multimodal_resize", "q_multimodal_features", "q_dedup_minhash",
+    "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh", "q_agg_groupby",
+    "q_agg_distinct", "q_agg_rollup", "q_agg_cube", "q_join_inner",
+    "q_join_broadcast", "q_join_semi", "q_join_anti", "q_join_multi",
+    "q_win_rank", "q_win_running", "q_win_lag", "q_topk", "q_set_except",
+    "q_pivot", "q_unpivot", "q_fn_string", "q_fn_date", "q_fn_math",
+    "q_anomaly", "q_hll_distinct", "q_pagerank", "q_kmeans", "q_kmeans_vec",
+    "q_lm_score", "q_source_stats", "q_corpus_shuffle",
+    "q_group_representative", "q_fuzzy_join", "q_semantic_dedup_groups",
+    "q_cluster_sample", "q_agg_salted", "q_stream_tumble", "q_stream_slide",
+    "q_stream_session", "q_ts_gapfill", "q_sessionize", "q_win_frame",
+    "q_range_join_bucketed", "q_latest_by_key", "q_dq_profile",
+    "q_asof_join", "q_range_join", "q_fn_json", "q_agg_approx",
+    "q_stream_smoke", "q_stream_join_smoke", "q_stream_stateful_smoke",
+    "q_stream_dedup_smoke", "q_agg_mode", "q_regex_extract_all",
+    "q_scan_manifest", "q_rel_dst", "q_size_stats", "q_filter_files",
+    "q_proj_manifest", "q_dup_check", "q_split_plan", "q_pipe_exec",
+    "q_pipe_rows", "q_pipe_grep", "q_fn_levenshtein", "q_fn_explode",
+    "q_join_left_outer", "q_fn_cond",
 ]
 
 

@@ -138,36 +138,36 @@ def test_priority_ids_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
 
 
-def test_priority_window_holds_round4_ids():
-    """The round-4 must-witness set sits inside the first 50 registry
-    entries — the observed driver CORRECTNESS budget. Round 4 leads with
-    the 27 never-witnessed round-4 additions (waves 1-3), then the 4
-    sketch ids whose r03-upgraded hash oracles were never driver-witnessed
-    (VERDICT r03 #1), then the stalest r01-latest cohort fills the window
-    (per the computed ledger; proven r02/r03 greens rotate out by
-    design)."""
+def test_priority_window_holds_round5_ids():
+    """The round-5 must-witness set sits inside the first 50 registry
+    entries — the observed driver CORRECTNESS budget. After r04's window
+    went 49/50 hash-green, the stalest ids are the 23 r01-latest and 22
+    r02-latest cohorts (VERDICT r04 next-round #1), led by q_bpe_train
+    (whose REPLACE-chain hash oracle landed in r05 — its r04 driver row
+    was rows-only), topped up with the 4 stalest r03 ids."""
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
-        # round-4 additions, never driver-witnessed
-        "q_agg_percentile", "q_scd2", "q_join_bucketed",
-        "q_triangle_count", "q_hybrid_search", "q_funnel", "q_retention",
-        "q_stream_late_data", "q_event_transitions", "q_attribution",
-        "q_interval_merge", "q_win_cume", "q_pareto_frontier", "q_ab_lift",
-        "q_weighted_sample", "q_data_mix", "q_bpe_pair_counts",
-        "q_rollup_time", "q_top_paths", "q_cdc_merge", "q_recall_eval",
-        "q_bpe_train", "q_tfidf_pairs",
-        "q_robust_stats", "q_dq_referential",
-        "q_multimodal_resize", "q_multimodal_features",
-        # r03 oracle upgrades, last driver row is r01 rows-only
-        "q_dedup_minhash", "q_dedup_simhash", "q_sim_ivf", "q_sim_lsh",
-        # spot-checks from the r01-latest cohort
-        "q_agg_groupby", "q_join_broadcast", "q_join_multi", "q_topk",
-        # (q_sim_topk and q_dedup_exact slid past #50 as round-4 ids joined
-        # the window; both are exercised transitively — q_recall_eval's
-        # exact arm IS q_sim_topk's plan, and the dedup family shares
-        # q_dedup_exact's hash-groupBy core — and both stay under the
-        # local oracle gate every session)
+        # oracle upgraded since its last (rows-only) witness
+        "q_bpe_train",
+        # r01-latest cohort
+        "q_fn_array", "q_agg_stats", "q_agg_collect", "q_agg_median",
+        "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_dedup_embed",
+        "q_text_stats", "q_lang_id", "q_token_count", "q_quality_score",
+        "q_fingerprint", "q_winnow_fingerprint", "q_split_train_test",
+        "q_pii_redact", "q_doc_chunks", "q_pack_sequences",
+        "q_dedup_groups", "q_multimodal_frames", "q_set_union",
+        "q_set_intersect", "q_multimodal_meta",
+        # r02-latest cohort
+        "q_join_full_outer", "q_join_salted", "q_agg_minmax",
+        "q_agg_grouping_sets", "q_win_ntile", "q_sql_star",
+        "q_sql_corr_subquery", "q_scalar_subquery", "q_vocab_topk",
+        "q_ngram_counts", "q_repetition", "q_len_hist", "q_decontam",
+        "q_token_entropy", "q_sample_stratified", "q_tfidf",
+        "q_embed_quantize", "q_dedup_incremental", "q_rag_retrieval",
+        "q_cooc_pmi", "q_pack_sequences_dist", "q_corpus_pipeline",
+        # stalest r03 fill
+        "q_text_normalize", "q_dedup_contain", "q_bm25", "q_join_bloom",
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
@@ -192,6 +192,47 @@ def test_priority_window_matches_ledger():
     assert set(window) == set(ledger["suggested_window"]), (
         "registry._PRIORITY window diverges from the computed ledger window; "
         "re-run scripts/witness_ledger.py and re-rotate"
+    )
+
+
+def test_witness_staleness_bounded():
+    """Rotation debt fails the build instead of relying on judge memory
+    (VERDICT r04 next-round #6): with R = the latest driver CORRECTNESS
+    round, every registered id must either (a) sit inside the upcoming
+    50-entry driver window — it will be witnessed in round R+1 — or
+    (b) hold a driver witness from round R-1 or newer. Once the next
+    CORRECTNESS artifact lands, regenerating the ledger and re-rotating
+    is the only way to keep this green, which is exactly the point."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    rounds = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        with open(path) as f:
+            rounds[int(m.group(1))] = json.load(f)
+    if not rounds:
+        import pytest
+
+        pytest.skip("no CORRECTNESS artifacts")
+    latest = max(rounds)
+    last_seen = {}
+    for r in sorted(rounds):
+        for qid in rounds[r]:
+            last_seen[qid] = r
+    window = set(list(SPECS)[:50])
+    stale = [
+        qid
+        for qid in SPECS
+        if qid not in window and last_seen.get(qid, 0) < latest - 1
+    ]
+    assert not stale, (
+        f"ids outside the rotation window with witnesses older than "
+        f"r{latest - 1:02d}: {stale} — re-run scripts/witness_ledger.py "
+        "and re-rotate registry._PRIORITY"
     )
 
 
