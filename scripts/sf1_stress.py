@@ -38,7 +38,12 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1_stress"
 REPS = 10
 QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
-           "q_triangle_count", "q_interval_merge"]
+           "q_triangle_count", "q_interval_merge",
+           # round-4 heavies (VERDICT r04 next-round #4): the two-tier
+           # order statistics, both retrieval arms + fusion, the composed
+           # recall harness, and the iterative BPE trainer at 10x rows
+           "q_robust_stats", "q_hybrid_search", "q_recall_eval",
+           "q_bpe_train"]
 
 
 def synthesize(spark) -> None:
