@@ -342,7 +342,13 @@ def plan_partitions(
     files = manifest.filter(~F.col("is_dir"))
     sc = files.sparkSession.sparkContext
 
-    n_plan_parts = max(1, sc.defaultParallelism)
+    # cap planning partitions by the manifest's OWN partition count: a
+    # small tree (one BFS level -> a couple of parallelize partitions)
+    # otherwise fans every planning job out to defaultParallelism tasks,
+    # and on a 64-file run the fixed per-task dispatch dominates the
+    # whole job (measured: the bulk of the tiny-file bench probe). Big
+    # manifests still plan at full parallelism.
+    n_plan_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
     ordered = files.repartitionByRange(n_plan_parts, "src_path").sortWithinPartitions("src_path")
     ordered = ordered.cache()
 
@@ -405,7 +411,7 @@ def limit_manifest(
     dirs = manifest.filter(F.col("is_dir"))
     sc = files.sparkSession.sparkContext
 
-    n_parts = max(1, sc.defaultParallelism)
+    n_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
     # Pin partition identity before the two passes: the offsets pass and
     # the cut pass below both drive ordered.rdd, and an unmaterialized
     # repartitionByRange re-executes per action with sampled range
@@ -662,9 +668,20 @@ def distexec(
     # a driver-local scratch dir, so a parquet round-trip through
     # tempfile.mkdtemp would land the parts on worker disks and the
     # driver's read-back would see an empty directory.
+    n_fails: int | None = None
     if _spark_native(dst):
+        # piggyback the FAIL count on the durability write (Observation
+        # fills from the write action) — the former fails.limit(1).count()
+        # was a whole extra job just to decide whether to write a log
+        from pyspark.sql import Observation
+
+        obs = Observation("distexec_metrics")
         results_dir = dst_fs.join(dst, "_distexec_results")
-        results.write.mode("overwrite").parquet(results_dir)
+        observed = results.observe(
+            obs, F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("n_fails")
+        )
+        observed.write.mode("overwrite").parquet(results_dir)
+        n_fails = obs.get["n_fails"] or 0
         plan_cache.unpersist()
         results = spark.read.parquet(results_dir)
     else:
@@ -682,7 +699,9 @@ def distexec(
     # FAIL log records (ExecFilesMapper.java:184-187)
     log_dir = log_dir or dst_fs.join(dst, "_distexec_logs")
     fails = results.filter(F.col("status") == "FAIL")
-    if fails.limit(1).count() > 0:
+    if n_fails is None:
+        n_fails = fails.limit(1).count()
+    if n_fails > 0:
         log_lines = fails.select(
             F.concat(F.lit("FAIL "), "rel_dst", F.lit(" : "), F.coalesce("error", F.lit("?"))).alias(
                 "value"
