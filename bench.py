@@ -71,6 +71,10 @@ HEADLINE = [
     "q_tfidf_pairs",
     "q_robust_stats",
     "q_dq_referential",
+    # round-5 additions (new ids — absent from BENCH_r01..r04)
+    "q_quantile_bins",
+    "q_dedup_prefix",
+    "q_dedup_recall_eval",
 ]
 
 HEADLINE_TRIALS = 3

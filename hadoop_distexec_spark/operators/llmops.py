@@ -217,12 +217,81 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+PREFIX_BLOCK = 64  # block-key length = minimum detectable prefix length
+PREFIX_MAX_DF = 100  # hot-block cap (the MAX_SHINGLE_DF rule for prefixes)
+
+
+@register(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             substr(text, 1, {PREFIX_BLOCK}) AS k
+      FROM documents WHERE length(text) >= {PREFIX_BLOCK}),
+    keep AS (SELECT k FROM d GROUP BY k HAVING COUNT(*) <= {PREFIX_MAX_DF}),
+    dk AS (SELECT d.doc_id, d.text, d.n, d.k FROM d JOIN keep USING (k))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n AS len_a, b.n AS len_b, a.n = b.n AS is_exact
+    FROM dk a JOIN dk b ON a.k = b.k
+     AND ((a.n < b.n AND starts_with(b.text, a.text))
+          OR (a.text = b.text AND a.doc_id < b.doc_id))
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup: pairs where one document is a proper
+    PREFIX of another (or an exact clone) — the truncation-artifact
+    family (crawler cutoffs, re-fetches with appended boilerplate) that
+    Jaccard treats as merely similar and exact dedup misses entirely.
+
+    Blocking: equi-join on the first PREFIX_BLOCK characters — a prefix
+    pair of length >= PREFIX_BLOCK provably shares that block, so the
+    join is a hash equi-join touching only block collisions; the
+    startswith residual then verifies the full containment. Blocks hotter
+    than PREFIX_MAX_DF docs are dropped (the MAX_SHINGLE_DF stop-key
+    rule: a boilerplate opening shared by 10^6 docs would otherwise fan
+    the join out quadratically — documented recall tradeoff, mirrored in
+    the oracle). Documents shorter than PREFIX_BLOCK are out of contract
+    (their truncation artifacts are cheap to catch with exact dedup).
+
+    Determinism: pure string predicates and exact lengths; is_exact
+    flags the clone case (lengths equal), ordered doc_a < doc_b."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    d = docs.where(F.col("n") >= PREFIX_BLOCK).withColumn(
+        "k", F.substring("text", 1, PREFIX_BLOCK)
+    )
+    hot = (
+        d.groupBy("k").count().filter(F.col("count") > PREFIX_MAX_DF).select("k")
+    )
+    d = d.join(hot, "k", "left_anti")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        F.col("n").alias("len_a"), "k",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        F.col("n").alias("len_b"), "k",
+    )
+    prefix_case = (F.col("len_a") < F.col("len_b")) & F.col("text_b").startswith(
+        F.col("text_a")
+    )
+    clone_case = (F.col("text_a") == F.col("text_b")) & (
+        F.col("doc_a") < F.col("doc_b")
+    )
+    return (
+        a.join(b, "k")
+        .where(prefix_case | clone_case)
+        .select(
+            "doc_a", "doc_b", "len_a", "len_b",
+            (F.col("len_a") == F.col("len_b")).alias("is_exact"),
+        )
+    )
+
+
 _MINHASH_ROWS_PER_BAND = NUM_PERM // LSH_BANDS
 
-_MINHASH_ORACLE = (
-    "WITH "
-    + _SHINGLES_SQL
-    + f""",
+_MINHASH_CTES = f"""
     perms AS (SELECT UNNEST(range(0, {NUM_PERM})) AS seed),
     m AS (
       SELECT doc_id, seed,
@@ -251,14 +320,23 @@ _MINHASH_ORACLE = (
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
+    ),
+    mh_ver AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
+      FROM inter
+      JOIN sizes za ON doc_a = za.doc_id
+      JOIN sizes zb ON doc_b = zb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3
     )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
-    FROM inter
-    JOIN sizes za ON doc_a = za.doc_id
-    JOIN sizes zb ON doc_b = zb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3
-    """
+"""
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + ","
+    + _MINHASH_CTES
+    + "SELECT doc_a, doc_b, jaccard FROM mh_ver"
 )
 
 
@@ -313,6 +391,14 @@ def _minhash_plan(s: DataFrame, hash: str = "md5") -> DataFrame:
     """The minhash pair plan over a (doc_id, shingle) frame,
     un-checkpointed (plan-shape tests inspect this; minhash_pairs wraps it
     in the cache-release checkpoint)."""
+    _cand, verified = _minhash_parts(s, hash)
+    return verified
+
+
+def _minhash_parts(s: DataFrame, hash: str = "md5") -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, verified pairs) of the minhash plan — the split
+    lets q_dedup_recall_eval meter the band join's candidate set
+    separately from the post-verify output."""
     mins = [F.min(_perm_hash(seed, hash)).alias(f"m{seed}") for seed in range(NUM_PERM)]
     sig = s.groupBy("doc_id").agg(*mins)
     rows_per_band = NUM_PERM // LSH_BANDS
@@ -351,13 +437,14 @@ def _minhash_plan(s: DataFrame, hash: str = "md5") -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    return (
+    verified = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return cand, verified
 
 
 @register("q_dedup_minhash", oracle=_MINHASH_ORACLE)
@@ -365,6 +452,119 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash_pairs at the md5 oracle tier (see _perm_hash for the
     tier rationale; BENCH `tiers` compares md5 vs xxhash64)."""
     return minhash_pairs(spark, sf_dir, hash="md5")
+
+
+_DEDUP_RECALL_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + ","
+    + _MINHASH_CTES
+    + f""",
+    tkeep AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    tsc AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN tkeep USING (shingle)),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tsc a JOIN tsc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    tinter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM tcand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    truth AS (
+      SELECT doc_a, doc_b FROM tinter
+      JOIN sizes za ON doc_a = za.doc_id
+      JOIN sizes zb ON doc_b = zb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3),
+    hits AS (
+      SELECT t.doc_a FROM truth t
+      JOIN mh_ver v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM mh_ver) AS BIGINT) AS n_verified,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+             / (SELECT COUNT(*) FROM mh_ver) AS prec
+    """
+)
+
+
+@register("q_dedup_recall_eval", oracle=_DEDUP_RECALL_ORACLE)
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality harness for the dedup family — the q_recall_eval
+    idea applied to MinHash LSH: recall and precision of the band-join
+    pipeline against an exact ground truth (a sketch dedup without a
+    measured recall is untrustworthy at any scale, same argument as ANN).
+
+    Ground truth: pairs whose EXACT shingle Jaccard (uncapped sets, the
+    same definition the minhash verify uses) is >= 0.3, discovered by the
+    df-capped equi-self-join (the only scalable exact method; a pair
+    sharing exclusively stop-shingles is out of the truth contract,
+    documented here and mirrored in the oracle). Predicted: the band
+    join's candidate set (pre-verify — meters LSH bucket quality) and the
+    verified output (= q_dedup_minhash). Verified pairs sharing only hot
+    shingles can fall outside the truth set, so precision < 1 is
+    possible by construction — that asymmetry is the metric's point.
+
+    Determinism: four exact bigint counts and two IEEE divisions.
+
+    Shape at 100 TB: the truth arm is the expensive audit (capped
+    equi-join, the q_dedup_ngram cost) — run it on a corpus SAMPLE in
+    production exactly like q_recall_eval's exact arm; the minhash arm
+    and the hits join are the cheap side (pairs-sized)."""
+    s = _shingles_df(spark, sf_dir).persist()
+    s.count()
+    cand, ver = _minhash_parts(s, "md5")
+    sc_ = _drop_hot_shingles(s)
+    a = sc_.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sc_.select(F.col("doc_id").alias("doc_b"), "shingle")
+    tcand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    tinter = (
+        tcand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("n_common")
+    )
+    truth = (
+        tinter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    hits = truth.join(ver.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    # 1-row scalar aggregates fused with broadcast crossJoins (each side
+    # is provably one row — the q_weighted_sample scalar-max pattern)
+    result = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("n_verified"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_truth", "n_candidates", "n_verified", "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_verified")).alias("prec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s.unpersist()
+    return result
 
 
 _SIMHASH_BITS = 60  # low 60 bits of md5 (15 hex chars) — conv()-safe in BIGINT
@@ -3056,6 +3256,39 @@ BPE_ROUNDS = 3  # merge rounds the trainer runs
 _BPE_SEP = "\x1f"  # oracle symbol delimiter; must not occur in corpus text
 
 
+def _bpe_ctes(rounds: int) -> list[str]:
+    """The shared REPLACE-chain CTE prefix: encoded words w0..w{rounds}
+    (doc_id carried through for q_bpe_apply's per-document aggregate;
+    q_bpe_train's final select simply ignores it) and per-round winners
+    win0..win{rounds-1}. See _bpe_train_oracle for the encoding proof."""
+    s = _BPE_SEP
+    ctes = [
+        f"""w0 AS (
+      SELECT doc_id, '{s}' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)), '{s}{s}')
+           || '{s}' AS st
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 1)"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""l{r} AS (
+      SELECT string_split(substr(st, 2, length(st) - 2), '{s}{s}') AS l
+      FROM w{r})""")
+        ctes.append(f"""p{r} AS (
+      SELECT l, unnest(range(1, len(l))) AS i FROM l{r} WHERE len(l) >= 2)""")
+        ctes.append(f"""win{r} AS (
+      SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+             COUNT(*) AS n
+      FROM p{r} GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{r + 1} AS (
+      SELECT doc_id, CASE WHEN a IS NULL THEN st
+             ELSE REPLACE(st, '{s}' || a || '{s}{s}' || b || '{s}',
+                              '{s}' || a || b || '{s}') END AS st
+      FROM w{r} LEFT JOIN win{r} ON TRUE)""")
+    return ctes
+
+
 def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     """DuckDB twin of the Spark trainer's greedy fold, as a chained CTE
     (the VERDICT r04 #2 upgrade: the former 'not SQL-expressible' claim
@@ -3082,30 +3315,7 @@ def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     the same aggregations the Spark side runs; an empty round (no pairs
     left) LEFT-JOINs through unchanged."""
     s = _BPE_SEP
-    ctes = [
-        f"""w0 AS (
-      SELECT '{s}' || array_to_string(
-               list_transform(range(1, length(w) + 1),
-                              i -> substr(w, CAST(i AS INT), 1)), '{s}{s}')
-           || '{s}' AS st
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE length(w) >= 1)"""
-    ]
-    for r in range(rounds):
-        ctes.append(f"""l{r} AS (
-      SELECT string_split(substr(st, 2, length(st) - 2), '{s}{s}') AS l
-      FROM w{r})""")
-        ctes.append(f"""p{r} AS (
-      SELECT l, unnest(range(1, len(l))) AS i FROM l{r} WHERE len(l) >= 2)""")
-        ctes.append(f"""win{r} AS (
-      SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
-             COUNT(*) AS n
-      FROM p{r} GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""")
-        ctes.append(f"""w{r + 1} AS (
-      SELECT CASE WHEN a IS NULL THEN st
-             ELSE REPLACE(st, '{s}' || a || '{s}{s}' || b || '{s}',
-                              '{s}' || a || b || '{s}') END AS st
-      FROM w{r} LEFT JOIN win{r} ON TRUE)""")
+    ctes = _bpe_ctes(rounds)
     ctes.append(f"""vocab AS (
       SELECT COUNT(DISTINCT sym) AS v FROM (
         SELECT unnest(string_split(substr(st, 2, length(st) - 2), '{s}{s}')) AS sym
@@ -3119,42 +3329,16 @@ def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
-@register(
-    "q_bpe_train",
-    oracle=_bpe_train_oracle(),
-)
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training, the real loop: 3 rounds of
-    (count adjacent symbol pairs) -> (pick the most frequent, ties to the
-    lexicographically smallest) -> (apply the merge corpus-wide,
-    greedy left-to-right). Output: one row per learned merge with its
-    pre-merge pair count, plus the corpus vocabulary size after each
-    round — the artifact a tokenizer build job persists.
-
-    Implementation: words live as symbol ARRAYS (split to chars once);
-    pair counting is the q_bpe_pair_counts plan (codegen explode +
-    map-side-combined hash agg); the winning merge is a 1-row collect
-    (driver holds ONE (pair, count) tuple per round — bounded planning
-    metadata, like the split planner); merge application is a higher-order
-    aggregate over the symbol array (JVM codegen, no Python): fold left,
-    appending either a merged symbol or the raw next symbol — greedy
-    left-to-right exactly like the reference trainer.
-
-    Scale: each round = 1 explode->agg shuffle over the corpus + a
-    broadcast of one scalar pair. Rounds are the standard BPE sequential
-    dependency (real trainers batch non-overlapping merges per sweep; the
-    per-round dataflow is identical). localCheckpoint between rounds
-    releases lineage exactly like q_dedup_groups' CC loop.
-
-    Oracle: hash-checked via the REPLACE-chain CTE (_bpe_train_oracle),
-    whose delimiter-framed encoding makes DuckDB's REPLACE bit-equivalent
-    to the fold (assumes corpus text contains no \\x1f, true of the
-    fixtures); the exact Python-reference pytest
-    (test_round4b_ops.py::test_bpe_train_matches_reference) stays as the
-    third witness."""
+def _bpe_learn(spark: SparkSession, sf_dir: str, rounds: int):
+    """The shared BPE merge loop: split the corpus to per-word symbol
+    arrays (doc_id carried for per-document consumers), then ``rounds``
+    times (count adjacent pairs -> pick the (count desc, a, b) winner ->
+    apply the merge corpus-wide as a greedy left-to-right JVM fold).
+    Returns (final syms frame with columns (doc_id, syms), merge list of
+    (round, a, b, merged, count)). See q_bpe_train for the scale notes."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split("text", " ")).alias("w")
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") >= 1)
     # the documents fixture is a single parquet file => one input
     # partition; the per-round fold + explode would otherwise run on ONE
@@ -3162,13 +3346,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = (
         words.repartition(spark.sparkContext.defaultParallelism)
         .select(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms")
+            "doc_id",
+            F.length("w").alias("n0"),  # pre-merge symbol count per word
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("syms"),
         )
         .localCheckpoint()
     )
 
     merges = []
-    for rnd in range(BPE_ROUNDS):
+    for rnd in range(rounds):
         top = (
             syms.where(F.size("syms") >= 2)
             .select(
@@ -3206,14 +3392,108 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
             "  ELSE concat(acc, array(s)) END)"
         )
-        syms = syms.select(merged_expr.alias("syms")).localCheckpoint()
+        syms = syms.select("doc_id", "n0", merged_expr.alias("syms")).localCheckpoint()
+    return syms, merges
 
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, the real loop: 3 rounds of
+    (count adjacent symbol pairs) -> (pick the most frequent, ties to the
+    lexicographically smallest) -> (apply the merge corpus-wide,
+    greedy left-to-right). Output: one row per learned merge with its
+    pre-merge pair count, plus the corpus vocabulary size after each
+    round — the artifact a tokenizer build job persists.
+
+    Implementation: words live as symbol ARRAYS (split to chars once);
+    pair counting is the q_bpe_pair_counts plan (codegen explode +
+    map-side-combined hash agg); the winning merge is a 1-row collect
+    (driver holds ONE (pair, count) tuple per round — bounded planning
+    metadata, like the split planner); merge application is a higher-order
+    aggregate over the symbol array (JVM codegen, no Python): fold left,
+    appending either a merged symbol or the raw next symbol — greedy
+    left-to-right exactly like the reference trainer.
+
+    Scale: each round = 1 explode->agg shuffle over the corpus + a
+    broadcast of one scalar pair. Rounds are the standard BPE sequential
+    dependency (real trainers batch non-overlapping merges per sweep; the
+    per-round dataflow is identical). localCheckpoint between rounds
+    releases lineage exactly like q_dedup_groups' CC loop.
+
+    Oracle: hash-checked via the REPLACE-chain CTE (_bpe_train_oracle),
+    whose delimiter-framed encoding makes DuckDB's REPLACE bit-equivalent
+    to the fold (assumes corpus text contains no \\x1f, true of the
+    fixtures); the exact Python-reference pytest
+    (test_round4b_ops.py::test_bpe_train_matches_reference) stays as the
+    third witness."""
+    syms, merges = _bpe_learn(spark, sf_dir, BPE_ROUNDS)
     vocab = syms.select(F.explode("syms").alias("s")).distinct().count()
     rows = [(r, a, b, m, int(n), int(vocab)) for (r, a, b, m, n) in merges]
     return spark.createDataFrame(
         rows,
         "round int, sym_a string, sym_b string, merged string, "
         "pair_count long, final_vocab long",
+    )
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(BPE_ROUNDS))
+    + f""",
+    nsym AS (
+      SELECT doc_id,
+             len(string_split(substr(st, 2, length(st) - 2),
+                              '{_BPE_SEP}{_BPE_SEP}')) AS ln
+      FROM w{BPE_ROUNDS}),
+    before AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             SUM(len(string_split(substr(st, 2, length(st) - 2),
+                                  '{_BPE_SEP}{_BPE_SEP}'))) AS n_syms
+      FROM w0 GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.n_syms AS BIGINT) AS n_syms,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_tokens AS DOUBLE) / b.n_syms AS compression
+    FROM before b
+    JOIN (SELECT doc_id, SUM(ln) AS n_tokens FROM nsym GROUP BY doc_id) a
+      USING (doc_id)
+    """
+)
+
+
+@register("q_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE, completing the BPE story next to q_bpe_train:
+    learn the merge table (same loop, same corpus), apply it corpus-wide,
+    and report the per-document tokenization statistics a data pipeline
+    persists — word count, pre-merge symbol (char) count, post-merge token
+    count, and the compression ratio. This is the operator that runs on
+    EVERY training batch once the tokenizer is frozen; the trainer runs
+    once.
+
+    Determinism: counts are exact ints from the same greedy fold the
+    trainer pins (one merge table for the whole corpus — the winners are
+    the trainer's); compression is one IEEE division. Oracle: the shared
+    REPLACE-chain CTEs (_bpe_ctes) aggregated per document.
+
+    Shape at 100 TB: identical per-round dataflow to q_bpe_train (the
+    merge loop IS the shared _bpe_learn); the apply-side aggregate is one
+    map-side-combinable groupBy on doc_id over rows already co-partitioned
+    by the fold's checkpoint — in a real deployment the merge table is a
+    broadcast list and the whole apply pass is a single scan."""
+    syms, _merges = _bpe_learn(spark, sf_dir, BPE_ROUNDS)
+    agg = syms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n0").alias("n_syms"),
+        F.sum(F.size("syms")).alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id", "n_words", "n_syms", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_syms")).alias("compression"),
     )
 
 

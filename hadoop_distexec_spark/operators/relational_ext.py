@@ -1242,6 +1242,124 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH vals AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    r AS (SELECT g, v,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS i
+          FROM vals),
+    n AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
+    j AS (SELECT r.g, r.v, r.i, n.n,
+                 {_pct_row_sql(25)}, {_pct_row_sql(50)}, {_pct_row_sql(75)}
+          FROM r JOIN n USING (g)),
+    b AS (SELECT g,
+                 {_pct_agg_sql(25)} AS p25,
+                 {_pct_agg_sql(50)} AS p50,
+                 {_pct_agg_sql(75)} AS p75
+          FROM j GROUP BY g),
+    bins AS (
+      SELECT vals.g,
+             (CASE WHEN v > p25 THEN 1 ELSE 0 END
+              + CASE WHEN v > p50 THEN 1 ELSE 0 END
+              + CASE WHEN v > p75 THEN 1 ELSE 0 END) AS bin
+      FROM vals JOIN b USING (g)),
+    c AS (SELECT g, bin, COUNT(*) AS n_rows FROM bins GROUP BY g, bin)
+    SELECT c.g AS l_returnflag, CAST(c.bin AS INT) AS bin,
+           CASE c.bin WHEN 1 THEN p25 WHEN 2 THEN p50 WHEN 3 THEN p75 END AS lo,
+           CASE c.bin WHEN 0 THEN p25 WHEN 1 THEN p50 WHEN 2 THEN p75 END AS hi,
+           n_rows, TRUE AS bounds_ok
+    FROM c JOIN b USING (g)
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram / range-partition boundaries: per group, the
+    exact p25/p50/p75 cut points and the row count that lands in each of
+    the 4 resulting bins — the statistic behind balanced range
+    partitioning (repartitionByRange's sampler estimates exactly this),
+    CBO histograms, and skew diagnosis before a big range join.
+
+    Determinism: boundaries reuse q_agg_percentile's integer-exact rank
+    arithmetic; bin assignment is strict `v > boundary` (ties land low,
+    deterministically); counts are exact ints.
+
+    Two tiers in one query (the q_robust_stats pattern): the exact
+    boundaries need a per-group ordered pass — the audit tier, run on
+    samples at 100 TB (which is literally what Spark's range sampler
+    does) — while approx_percentile recomputes all three boundaries
+    sketch-side with no sort; bounds_ok (0.5% relative + 1.0 absolute,
+    per boundary) is the hash-checked TRUE-flag asserting the production
+    tier tracks the exact one.
+
+    Shape: one group-key Exchange for the ranking window + aggregate,
+    one broadcast of the 3-row boundary table back onto the scan for bin
+    counting (map-side combinable). The bin-count pass never sorts."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    w = W.partitionBy("g").orderBy("v")
+    ranked = li.select(
+        "g", "v",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("g")).alias("n"),
+    )
+    for p in _PCTS:
+        lo = F.expr(f"((n - 1) * {p}) div 100")
+        rem = ((F.col("n") - 1) * p) % 100
+        hi = lo + F.when(rem > 0, 1).otherwise(0)
+        ranked = ranked.withColumns({
+            f"_vlo{p}": F.when(F.col("i") == lo, F.col("v")),
+            f"_vhi{p}": F.when(F.col("i") == hi, F.col("v")),
+            f"_rem{p}": rem,
+        })
+
+    def pct(p: int):
+        vlo, vhi = F.col(f"_vlo{p}"), F.col(f"_vhi{p}")
+        return vlo + (vhi - vlo) * (F.col(f"_rem{p}").cast("double") / 100.0)
+
+    bounds = ranked.groupBy("g").agg(
+        *[f
+          for p in _PCTS
+          for f in (F.max(f"_vlo{p}").alias(f"_vlo{p}"),
+                    F.max(f"_vhi{p}").alias(f"_vhi{p}"),
+                    F.max(f"_rem{p}").alias(f"_rem{p}"))],
+        F.percentile_approx("v", [p / 100.0 for p in _PCTS], 10000).alias("_apx"),
+    ).withColumns({f"p{p}": pct(p) for p in _PCTS})
+
+    def close(p: int, idx: int):
+        exact = F.col(f"p{p}")
+        approx = F.col("_apx")[idx]
+        return F.abs(approx - exact) <= (F.lit(0.005) * F.abs(exact) + F.lit(1.0))
+
+    bounds = bounds.select(
+        "g", "p25", "p50", "p75",
+        (close(25, 0) & close(50, 1) & close(75, 2)).alias("bounds_ok"),
+    )
+    bin_col = sum(
+        F.when(F.col("v") > F.col(f"p{p}"), 1).otherwise(0) for p in _PCTS
+    ).cast("int")
+    cnt = (
+        li.join(F.broadcast(bounds.select("g", "p25", "p50", "p75")), "g")
+        .select("g", bin_col.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    pick = lambda m: F.element_at(  # noqa: E731
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in m]), F.array(*[F.col(v) for v in m.values()])
+        ),
+        F.col("bin"),
+    )
+    return cnt.join(F.broadcast(bounds), "g").select(
+        F.col("g").alias("l_returnflag"),
+        "bin",
+        pick({1: "p25", 2: "p50", 3: "p75"}).alias("lo"),
+        pick({0: "p25", 1: "p50", 2: "p75"}).alias("hi"),
+        "n_rows",
+        "bounds_ok",
+    )
+
+
+@register(
     "q_scd2",
     oracle="""
     WITH e AS (

@@ -74,11 +74,16 @@ def _load_modules() -> None:
 _PRIORITY: list[str] = [
     # --- driver window (50): computed by scripts/witness_ledger.py
     #     (WITNESS_LEDGER.json "suggested_window", stalest-witness-first):
-    #     q_bpe_train leads (tier 1 — its r04 row was rows-only and the
+    #     the 4 round-5 additions (tier 0 — never witnessed), then
+    #     q_bpe_train (tier 1 — its r04 row was rows-only and the
     #     REPLACE-chain hash oracle landed this round, so the driver has
     #     never witnessed the hash check), then the 23 r01-stale and 22
-    #     r02-stale hash-green ids (VERDICT r04 next-round #1), topped up
-    #     to 50 with the 4 stalest r03 ids. ---
+    #     r02-stale hash-green ids (VERDICT r04 next-round #1). The 4
+    #     r03-fill ids the r04-sized window would have carried slide just
+    #     past #50; they hold green r03 rows (staleness bound respected)
+    #     and stay under the local oracle gate. ---
+    "q_quantile_bins", "q_dedup_prefix", "q_dedup_recall_eval",
+    "q_bpe_apply",
     "q_bpe_train", "q_fn_array", "q_agg_stats", "q_agg_collect",
     "q_agg_median", "q_dedup_exact", "q_dedup_ngram", "q_sim_topk",
     "q_dedup_embed", "q_text_stats", "q_lang_id", "q_token_count",

@@ -148,6 +148,9 @@ def test_priority_window_holds_round5_ids():
     ids = list(SPECS)
     window = set(ids[:50])
     must_witness = [
+        # round-5 additions, never driver-witnessed
+        "q_quantile_bins", "q_dedup_prefix", "q_dedup_recall_eval",
+        "q_bpe_apply",
         # oracle upgraded since its last (rows-only) witness
         "q_bpe_train",
         # r01-latest cohort
@@ -166,8 +169,9 @@ def test_priority_window_holds_round5_ids():
         "q_token_entropy", "q_sample_stratified", "q_tfidf",
         "q_embed_quantize", "q_dedup_incremental", "q_rag_retrieval",
         "q_cooc_pmi", "q_pack_sequences_dist", "q_corpus_pipeline",
-        # stalest r03 fill
-        "q_text_normalize", "q_dedup_contain", "q_bm25", "q_join_bloom",
+        # (the 4 stalest-r03 fill ids slid past #50 as the round-5
+        # additions joined the window; all hold green r03 rows, inside
+        # the staleness bound, and stay under the local oracle gate)
     ]
     out = [q for q in must_witness if q not in window]
     assert not out, f"ids fell out of the driver's 50-entry window: {out}"
