@@ -2221,13 +2221,19 @@ def _median_sql(src: str, g: str, v: str, out: str) -> str:
       FROM {out}_r GROUP BY g, n)"""
 
 
-def _spark_median(df: DataFrame, g: str, v: str, out: str) -> DataFrame:
+def _spark_median(df: DataFrame, g: str, v: str, out: str,
+                  extra_aggs: list = ()) -> DataFrame:
     """Spark twin of _median_sql: integer-exact interpolated per-group
-    median. Returns (g, n_{out}, {out})."""
+    median. Returns (g, n_{out}, {out}). ``extra_aggs`` ride the same
+    final groupBy (same Exchange) — q_robust_stats fuses its
+    approx_percentile production tier here instead of paying a second
+    scan of the input."""
     w = W.partitionBy(g).orderBy(v)
+    others = [c for c in df.columns if c not in (g, v)]
     ranked = df.select(
         F.col(g).alias("g"),
         F.col(v).alias("v"),
+        *others,
         (F.row_number().over(w) - 1).alias("i"),
         F.count(F.lit(1)).over(W.partitionBy(g)).alias("n"),
     )
@@ -2235,28 +2241,29 @@ def _spark_median(df: DataFrame, g: str, v: str, out: str) -> DataFrame:
     rem = ((F.col("n") - 1) * 50) % 100
     hi = lo + F.when(rem > 0, 1).otherwise(0)
     ranked = ranked.select(
-        "g", "n",
+        "g", "n", "v", *others,
         F.when(F.col("i") == lo, F.col("v")).alias("_vlo"),
         F.when(F.col("i") == hi, F.col("v")).alias("_vhi"),
         rem.alias("_rem"),
     )
-    return (
-        ranked.groupBy("g")
-        .agg(
-            F.max("n").alias(f"n_{out}"),
-            F.max("_vlo").alias("_vlo"),
-            F.max("_vhi").alias("_vhi"),
-            F.max("_rem").alias("_rem"),
-        )
-        .select(
-            "g",
-            f"n_{out}",
-            (
-                F.col("_vlo")
-                + (F.col("_vhi") - F.col("_vlo"))
-                * (F.col("_rem").cast("double") / 100.0)
-            ).alias(out),
-        )
+    agged = ranked.groupBy("g").agg(
+        F.max("n").alias(f"n_{out}"),
+        F.max("_vlo").alias("_vlo"),
+        F.max("_vhi").alias("_vhi"),
+        F.max("_rem").alias("_rem"),
+        *extra_aggs,
+    )
+    extra_names = [c for c in agged.columns
+                   if c not in ("g", f"n_{out}", "_vlo", "_vhi", "_rem")]
+    return agged.select(
+        "g",
+        f"n_{out}",
+        (
+            F.col("_vlo")
+            + (F.col("_vhi") - F.col("_vlo"))
+            * (F.col("_rem").cast("double") / 100.0)
+        ).alias(out),
+        *extra_names,
     )
 
 
@@ -2311,25 +2318,28 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
-    med = _spark_median(li, "g", "v", "med")
-    # production tier: sketch median -> broadcast -> sketch MAD; entirely
-    # independent of the exact intermediates (the always-on path has none)
-    amed = li.groupBy("g").agg(
-        F.percentile_approx("v", 0.5, 10000).alias("amed")
-    )
-    adev = li.join(F.broadcast(amed), "g").select(
-        "g", F.abs(F.col("v") - F.col("amed")).alias("av")
-    )
-    amad = adev.groupBy("g").agg(
-        F.percentile_approx("av", 0.5, 10000).alias("amad")
+    # production-tier sketches (approx median / approx MAD) FUSE into the
+    # exact passes' final aggregations — same rows, same Exchange, zero
+    # extra scans; in an approx-only deployment the same aggs run without
+    # the window pass at all (two hash aggregates, no sort)
+    med = _spark_median(
+        li, "g", "v", "med",
+        extra_aggs=[F.percentile_approx("v", 0.5, 10000).alias("amed")],
     )
     devs = (
         li.join(F.broadcast(med), li.g == med.g)
-        .select(li.g.alias("g"), F.abs(li.v - F.col("med")).alias("v"))
+        .select(
+            li.g.alias("g"),
+            F.abs(li.v - F.col("med")).alias("v"),
+            F.abs(li.v - F.col("amed")).alias("av"),
+        )
         .persist()
     )
     devs.count()
-    mad = _spark_median(devs, "g", "v", "mad")
+    mad = _spark_median(
+        devs, "g", "v", "mad",
+        extra_aggs=[F.percentile_approx("av", 0.5, 10000).alias("amad")],
+    )
     thresh = F.lit(_MAD_Z) * (F.lit(_MAD_K) * F.col("mad"))
     outl = (
         devs.join(F.broadcast(mad), "g")
@@ -2347,8 +2357,6 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         med.join(mad, "g")
         .join(outl, "g", "left")
-        .join(amed, "g")
-        .join(amad, "g")
         .select(
             F.col("g").alias("l_returnflag"),
             F.col("n_med").alias("n"),
