@@ -88,6 +88,15 @@ def test_dedup_prefix_plan_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_quantile_bins_plan_broadcasts_boundaries(spark):
+    """The bin-count pass must join the 3-row boundary table by broadcast
+    (never shuffle the scan for it) and contain no nested loop."""
+    plan = _plan(spark, "q_quantile_bins")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 # --- q_dedup_recall_eval ---------------------------------------------------
 
 
