@@ -253,8 +253,12 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle). Documents shorter than PREFIX_BLOCK are out of contract
     (their truncation artifacts are cheap to catch with exact dedup).
 
-    Determinism: pure string predicates and exact lengths; is_exact
-    flags the clone case (lengths equal), ordered doc_a < doc_b."""
+    Determinism: pure string predicates and exact lengths. Ordering:
+    doc_a is the CONTAINED (shorter) document — the one a dedup pass
+    would drop — so doc_a's id may exceed doc_b's; only the exact-clone
+    case (is_exact, equal lengths) orders by id, doc_a < doc_b. This
+    differs from the minhash/ngram families' id-ordered pairs because
+    containment is directional and the direction is the signal."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("n")
     )
@@ -425,11 +429,20 @@ def _minhash_parts(s: DataFrame, hash: str = "md5") -> tuple[DataFrame, DataFram
         .distinct()
     )
     # exact-Jaccard verification of candidates only
+    return cand, _pair_jaccard(s, cand)
+
+
+def _pair_jaccard(s: DataFrame, pairs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Exact shingle Jaccard for a (doc_a, doc_b) pair frame over the full
+    (uncapped) shingle sets — THE verify definition, shared by the minhash
+    pipeline and q_dedup_recall_eval's ground-truth arm so the two can
+    never diverge. Returns (doc_a, doc_b, jaccard) filtered to
+    jaccard >= threshold."""
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cand.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -437,14 +450,13 @@ def _minhash_parts(s: DataFrame, hash: str = "md5") -> tuple[DataFrame, DataFram
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     jac = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    verified = (
+    return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.3)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return cand, verified
 
 
 @register("q_dedup_minhash", oracle=_MINHASH_ORACLE)
@@ -485,10 +497,12 @@ _DEDUP_RECALL_ORACLE = (
            CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM mh_ver) AS BIGINT) AS n_verified,
            CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
-           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-             / (SELECT COUNT(*) FROM truth) AS recall,
-           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-             / (SELECT COUNT(*) FROM mh_ver) AS prec
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+             CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / (SELECT COUNT(*) FROM truth) END AS recall,
+           CASE WHEN (SELECT COUNT(*) FROM mh_ver) > 0 THEN
+             CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / (SELECT COUNT(*) FROM mh_ver) END AS prec
     """
 )
 
@@ -518,7 +532,13 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hits join are the cheap side (pairs-sized)."""
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
-    cand, ver = _minhash_parts(s, "md5")
+    # each arm materializes ONCE (eager checkpoint) before the metric
+    # fusion — the four scalar counts otherwise sit in ONE action whose
+    # branches re-run the 64-permutation signature aggregate and both
+    # verify pipelines up to 3x (measured 20s vs ~6s at sf0.1)
+    cand, _lazy_ver = _minhash_parts(s, "md5")  # re-derive ver from the pin
+    cand = cand.localCheckpoint(eager=True)
+    ver = _pair_jaccard(s, cand).localCheckpoint(eager=True)
     sc_ = _drop_hot_shingles(s)
     a = sc_.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sc_.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -528,29 +548,18 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-    tinter = (
-        tcand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("_na") + F.col("_nb") - F.col("n_common")
-    )
     truth = (
-        tinter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.3)
+        _pair_jaccard(s, tcand)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    s.unpersist()
     hits = truth.join(ver.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     # 1-row scalar aggregates fused with broadcast crossJoins (each side
-    # is provably one row — the q_weighted_sample scalar-max pattern)
+    # is provably one row — the q_weighted_sample scalar-max pattern);
+    # divisions guarded on BOTH engines (the q_ab_lift n>1 lesson: an
+    # empty truth/verified set must yield NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash or a cross-engine inf/NULL divergence)
     result = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
         .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
@@ -558,12 +567,16 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
         .select(
             "n_truth", "n_candidates", "n_verified", "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
-            (F.col("n_hits").cast("double") / F.col("n_verified")).alias("prec"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_verified") > 0,
+                F.col("n_hits").cast("double") / F.col("n_verified"),
+            ).alias("prec"),
         )
-        .localCheckpoint(eager=True)
     )
-    s.unpersist()
     return result
 
 

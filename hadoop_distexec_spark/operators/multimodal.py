@@ -315,7 +315,8 @@ _RES_LEN = _RES_W * _RES_H
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS n
-      FROM documents),
+      FROM documents
+      WHERE octet_length(encode(text)) > 0),
     cyc AS (
       SELECT doc_id,
         (SELECT string_agg(substr(h, CAST(2 * ((i - 1) % n) + 1 AS INT), 2),
@@ -339,8 +340,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte at both ends of the payload (head16 = bytes 1..16,
     tail16 = bytes 4081..4096, both under modular cycling over the UTF-8
     byte stream), so a broken stride, off-by-one cycle, padding bug, or
-    chars-vs-bytes confusion hash-fails."""
-    docs = _content_df(spark, sf_dir)
+    chars-vs-bytes confusion hash-fails. Empty payloads are out of the
+    report's contract on both sides (cyclic indexing is undefined at
+    n=0; the stub zero-fills them, but SQL can't express that case —
+    filter mirrored in the oracle's WHERE)."""
+    docs = _content_df(spark, sf_dir).where(F.octet_length("content") > 0)
     resized = resize_image(docs, width=_RES_W, height=_RES_H)
     return resized.select(
         "doc_id",
@@ -388,8 +392,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes), so argmax-with-lowest-bucket-tiebreak is identical to the
     oracle's integer argmax — numpy argmax takes the first maximum, the
     SQL rank breaks ties on bucket asc. A padding bug, bucket-mapping
-    drift, or normalization error changes the winner and hash-fails."""
-    docs = _content_df(spark, sf_dir)
+    drift, or normalization error changes the winner and hash-fails.
+    Empty payloads are excluded on both sides (the stub zero-vector has
+    no meaningful argmax; the oracle's histogram naturally drops them —
+    filter mirrored explicitly)."""
+    docs = _content_df(spark, sf_dir).where(F.octet_length("content") > 0)
     feats = extract_features(docs)
     j = feats.join(
         table(spark, sf_dir, "documents").select(

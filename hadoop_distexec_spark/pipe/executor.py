@@ -80,6 +80,9 @@ def _spark_native(path: str) -> bool:
     return scheme in _SPARK_NATIVE_SCHEMES or len(scheme) == 1  # 1: drive letter
 
 BUF_SIZE = 128 * 1024  # reference copy.buf.size (ExecFilesMapper.java:35)
+# planning rows per task before the cheap partition-count heuristic is
+# re-planned at full width (flat-directory manifests; see plan_partitions)
+PLAN_ROWS_PER_PART = 4096
 PUMP_JOIN_TIMEOUT = 10.0  # reference SingleExecution.java:48-51
 CLEANUP_RETRIES = 3  # reference ExecFilesMapper.java:189-200
 CLEANUP_SLEEP = float(os.environ.get("DISTEXEC_CLEANUP_SLEEP", "3.0"))
@@ -346,20 +349,42 @@ def plan_partitions(
     # small tree (one BFS level -> a couple of parallelize partitions)
     # otherwise fans every planning job out to defaultParallelism tasks,
     # and on a 64-file run the fixed per-task dispatch dominates the
-    # whole job (measured: the bulk of the tiny-file bench probe). Big
-    # manifests still plan at full parallelism.
+    # whole job (measured: the bulk of the tiny-file bench probe).
     n_plan_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
-    ordered = files.repartitionByRange(n_plan_parts, "src_path").sortWithinPartitions("src_path")
-    ordered = ordered.cache()
 
-    # phase 1: per-partition (byte total, file count) in a single pass —
-    # also yields n_files for the DOP rule, so no separate count() job
-    part_stats = {
-        i: (s, c)
-        for i, s, c in ordered.rdd.mapPartitionsWithIndex(
-            lambda i, rows: [(i, *_sum_count(rows))]
-        ).collect()
-    }
+    def order_and_stats(nparts: int):
+        # phase 1: per-partition (byte total, file count) in one pass —
+        # also yields n_files for the DOP rule, so no separate count() job
+        o = (
+            files.repartitionByRange(nparts, "src_path")
+            .sortWithinPartitions("src_path")
+            .cache()
+        )
+        stats = {
+            i: (s, c)
+            for i, s, c in o.rdd.mapPartitionsWithIndex(
+                lambda i, rows: [(i, *_sum_count(rows))]
+            ).collect()
+        }
+        return o, stats
+
+    ordered, part_stats = order_and_stats(n_plan_parts)
+    # Partition count is a proxy for manifest SIZE only when the tree is
+    # deep — one flat directory with 10^6 files arrives as 1-2 listing
+    # partitions and would collapse all planning onto 1-2 tasks. Phase 1
+    # just counted the real rows, so re-plan at proper width when the
+    # cheap first guess turns out badly undersized (rare; costs one extra
+    # tiny pass exactly when the manifest is big enough to warrant it).
+    n_flat = sum(c for _, c in part_stats.values())
+    if (
+        n_plan_parts < sc.defaultParallelism
+        and n_flat > n_plan_parts * PLAN_ROWS_PER_PART
+    ):
+        ordered.unpersist()
+        n_plan_parts = min(
+            sc.defaultParallelism, max(1, -(-n_flat // PLAN_ROWS_PER_PART))
+        )
+        ordered, part_stats = order_and_stats(n_plan_parts)
     part_sums = {i: s for i, (s, c) in part_stats.items()}
     total = sum(part_sums.values())
     n_files = sum(c for _, c in part_stats.values())
@@ -412,6 +437,7 @@ def limit_manifest(
     sc = files.sparkSession.sparkContext
 
     n_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
+
     # Pin partition identity before the two passes: the offsets pass and
     # the cut pass below both drive ordered.rdd, and an unmaterialized
     # repartitionByRange re-executes per action with sampled range
@@ -419,17 +445,26 @@ def limit_manifest(
     # partitions, applying offsets to the wrong contents (and re-running
     # the manifest walk). Same eager-checkpoint rule as
     # pack_sequences_distributed / plan_partitions.
-    ordered = (
-        files.repartitionByRange(n_parts, "src_path")
-        .sortWithinPartitions("src_path")
-        .localCheckpoint(eager=True)
-    )
-    part_stats = {
-        i: (s, c)
-        for i, s, c in ordered.rdd.mapPartitionsWithIndex(
-            lambda i, rows: [(i, *_sum_count(rows))]
-        ).collect()
-    }
+    def order_and_stats(nparts: int):
+        o = (
+            files.repartitionByRange(nparts, "src_path")
+            .sortWithinPartitions("src_path")
+            .localCheckpoint(eager=True)
+        )
+        stats = {
+            i: (s, c)
+            for i, s, c in o.rdd.mapPartitionsWithIndex(
+                lambda i, rows: [(i, *_sum_count(rows))]
+            ).collect()
+        }
+        return o, stats
+
+    ordered, part_stats = order_and_stats(n_parts)
+    # flat-directory re-plan, same rationale as plan_partitions
+    n_flat = sum(c for _, c in part_stats.values())
+    if n_parts < sc.defaultParallelism and n_flat > n_parts * PLAN_ROWS_PER_PART:
+        n_parts = min(sc.defaultParallelism, max(1, -(-n_flat // PLAN_ROWS_PER_PART)))
+        ordered, part_stats = order_and_stats(n_parts)
     size_off, count_off, acc_s, acc_c = {}, {}, 0, 0
     for i in range(max(part_stats) + 1 if part_stats else 0):
         size_off[i], count_off[i] = acc_s, acc_c
@@ -675,7 +710,10 @@ def distexec(
         # was a whole extra job just to decide whether to write a log
         from pyspark.sql import Observation
 
-        obs = Observation("distexec_metrics")
+        # unique per call: Spark resolves observations by NAME from query
+        # end events, so two concurrent distexec() calls on one session
+        # sharing a name could latch each other's counts
+        obs = Observation(f"distexec_metrics_{uuid.uuid4().hex[:12]}")
         results_dir = dst_fs.join(dst, "_distexec_results")
         observed = results.observe(
             obs, F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("n_fails")

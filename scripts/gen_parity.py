@@ -4,7 +4,7 @@ implementation site (module:line of the registered callable), oracle
 kind, and last driver witness from WITNESS_LEDGER.json. The curated
 reference-citation tables above the marker stay hand-maintained; this
 section is regenerated (idempotently) from the registry + ledger so the
-145-id inventory can never drift from the code.
+id inventory can never drift from the code.
 
 Run from the repo root:  python scripts/gen_parity.py
 """
