@@ -366,6 +366,33 @@ def test_split_plan_byte_balance(spark, tmp_path):
     assert max(per_bin.values()) <= target + max(sizes)
 
 
+def test_flat_manifest_replans_at_full_width(spark, tmp_path, monkeypatch):
+    """A flat directory arrives as 1-2 listing partitions; the planner's
+    cheap partition-count heuristic must re-plan at proper width once
+    phase-1 counts reveal the manifest is large (otherwise all planning
+    collapses onto 1-2 tasks no matter the cluster size). Threshold
+    lowered so 120 files in one flat dir trip the redo; the plan stays
+    byte-complete and balanced after the re-plan."""
+    from hadoop_distexec_spark.pipe import executor
+    from hadoop_distexec_spark.sources.manifest import build_manifest
+
+    monkeypatch.setattr(executor, "PLAN_ROWS_PER_PART", 10)
+    src = tmp_path / "flat"
+    src.mkdir()
+    for i in range(120):
+        (src / f"f{i:03d}.bin").write_bytes(b"x" * (i + 1))
+    manifest = build_manifest(spark, str(src))
+    planned, n_tasks, cached = executor.plan_partitions(manifest, n_tasks=4)
+    rows = planned.collect()
+    n_parts = cached.rdd.getNumPartitions()
+    cached.unpersist()
+    assert len(rows) == 120
+    # re-planned: 120 rows / 10-per-part floor => min(defaultParallelism, 12)
+    assert n_parts == min(spark.sparkContext.defaultParallelism, 12)
+    assert sum(r["size"] for r in rows) == sum(range(1, 121))
+    assert set(r["bin"] for r in rows) <= set(range(4))
+
+
 def test_tokenizer_and_exit_policy():
     """CommandLineUtil FSM semantics (CommandLineUtil.java:19-78)
     + grep-family exit policy (Executor.java:33-35)."""
