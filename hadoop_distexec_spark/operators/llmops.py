@@ -466,16 +466,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir, hash="md5")
 
 
+TRUTH_SAMPLE_MOD = 2  # deterministic 1-in-MOD doc sample for the truth arm
+
+_TRUTH_SAMPLE_SQL = (
+    "CAST('0x' || substr(md5('rcl:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % {TRUTH_SAMPLE_MOD} = 0"
+)
+
 _DEDUP_RECALL_ORACLE = (
     "WITH "
     + _SHINGLES_SQL
     + ","
     + _MINHASH_CTES
     + f""",
+    samp AS (SELECT doc_id FROM documents WHERE {_TRUTH_SAMPLE_SQL}),
     tkeep AS (
       SELECT shingle FROM shingles GROUP BY shingle
       HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-    tsc AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN tkeep USING (shingle)),
+    tsc AS (SELECT s.doc_id, s.shingle FROM shingles s
+            JOIN tkeep USING (shingle) JOIN samp USING (doc_id)),
     tcand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM tsc a JOIN tsc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
@@ -490,19 +499,24 @@ _DEDUP_RECALL_ORACLE = (
       JOIN sizes za ON doc_a = za.doc_id
       JOIN sizes zb ON doc_b = zb.doc_id
       WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) >= 0.3),
+    ver_s AS (
+      SELECT v.doc_a, v.doc_b FROM mh_ver v
+      JOIN samp pa ON v.doc_a = pa.doc_id
+      JOIN samp pb ON v.doc_b = pb.doc_id),
     hits AS (
       SELECT t.doc_a FROM truth t
       JOIN mh_ver v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b)
     SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
            CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM mh_ver) AS BIGINT) AS n_verified,
+           CAST((SELECT COUNT(*) FROM ver_s) AS BIGINT) AS n_verified_sampled,
            CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
            CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
              CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
                / (SELECT COUNT(*) FROM truth) END AS recall,
-           CASE WHEN (SELECT COUNT(*) FROM mh_ver) > 0 THEN
+           CASE WHEN (SELECT COUNT(*) FROM ver_s) > 0 THEN
              CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-               / (SELECT COUNT(*) FROM mh_ver) END AS prec
+               / (SELECT COUNT(*) FROM ver_s) END AS prec
     """
 )
 
@@ -516,20 +530,27 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ground truth: pairs whose EXACT shingle Jaccard (uncapped sets, the
     same definition the minhash verify uses) is >= 0.3, discovered by the
-    df-capped equi-self-join (the only scalable exact method; a pair
-    sharing exclusively stop-shingles is out of the truth contract,
-    documented here and mirrored in the oracle). Predicted: the band
-    join's candidate set (pre-verify — meters LSH bucket quality) and the
-    verified output (= q_dedup_minhash). Verified pairs sharing only hot
-    shingles can fall outside the truth set, so precision < 1 is
-    possible by construction — that asymmetry is the metric's point.
+    df-capped equi-self-join over a DETERMINISTIC md5 doc sample
+    (1-in-TRUTH_SAMPLE_MOD) — exact dedup ground truth at corpus scale
+    EXISTS only on samples, so the sample IS the registered semantics,
+    not a docstring promise (the q_robust_stats r04 lesson: ship the
+    production shape in the query). Recall/precision are therefore
+    sampled estimators: recall over sampled truth pairs, precision over
+    verified pairs whose docs both fall in the sample
+    (n_verified_sampled) — full-corpus candidate/verified counts ride
+    along from the cheap arm. A pair sharing exclusively stop-shingles
+    is out of the truth contract (mirrored in the oracle); verified
+    pairs outside sampled truth make precision < 1 by construction.
 
-    Determinism: four exact bigint counts and two IEEE divisions.
+    Determinism: five exact bigint counts (md5 sample is retry/append
+    stable, the q_sample_stratified rule) and two IEEE divisions,
+    NULL-guarded on both engines for empty denominators.
 
-    Shape at 100 TB: the truth arm is the expensive audit (capped
-    equi-join, the q_dedup_ngram cost) — run it on a corpus SAMPLE in
-    production exactly like q_recall_eval's exact arm; the minhash arm
-    and the hits join are the cheap side (pairs-sized)."""
+    Shape at 100 TB: the truth arm's capped equi-join touches only the
+    sampled 1/MOD of docs (1/MOD^2 of pairs); the minhash arm and the
+    hits join are pairs-sized. Tighten MOD upward as the corpus grows —
+    the estimator's variance depends on sampled-truth count, not corpus
+    size."""
     s = _shingles_df(spark, sf_dir).persist()
     s.count()
     # each arm materializes ONCE (eager checkpoint) before the metric
@@ -539,7 +560,21 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _lazy_ver = _minhash_parts(s, "md5")  # re-derive ver from the pin
     cand = cand.localCheckpoint(eager=True)
     ver = _pair_jaccard(s, cand).localCheckpoint(eager=True)
-    sc_ = _drop_hot_shingles(s)
+
+    def in_sample(col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.lit("rcl:"), F.col(col).cast("string")), "UTF-8")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TRUTH_SAMPLE_MOD
+            == 0
+        )
+
+    sc_ = _drop_hot_shingles(s).where(in_sample("doc_id"))
     a = sc_.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sc_.select(F.col("doc_id").alias("doc_b"), "shingle")
     tcand = (
@@ -554,6 +589,7 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     s.unpersist()
+    ver_s = ver.where(in_sample("doc_a") & in_sample("doc_b"))
     hits = truth.join(ver.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     # 1-row scalar aggregates fused with broadcast crossJoins (each side
     # is provably one row — the q_weighted_sample scalar-max pattern);
@@ -564,16 +600,20 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
         .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
         .crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("n_verified"))))
+        .crossJoin(
+            F.broadcast(ver_s.agg(F.count(F.lit(1)).alias("n_verified_sampled")))
+        )
         .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
         .select(
-            "n_truth", "n_candidates", "n_verified", "n_hits",
+            "n_truth", "n_candidates", "n_verified", "n_verified_sampled",
+            "n_hits",
             F.when(
                 F.col("n_truth") > 0,
                 F.col("n_hits").cast("double") / F.col("n_truth"),
             ).alias("recall"),
             F.when(
-                F.col("n_verified") > 0,
-                F.col("n_hits").cast("double") / F.col("n_verified"),
+                F.col("n_verified_sampled") > 0,
+                F.col("n_hits").cast("double") / F.col("n_verified_sampled"),
             ).alias("prec"),
         )
     )

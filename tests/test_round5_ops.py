@@ -103,12 +103,20 @@ def test_quantile_bins_plan_broadcasts_boundaries(spark):
 def test_dedup_recall_metrics_consistent(spark):
     r = _run(spark, "q_dedup_recall_eval").collect()[0]
     assert r["n_hits"] <= r["n_truth"]
-    assert r["n_hits"] <= r["n_verified"]
-    assert r["n_verified"] <= r["n_candidates"]
-    assert r["n_truth"] > 0, "fixture has no near-dup truth pairs — vacuous"
+    assert r["n_hits"] <= r["n_verified_sampled"]
+    assert r["n_verified_sampled"] <= r["n_verified"] <= r["n_candidates"]
+    assert r["n_truth"] > 0, "fixture has no sampled truth pairs — vacuous"
     assert r["recall"] == r["n_hits"] / r["n_truth"]
-    assert r["prec"] == r["n_hits"] / r["n_verified"]
+    assert r["prec"] == r["n_hits"] / r["n_verified_sampled"]
     assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["prec"] <= 1.0
+
+
+def test_dedup_recall_hits_are_sampled_truth_cap(spark):
+    """Every hit is a sampled-truth pair found by the verified arm, so
+    hits can never exceed the verified pairs restricted to the sample —
+    the estimator compares like with like (sampled vs sampled)."""
+    r = _run(spark, "q_dedup_recall_eval").collect()[0]
+    assert r["n_hits"] <= min(r["n_truth"], r["n_verified_sampled"])
 
 
 def test_dedup_recall_verified_equals_minhash_output(spark):
