@@ -43,7 +43,12 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # order statistics, both retrieval arms + fusion, the composed
            # recall harness, and the iterative BPE trainer at 10x rows
            "q_robust_stats", "q_hybrid_search", "q_recall_eval",
-           "q_bpe_train"]
+           "q_bpe_train",
+           # round-5 additions at 10x: the sampled-truth recall harness,
+           # the range-boundary statistic, blocked prefix dedup, and the
+           # tokenizer apply pass
+           "q_dedup_recall_eval", "q_quantile_bins", "q_dedup_prefix",
+           "q_bpe_apply"]
 
 
 def synthesize(spark) -> None:

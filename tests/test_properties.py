@@ -87,3 +87,62 @@ def test_frame_chunk_arithmetic(blob):
     idxs = list(range(0, n_frames, 4))
     for i in idxs:
         assert len(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]) == FRAME_BYTES
+
+
+# --- BPE REPLACE-chain oracle encoding ------------------------------------
+#
+# The q_bpe_train/q_bpe_apply oracles rest on one delicate claim: with the
+# delimiter-framed encoding (single-SEP word ends, double-SEP separators),
+# DuckDB's REPLACE is bit-equivalent to the Spark greedy left-to-right
+# fold. Property-test the claim directly: random corpora (small alphabet
+# maximizes merge collisions, a-runs, and suffix/prefix traps) through the
+# full 3-round oracle vs a driver-side greedy reference.
+
+
+def _py_greedy_bpe(words, rounds):
+    syms = [list(w) for w in words if w]
+    merges = []
+    for rnd in range(rounds):
+        counts = {}
+        for s in syms:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd + 1, a, b, a + b, n))
+        out = []
+        for s in syms:
+            acc = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            out.append(acc)
+        syms = out
+    vocab = len({x for s in syms for x in s})
+    return [(r, a, b, m, n, vocab) for (r, a, b, m, n) in merges]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=16
+    )
+)
+def test_bpe_oracle_replace_chain_equals_greedy_fold(words):
+    import duckdb
+
+    from hadoop_distexec_spark.operators.llmops import _bpe_train_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT $1 AS text, 1 AS doc_id",
+        [" ".join(words)],
+    )
+    got = [tuple(r) for r in con.execute(
+        _bpe_train_oracle() + " ORDER BY round"
+    ).fetchall()]
+    con.close()
+    assert got == _py_greedy_bpe(words, 3)
