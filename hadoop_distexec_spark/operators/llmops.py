@@ -3653,3 +3653,61 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.unpersist()
     cnt.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# round-6 prep: implemented + pytest-gated now, registration queued for the
+# next witness-rotation window (the driver witnesses 50 ids/round and the
+# round-5 window is fully allocated — see registry._PRIORITY notes)
+# ---------------------------------------------------------------------------
+
+
+def uniform_sample_k(df: DataFrame, k: int, key: str, salt: str = "usk") -> DataFrame:
+    """Deterministic uniform k-sample without replacement: order by the
+    md5 of (salt, key) and take k — equivalent in distribution to a
+    reservoir sample, but retry/append-stable (the md5-threshold rule all
+    sampling operators here follow) and executed as TakeOrderedAndProject
+    (per-partition partial top-k, NO global sort — the same plan shape as
+    q_topk, linear scan + tiny heap per task at any scale).
+
+    The future oracle twin is `ORDER BY md5('salt:' || key) LIMIT k` —
+    md5 order is uniform over keys, so any k-prefix of it is a uniform
+    k-subset."""
+    skey = F.md5(
+        F.encode(F.concat(F.lit(salt + ":"), F.col(key).cast("string")), "UTF-8")
+    )
+    return (
+        df.withColumn("_sk", skey)
+        .orderBy("_sk", key)
+        .limit(k)
+        .drop("_sk")
+    )
+
+
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit per label: vector count, exact-decimal
+    mean/min/max of the squared L2 norm, and degenerate-vector count
+    (zero norm) — the pre-flight a similarity index build runs (a batch
+    of zero or wildly-scaled vectors poisons cosine/IVF downstream).
+
+    Determinism: element squares decimal-cast before the per-vector sum
+    (the q_embed_quantize idiom) so norms are exact reductions; min/max
+    over exact decimals; mean is one IEEE division of exact aggregates.
+
+    Shape: one hash-aggregate Exchange on label (map-side combinable);
+    norms are codegen aggregate-HOF folds — no Python, no shuffle before
+    the agg."""
+    e = table(spark, sf_dir, "embeddings")
+    norm2 = F.expr(
+        "aggregate(embedding, CAST(0 AS DECIMAL(28,10)),"
+        " (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+        "                             AS DECIMAL(28,10)) AS DECIMAL(28,10)))"
+    )
+    v = e.select("label", norm2.alias("n2"))
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("n2").cast("double") / F.count(F.lit(1))).alias("mean_norm2"),
+        F.min("n2").cast("double").alias("min_norm2"),
+        F.max("n2").cast("double").alias("max_norm2"),
+        F.sum(F.when(F.col("n2") == 0, 1).otherwise(0)).alias("n_zero"),
+    )

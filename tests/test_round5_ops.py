@@ -184,3 +184,48 @@ def test_bpe_apply_conserves_characters(spark):
     )
     j = out.join(docs, "doc_id").where(F.col("n_syms") != F.col("n_chars"))
     assert j.count() == 0
+
+
+# --- round-6 prep APIs (implemented now, registration queued) ---------------
+
+
+def test_uniform_sample_k_is_deterministic_uniform_prefix(spark):
+    from hadoop_distexec_spark.operators.llmops import uniform_sample_k
+
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    a = {r["doc_id"] for r in uniform_sample_k(docs, 50, "doc_id").collect()}
+    b = {r["doc_id"] for r in uniform_sample_k(docs, 50, "doc_id").collect()}
+    assert a == b and len(a) == 50
+    # k-monotone: the 50-sample is a prefix of the 80-sample (same order)
+    c = {r["doc_id"] for r in uniform_sample_k(docs, 80, "doc_id").collect()}
+    assert a <= c
+    # salt changes the sample
+    d = {r["doc_id"] for r in uniform_sample_k(docs, 50, "doc_id", salt="v2").collect()}
+    assert a != d
+    # plan: partial top-k, no global sort
+    plan = (
+        uniform_sample_k(docs, 50, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embed_norm_stats_matches_python(spark):
+    import math
+
+    from hadoop_distexec_spark.operators.llmops import embed_norm_stats
+
+    rows = table(spark, SF_SMALL, "embeddings").select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        n2 = sum(round(float(x) * float(x), 10) for x in r["embedding"])
+        by_label.setdefault(r["label"], []).append(n2)
+    got = {r["label"]: r for r in embed_norm_stats(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_label)
+    for lab, norms in by_label.items():
+        g = got[lab]
+        assert g["n_vecs"] == len(norms)
+        assert math.isclose(g["mean_norm2"], sum(norms) / len(norms), rel_tol=1e-9)
+        assert math.isclose(g["min_norm2"], min(norms), rel_tol=1e-9)
+        assert math.isclose(g["max_norm2"], max(norms), rel_tol=1e-9)
+        assert g["n_zero"] == sum(1 for n in norms if n == 0)
