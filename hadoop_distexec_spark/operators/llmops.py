@@ -3711,3 +3711,29 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n2").cast("double").alias("max_norm2"),
         F.sum(F.when(F.col("n2") == 0, 1).otherwise(0)).alias("n_zero"),
     )
+
+
+# Draft oracle twins for the r06-prep APIs — tested against the functions
+# by tests/test_round5_ops.py now, wired into @register at the next
+# rotation. Kept here so registration is a two-line diff.
+UNIFORM_SAMPLE_K_ORACLE = """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5('usk:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {k}
+    """
+
+EMBED_NORM_STATS_ORACLE = """
+    WITH v AS (
+      SELECT label,
+             (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              AS DECIMAL(28,10)))
+              FROM UNNEST(embedding) AS t(x)) AS n2
+      FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(CAST(SUM(n2) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_norm2,
+           CAST(CAST(MIN(n2) AS VARCHAR) AS DOUBLE) AS min_norm2,
+           CAST(CAST(MAX(n2) AS VARCHAR) AS DOUBLE) AS max_norm2,
+           CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM v GROUP BY label
+    """

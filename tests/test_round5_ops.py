@@ -229,3 +229,27 @@ def test_embed_norm_stats_matches_python(spark):
         assert math.isclose(g["min_norm2"], min(norms), rel_tol=1e-9)
         assert math.isclose(g["max_norm2"], max(norms), rel_tol=1e-9)
         assert g["n_zero"] == sum(1 for n in norms if n == 0)
+
+
+def test_r06_prep_draft_oracles_parity(spark):
+    """The draft DuckDB twins for the r06-prep APIs must already match
+    the functions bit-for-bit at sf0.01 — registration becomes a
+    two-line diff with zero correctness risk."""
+    from hadoop_distexec_spark.operators.llmops import (
+        EMBED_NORM_STATS_ORACLE,
+        UNIFORM_SAMPLE_K_ORACLE,
+        embed_norm_stats,
+        uniform_sample_k,
+    )
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    sdf = uniform_sample_k(docs, 100, "doc_id").toPandas()
+    odf = con.execute(UNIFORM_SAMPLE_K_ORACLE.format(k=100)).fetchdf()
+    compare(sdf, odf, "uniform_sample_k")
+
+    sdf = embed_norm_stats(spark, SF_ORACLE).toPandas()
+    odf = con.execute(EMBED_NORM_STATS_ORACLE).fetchdf()
+    con.close()
+    compare(sdf, odf, "embed_norm_stats")
