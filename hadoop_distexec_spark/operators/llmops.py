@@ -556,7 +556,8 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each arm materializes ONCE (eager checkpoint) before the metric
     # fusion — the four scalar counts otherwise sit in ONE action whose
     # branches re-run the 64-permutation signature aggregate and both
-    # verify pipelines up to 3x (measured 20s vs ~6s at sf0.1)
+    # verify pipelines up to 3x (measured at sf0.1: 20.3s naive -> 14.7s
+    # with these pins; the truth-arm doc sample then took it to 8.1s)
     cand, _lazy_ver = _minhash_parts(s, "md5")  # re-derive ver from the pin
     cand = cand.localCheckpoint(eager=True)
     ver = _pair_jaccard(s, cand).localCheckpoint(eager=True)
@@ -3670,17 +3671,23 @@ def uniform_sample_k(df: DataFrame, k: int, key: str, salt: str = "usk") -> Data
     (per-partition partial top-k, NO global sort — the same plan shape as
     q_topk, linear scan + tiny heap per task at any scale).
 
+    CONTRACT: ``key`` must uniquely identify rows (a primary key). With
+    duplicate key values the (md5, key) order has genuine ties and the
+    boundary rows become arrival-order-dependent — exactly the
+    instability this sampler exists to avoid.
+
     The future oracle twin is `ORDER BY md5('salt:' || key) LIMIT k` —
     md5 order is uniform over keys, so any k-prefix of it is a uniform
     k-subset."""
     skey = F.md5(
         F.encode(F.concat(F.lit(salt + ":"), F.col(key).cast("string")), "UTF-8")
     )
+    sk = f"_usk_{salt}"  # avoid clobbering caller columns
     return (
-        df.withColumn("_sk", skey)
-        .orderBy("_sk", key)
+        df.withColumn(sk, skey)
+        .orderBy(sk, key)
         .limit(k)
-        .drop("_sk")
+        .drop(sk)
     )
 
 
@@ -3725,9 +3732,14 @@ UNIFORM_SAMPLE_K_ORACLE = """
 EMBED_NORM_STATS_ORACLE = """
     WITH v AS (
       SELECT label,
-             (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                              AS DECIMAL(28,10)))
-              FROM UNNEST(embedding) AS t(x)) AS n2
+             -- COALESCE: an EMPTY embedding must land at norm 0 exactly
+             -- like Spark's fold init value (it IS a degenerate vector —
+             -- the case n_zero exists to catch); DuckDB's scalar SUM
+             -- over an empty UNNEST is NULL and would silently drop it
+             COALESCE((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       AS DECIMAL(28,10)))
+                       FROM UNNEST(embedding) AS t(x)),
+                      CAST(0 AS DECIMAL(28,10))) AS n2
       FROM embeddings)
     SELECT label,
            COUNT(*) AS n_vecs,

@@ -322,6 +322,45 @@ def _sum_count(rows: Iterable) -> tuple[int, int]:
     return s, c
 
 
+def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin):
+    """Range-order the file manifest by src_path and collect per-partition
+    (byte total, row count) in one pass — the shared phase-1 of
+    plan_partitions and limit_manifest. ``pin`` materializes the ordered
+    frame (cache vs eager localCheckpoint, per caller).
+
+    Partition count is a proxy for manifest SIZE only when the tree is
+    deep — one flat directory with 10^6 files arrives as 1-2 listing
+    partitions and would collapse all planning onto 1-2 tasks. Phase 1
+    counts the real rows, so re-plan once at proper width when the cheap
+    first guess turns out badly undersized (rare; costs one extra pass
+    exactly when the manifest is big enough to warrant it).
+
+    Returns (ordered, part_stats, n_parts)."""
+
+    def one(nparts: int):
+        o = pin(
+            files.repartitionByRange(nparts, "src_path").sortWithinPartitions("src_path")
+        )
+        stats = {
+            i: (s, c)
+            for i, s, c in o.rdd.mapPartitionsWithIndex(
+                lambda i, rows: [(i, *_sum_count(rows))]
+            ).collect()
+        }
+        return o, stats
+
+    ordered, part_stats = one(n_parts)
+    n_flat = sum(c for _, c in part_stats.values())
+    if n_parts < dp and n_flat > n_parts * PLAN_ROWS_PER_PART:
+        try:  # release the undersized first pass (no-op for checkpoints)
+            ordered.unpersist()
+        except Exception:
+            pass
+        n_parts = min(dp, max(1, -(-n_flat // PLAN_ROWS_PER_PART)))
+        ordered, part_stats = one(n_parts)
+    return ordered, part_stats, n_parts
+
+
 def plan_partitions(
     manifest: DataFrame, n_tasks: int | None = None
 ) -> tuple[DataFrame, int, DataFrame]:
@@ -349,42 +388,13 @@ def plan_partitions(
     # small tree (one BFS level -> a couple of parallelize partitions)
     # otherwise fans every planning job out to defaultParallelism tasks,
     # and on a 64-file run the fixed per-task dispatch dominates the
-    # whole job (measured: the bulk of the tiny-file bench probe).
+    # whole job (measured: the bulk of the tiny-file bench probe). Phase 1
+    # also yields n_files for the DOP rule (no separate count() job) and
+    # re-plans wider for flat-directory manifests — see _plan_ordered_stats.
     n_plan_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
-
-    def order_and_stats(nparts: int):
-        # phase 1: per-partition (byte total, file count) in one pass —
-        # also yields n_files for the DOP rule, so no separate count() job
-        o = (
-            files.repartitionByRange(nparts, "src_path")
-            .sortWithinPartitions("src_path")
-            .cache()
-        )
-        stats = {
-            i: (s, c)
-            for i, s, c in o.rdd.mapPartitionsWithIndex(
-                lambda i, rows: [(i, *_sum_count(rows))]
-            ).collect()
-        }
-        return o, stats
-
-    ordered, part_stats = order_and_stats(n_plan_parts)
-    # Partition count is a proxy for manifest SIZE only when the tree is
-    # deep — one flat directory with 10^6 files arrives as 1-2 listing
-    # partitions and would collapse all planning onto 1-2 tasks. Phase 1
-    # just counted the real rows, so re-plan at proper width when the
-    # cheap first guess turns out badly undersized (rare; costs one extra
-    # tiny pass exactly when the manifest is big enough to warrant it).
-    n_flat = sum(c for _, c in part_stats.values())
-    if (
-        n_plan_parts < sc.defaultParallelism
-        and n_flat > n_plan_parts * PLAN_ROWS_PER_PART
-    ):
-        ordered.unpersist()
-        n_plan_parts = min(
-            sc.defaultParallelism, max(1, -(-n_flat // PLAN_ROWS_PER_PART))
-        )
-        ordered, part_stats = order_and_stats(n_plan_parts)
+    ordered, part_stats, n_plan_parts = _plan_ordered_stats(
+        files, n_plan_parts, sc.defaultParallelism, lambda df: df.cache()
+    )
     part_sums = {i: s for i, (s, c) in part_stats.items()}
     total = sum(part_sums.values())
     n_files = sum(c for _, c in part_stats.values())
@@ -437,34 +447,19 @@ def limit_manifest(
     sc = files.sparkSession.sparkContext
 
     n_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
-
-    # Pin partition identity before the two passes: the offsets pass and
-    # the cut pass below both drive ordered.rdd, and an unmaterialized
-    # repartitionByRange re-executes per action with sampled range
-    # boundaries — the two jobs could land boundary rows in different
-    # partitions, applying offsets to the wrong contents (and re-running
-    # the manifest walk). Same eager-checkpoint rule as
-    # pack_sequences_distributed / plan_partitions.
-    def order_and_stats(nparts: int):
-        o = (
-            files.repartitionByRange(nparts, "src_path")
-            .sortWithinPartitions("src_path")
-            .localCheckpoint(eager=True)
-        )
-        stats = {
-            i: (s, c)
-            for i, s, c in o.rdd.mapPartitionsWithIndex(
-                lambda i, rows: [(i, *_sum_count(rows))]
-            ).collect()
-        }
-        return o, stats
-
-    ordered, part_stats = order_and_stats(n_parts)
-    # flat-directory re-plan, same rationale as plan_partitions
-    n_flat = sum(c for _, c in part_stats.values())
-    if n_parts < sc.defaultParallelism and n_flat > n_parts * PLAN_ROWS_PER_PART:
-        n_parts = min(sc.defaultParallelism, max(1, -(-n_flat // PLAN_ROWS_PER_PART)))
-        ordered, part_stats = order_and_stats(n_parts)
+    # Pin partition identity before the two passes (eager localCheckpoint,
+    # NOT cache): the offsets pass and the cut pass below both drive
+    # ordered.rdd, and an unmaterialized repartitionByRange re-executes
+    # per action with sampled range boundaries — the two jobs could land
+    # boundary rows in different partitions, applying offsets to the
+    # wrong contents (and re-running the manifest walk). Same
+    # eager-checkpoint rule as pack_sequences_distributed.
+    ordered, part_stats, n_parts = _plan_ordered_stats(
+        files,
+        n_parts,
+        sc.defaultParallelism,
+        lambda df: df.localCheckpoint(eager=True),
+    )
     size_off, count_off, acc_s, acc_c = {}, {}, 0, 0
     for i in range(max(part_stats) + 1 if part_stats else 0):
         size_off[i], count_off[i] = acc_s, acc_c
