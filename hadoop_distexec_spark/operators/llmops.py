@@ -3749,3 +3749,96 @@ EMBED_NORM_STATS_ORACLE = """
            CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
     FROM v GROUP BY label
     """
+
+
+SOURCE_TOP_TOKENS_N = 5
+
+
+def source_top_tokens(spark: SparkSession, sf_dir: str, n: int = SOURCE_TOP_TOKENS_N) -> DataFrame:
+    """Per-source heavy hitters: the n most frequent whitespace tokens of
+    each corpus source with exact counts — the boilerplate detector a
+    per-source quality review starts from (a navigation token dominating
+    one source and absent elsewhere is template residue).
+
+    Determinism: exact counts; rank ties break on token asc.
+
+    Shape: explode -> map-side-combined hash agg on (source, token) ->
+    rank window on the source Exchange (per-source top-n, never a global
+    sort). At 100 TB the token agg is the only full-volume shuffle and
+    the alphabet-bounded combine does most of it map-side."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "tok", "cnt")
+    )
+
+
+SOURCE_TOP_TOKENS_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM toks
+      WHERE length(tok) > 0 GROUP BY source, tok),
+    r AS (
+      SELECT source, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, tok) AS rnk
+      FROM cnt)
+    SELECT source, CAST(rnk AS INT) AS rnk, tok, cnt
+    FROM r WHERE rnk <= {SOURCE_TOP_TOKENS_N}
+    """
+
+
+KEY_SKEW_TOPN = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str, topn: int = KEY_SKEW_TOPN) -> DataFrame:
+    """Join-key skew diagnosis over lineitem.l_suppkey (the fact side's
+    supplier fan-in): the topn hottest keys with exact counts plus the
+    per-row skew context (total rows, distinct keys, mean rows/key) — the
+    numbers that decide between a plain shuffle join, AQE skew split, and
+    explicit salting BEFORE the join runs, instead of after it spills.
+
+    Determinism: exact bigint counts; hot-key ties break on key asc; the
+    mean is one IEEE division of exact aggregates.
+
+    Shape: one hash agg on the key (map-side combined), TakeOrdered
+    top-n, and a broadcast of the 1-row global stats — never a global
+    sort, never a second scan."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    cnt = li.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    glob = cnt.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_rows_per_key"),
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), "key").limit(topn)
+    return top.crossJoin(F.broadcast(glob)).select(
+        "key", "cnt", "n_rows", "n_keys", "mean_rows_per_key",
+        (F.col("cnt").cast("double") / F.col("mean_rows_per_key")).alias("skew_factor"),
+    )
+
+
+KEY_SKEW_PROFILE_ORACLE = f"""
+    WITH cnt AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    gstats AS (
+      SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+             CAST(CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               AS mean_rows_per_key
+      FROM cnt)
+    SELECT key, cnt,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           mean_rows_per_key,
+           CAST(cnt AS DOUBLE) / mean_rows_per_key AS skew_factor
+    FROM cnt, gstats
+    ORDER BY cnt DESC, key LIMIT {KEY_SKEW_TOPN}
+    """

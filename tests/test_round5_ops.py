@@ -253,3 +253,42 @@ def test_r06_prep_draft_oracles_parity(spark):
     odf = con.execute(EMBED_NORM_STATS_ORACLE).fetchdf()
     con.close()
     compare(sdf, odf, "embed_norm_stats")
+
+
+def test_r06_prep_heavy_hitters_and_skew_draft_parity(spark):
+    from hadoop_distexec_spark.operators.llmops import (
+        KEY_SKEW_PROFILE_ORACLE,
+        SOURCE_TOP_TOKENS_ORACLE,
+        key_skew_profile,
+        source_top_tokens,
+    )
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        source_top_tokens(spark, SF_ORACLE).toPandas(),
+        con.execute(SOURCE_TOP_TOKENS_ORACLE).fetchdf(),
+        "source_top_tokens",
+    )
+    compare(
+        key_skew_profile(spark, SF_ORACLE).toPandas(),
+        con.execute(KEY_SKEW_PROFILE_ORACLE).fetchdf(),
+        "key_skew_profile",
+    )
+    con.close()
+
+
+def test_key_skew_profile_python_recompute(spark):
+    from collections import Counter
+
+    from hadoop_distexec_spark.operators.llmops import key_skew_profile
+
+    keys = [r["l_suppkey"] for r in table(spark, SF_SMALL, "lineitem").select("l_suppkey").collect()]
+    c = Counter(keys)
+    rows = key_skew_profile(spark, SF_SMALL).collect()
+    assert len(rows) == min(10, len(c))
+    expect_top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["key"], r["cnt"]) for r in rows] == expect_top
+    for r in rows:
+        assert r["n_rows"] == len(keys) and r["n_keys"] == len(c)
+        assert abs(r["skew_factor"] - r["cnt"] / (len(keys) / len(c))) < 1e-9
