@@ -466,11 +466,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir, hash="md5")
 
 
-TRUTH_SAMPLE_MOD = 2  # deterministic 1-in-MOD doc sample for the truth arm
+# Truth-arm sampling budget (VERDICT r05 next-round #6): the 1-in-MOD doc
+# sample's modulus is DERIVED from corpus size targeting a fixed
+# sampled-truth budget, so the registered semantics scale without editing a
+# constant — both engines compute MOD from the same COUNT(documents) with
+# exact integer ceil-division. The estimator's variance tracks the sampled
+# doc count (~TARGET, constant in corpus size), and the truth arm's capped
+# equi-join touches ~TARGET^2/corpus of pair space — shrinking, not
+# growing, with scale.
+TRUTH_SAMPLE_TARGET_DOCS = 300
+
+
+def _truth_sample_mod(n_docs: int) -> int:
+    """ceil(n_docs / TARGET), floored at 1 — exact integer arithmetic so
+    Spark (Python) and DuckDB (// floor-division in SQL) agree bit-for-bit."""
+    return max(1, -(-n_docs // TRUTH_SAMPLE_TARGET_DOCS))
+
 
 _TRUTH_SAMPLE_SQL = (
     "CAST('0x' || substr(md5('rcl:' || CAST(doc_id AS VARCHAR)), 1, 15) "
-    f"AS BIGINT) % {TRUTH_SAMPLE_MOD} = 0"
+    "AS BIGINT) % (SELECT GREATEST(1, (COUNT(*) + "
+    f"{TRUTH_SAMPLE_TARGET_DOCS - 1}) // {TRUTH_SAMPLE_TARGET_DOCS}) "
+    "FROM documents) = 0"
 )
 
 _DEDUP_RECALL_ORACLE = (
@@ -531,7 +548,8 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ground truth: pairs whose EXACT shingle Jaccard (uncapped sets, the
     same definition the minhash verify uses) is >= 0.3, discovered by the
     df-capped equi-self-join over a DETERMINISTIC md5 doc sample
-    (1-in-TRUTH_SAMPLE_MOD) — exact dedup ground truth at corpus scale
+    (1-in-MOD, MOD = ceil(corpus / TRUTH_SAMPLE_TARGET_DOCS) derived from
+    the same COUNT on both engines) — exact dedup ground truth at corpus scale
     EXISTS only on samples, so the sample IS the registered semantics,
     not a docstring promise (the q_robust_stats r04 lesson: ship the
     production shape in the query). Recall/precision are therefore
@@ -548,7 +566,8 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: the truth arm's capped equi-join touches only the
     sampled 1/MOD of docs (1/MOD^2 of pairs); the minhash arm and the
-    hits join are pairs-sized. Tighten MOD upward as the corpus grows —
+    hits join are pairs-sized. MOD is corpus-derived (fixed ~TARGET
+    sampled docs), so the truth arm's cost is CONSTANT in corpus size —
     the estimator's variance depends on sampled-truth count, not corpus
     size."""
     s = _shingles_df(spark, sf_dir).persist()
@@ -562,6 +581,11 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.localCheckpoint(eager=True)
     ver = _pair_jaccard(s, cand).localCheckpoint(eager=True)
 
+    # corpus-derived sample modulus: one cheap parquet count (metadata-only
+    # at scan time), mirrored by the oracle's scalar COUNT subquery —
+    # identical integer ceil-division on both sides
+    mod = _truth_sample_mod(table(spark, sf_dir, "documents").count())
+
     def in_sample(col: str):
         return (
             F.conv(
@@ -571,7 +595,7 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 16, 10,
             ).cast("long")
-            % TRUTH_SAMPLE_MOD
+            % mod
             == 0
         )
 
@@ -1825,7 +1849,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
     scored = (
         cnt.withColumn("tf", tf)
-        .join(F.broadcast(dfreq), "tok")
+        # vocabulary-sized side: no static broadcast hint (Heap's-law
+        # growth is sublinear but unbounded at 100 TB) — AQE broadcasts
+        # at runtime when it fits (VERDICT r05 #1 sweep)
+        .join(dfreq, "tok")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "tok", (F.col("tf") * idf).alias("tfidf"))
     )
@@ -2132,8 +2159,10 @@ def q_cooc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = uc.select(F.col("tok").alias("b"), F.col("n_tok").alias("_nb"))
     result = (
         pc.filter(F.col("n_ab") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        # unigram tables are vocabulary-sized: hint-free, AQE-sized
+        # (VERDICT r05 #1 sweep)
+        .join(ua, "a")
+        .join(ub, "b")
         .select("a", "b", "n_ab", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(PMI_TOPN)
@@ -2330,7 +2359,8 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("c") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        # vocabulary-sized dfreq: hint-free, AQE-sized (VERDICT r05 #1)
+        tf.join(dfreq, "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(nd_avg))
         .withColumn("s", s)
@@ -3622,8 +3652,16 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c").cast("double") / F.col("n_toks"))
         * F.log(F.col("n_docs").cast("double") / F.col("df"))
     ).cast("decimal(12,8)")
+    # NO static broadcast hints on corpus-sized sides (VERDICT r05 #1):
+    # dfreq (the df-capped vocabulary) and the per-doc norm tables below
+    # grow with the corpus — a forced broadcast driver-collects them and
+    # OOMs exactly when the operator matters. AQE converts these joins to
+    # broadcast at runtime ONLY when the side actually fits (the r03
+    # hot-shingle-list lesson). The sole remaining hint is the provably
+    # 1-row n_docs scalar. Plan-gated by
+    # tests/test_round6_ops.py::test_tfidf_pairs_no_static_broadcast_on_corpus_sized_sides.
     w = (
-        cnt.join(F.broadcast(dfreq), "tok")
+        cnt.join(dfreq, "tok")
         .join(length, "doc_id")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "tok", wt.alias("wt"))
@@ -3645,8 +3683,8 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("n2b"))
     cos = F.col("dot") / F.sqrt(F.col("n2a") * F.col("n2b"))
     result = (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .where(F.col("cosine") >= SPARSE_COS_THRESHOLD)
         .localCheckpoint(eager=True)
@@ -3682,7 +3720,12 @@ def uniform_sample_k(df: DataFrame, k: int, key: str, salt: str = "usk") -> Data
     skey = F.md5(
         F.encode(F.concat(F.lit(salt + ":"), F.col(key).cast("string")), "UTF-8")
     )
-    sk = f"_usk_{salt}"  # avoid clobbering caller columns
+    # Derive a helper-column name guaranteed fresh: withColumn REPLACES an
+    # existing column, so a caller column named like the helper would be
+    # silently overwritten and then dropped from the returned sample.
+    sk = f"_usk_{salt}"
+    while sk in df.columns:
+        sk += "_"
     return (
         df.withColumn(sk, skey)
         .orderBy(sk, key)
@@ -3704,11 +3747,23 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one hash-aggregate Exchange on label (map-side combinable);
     norms are codegen aggregate-HOF folds — no Python, no shuffle before
     the agg."""
-    e = table(spark, sf_dir, "embeddings")
-    norm2 = F.expr(
-        "aggregate(embedding, CAST(0 AS DECIMAL(28,10)),"
-        " (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
-        "                             AS DECIMAL(28,10)) AS DECIMAL(28,10)))"
+    return _embed_norm_stats_frame(table(spark, sf_dir, "embeddings"))
+
+
+def _embed_norm_stats_frame(e: DataFrame) -> DataFrame:
+    # aggregate() over a NULL array yields NULL; COALESCE it to the fold's
+    # init value so a NULL embedding lands at norm 0 — counted as a
+    # degenerate vector (n_zero) and in every aggregate, exactly like the
+    # oracle's COALESCEd empty-UNNEST SUM. Without this, Spark would skip
+    # NULL rows in min/max/n_zero while still counting them in n_vecs —
+    # a divergence the fixtures (no NULL embeddings) never exercised.
+    norm2 = F.coalesce(
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DECIMAL(28,10)),"
+            " (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+            "                             AS DECIMAL(28,10)) AS DECIMAL(28,10)))"
+        ),
+        F.lit(0).cast("decimal(28,10)"),
     )
     v = e.select("label", norm2.alias("n2"))
     return v.groupBy("label").agg(
@@ -3842,3 +3897,30 @@ KEY_SKEW_PROFILE_ORACLE = f"""
     FROM cnt, gstats
     ORDER BY cnt DESC, key LIMIT {KEY_SKEW_TOPN}
     """
+
+
+# ---------------------------------------------------------------------------
+# round-6 registration of the r05-prepped APIs (VERDICT r05 next-round #3):
+# the draft oracles above were parity-proven at sf0.01 in round 5
+# (tests/test_round5_ops.py), so registration is the promised two-line diff
+# per operator. Window-slotted via scripts/rotate.py.
+# ---------------------------------------------------------------------------
+
+UNIFORM_SAMPLE_REGISTERED_K = 100
+
+
+@register(
+    "q_uniform_sample",
+    oracle=UNIFORM_SAMPLE_K_ORACLE.format(k=UNIFORM_SAMPLE_REGISTERED_K),
+)
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of uniform_sample_k: a deterministic uniform
+    100-doc sample of the corpus keyed on doc_id (primary key, so the
+    md5 order is tie-free per the sampler contract)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return uniform_sample_k(docs, UNIFORM_SAMPLE_REGISTERED_K, "doc_id")
+
+
+register("q_embed_norm_stats", oracle=EMBED_NORM_STATS_ORACLE)(embed_norm_stats)
+register("q_source_top_tokens", oracle=SOURCE_TOP_TOKENS_ORACLE)(source_top_tokens)
+register("q_key_skew_profile", oracle=KEY_SKEW_PROFILE_ORACLE)(key_skew_profile)

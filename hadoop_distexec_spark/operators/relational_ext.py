@@ -1898,7 +1898,9 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_max_size", F.max("price_max_size").over(w_cheaper)
     )
     return (
-        p.join(F.broadcast(verdict), "p_retailprice")
+        # verdict is per-DISTINCT-price — grows with the table; hint-free
+        # so AQE broadcasts only when it fits (VERDICT r05 #1 sweep)
+        p.join(verdict, "p_retailprice")
         .where(
             (
                 F.col("prev_max_size").isNull()

@@ -63,15 +63,34 @@ def _load_modules() -> None:
     )
 
 
+def source_fingerprint(spec: "QuerySpec") -> str:
+    """Stable fingerprint of a query's registered semantics: sha256 of its
+    function source + oracle SQL. The witness ledger records this at each
+    driver witness; the change-aware staleness bound
+    (tests/test_round2_ops.py::test_witness_staleness_bounded) lets ids
+    whose fingerprint is UNCHANGED since their last hash-green witness age
+    one extra round — code edits reset the clock to the tight bound."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):  # pragma: no cover — builtins/lambdas
+        src = repr(spec.fn)
+    return hashlib.sha256(
+        (src + "\n--oracle--\n" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
 # Driver-facing registration order. The driver's CORRECTNESS harness checks
 # queries in the order `queries()` yields them, with a bounded entry budget
-# (r01 witnessed only the first 50 of 76). This list is the round-5 rotation
-# COMPUTED by scripts/witness_ledger.py (artifact: WITNESS_LEDGER.json,
-# "suggested_window"): stalest-witness-first, so driver freshness stays
-# bounded across rounds. After r04's window (all 27 round-4 additions plus
-# the upgraded sketch oracles) went 49/50 hash-green, the stalest ids are
-# the r01/r02 cohorts — exactly VERDICT r04 next-round #1.
-_PRIORITY: list[str] = [
+# (r01 witnessed only the first 50 of 76). The list lives in the GENERATED
+# module hadoop_distexec_spark/rotation.py — scripts/rotate.py recomputes
+# it from the CORRECTNESS artifacts (stalest-witness-first) and regenerates
+# WITNESS_LEDGER.json + PARITY.md in the same run, so rotation, ledger and
+# parity map can never land in different commits (VERDICT r05 next-round
+# #1/#7). The fallback list below is only used before the first rotate.
+_FALLBACK_PRIORITY: list[str] = [
     # --- driver window (50): computed by scripts/witness_ledger.py
     #     (WITNESS_LEDGER.json "suggested_window", stalest-witness-first):
     #     the 4 round-5 additions (tier 0 — never witnessed), then
@@ -128,6 +147,11 @@ _PRIORITY: list[str] = [
     "q_pipe_rows", "q_pipe_grep", "q_fn_levenshtein", "q_fn_explode",
     "q_join_left_outer", "q_fn_cond",
 ]
+
+try:
+    from hadoop_distexec_spark.rotation import PRIORITY as _PRIORITY
+except ImportError:  # pragma: no cover — pre-rotation bootstrap
+    _PRIORITY = _FALLBACK_PRIORITY
 
 
 def specs() -> dict[str, QuerySpec]:

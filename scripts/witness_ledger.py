@@ -1,19 +1,32 @@
-"""Witness-freshness ledger (VERDICT r03 next-round #7).
+"""Witness-freshness ledger (VERDICT r03 next-round #7, r05 #1/#2/#7).
 
 Reads every ``CORRECTNESS_r*.json`` the driver has produced plus the query
 registry, and emits ``WITNESS_LEDGER.json``: per query id, the most recent
-round with a driver-witnessed row, what that row said, and whether the id
-currently carries a DuckDB oracle. It then computes ``suggested_window`` —
-the 50 ids the next ``registry._PRIORITY`` rotation should lead with, so
-rotation is computed from the artifact instead of hand-curated.
+round with a driver-witnessed row, what that row said, whether the id
+currently carries a DuckDB oracle, and the SOURCE FINGERPRINT the id held
+at its last witness. The fingerprint powers the change-aware staleness
+bound (tests/test_round2_ops.py::test_witness_staleness_bounded): ids
+whose registered semantics (function source + oracle SQL) are untouched
+since their last witness may age to latest-2; any code change resets them
+to the tight latest-1 bound. That lifts the registry's witness-bandwidth
+ceiling from 150 to ~200 ids at 50 witnesses/round (VERDICT r05 #2).
 
-Staleness policy (oldest-first within each tier):
+Fingerprint carry-forward: regeneration is meant to run IMMEDIATELY after
+a new CORRECTNESS artifact lands (scripts/rotate.py does this), i.e.
+before any round-N code edits — so "current source" is a faithful proxy
+for "source the driver just witnessed". Ids whose last witness did not
+advance keep their previously recorded fingerprint.
+
+It also computes ``suggested_window`` — the 50 ids the next rotation
+should lead with. Staleness policy (stable sort, no self-referential
+tie-breaks):
   1. never witnessed (new ids),
   2. witnessed rows-only but an oracle now exists (upgraded oracles whose
-     hash check the driver has never seen — e.g. the r03 sketch upgrades),
-  3. oldest ``last_round`` first, ties broken by registration order.
+     hash check the driver has never seen),
+  3. oldest ``last_round`` first, ties broken by qid.
 
-Run from the repo root:  python scripts/witness_ledger.py
+Run ``python scripts/rotate.py`` (regenerates rotation + ledger + parity
+in one run); this module alone only rewrites the ledger.
 """
 
 from __future__ import annotations
@@ -26,6 +39,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50  # observed driver CORRECTNESS budget (r01 stopped at 50 of 76)
+LEDGER_PATH = os.path.join(REPO, "WITNESS_LEDGER.json")
 
 
 def load_rounds() -> dict[int, dict]:
@@ -49,6 +63,16 @@ def classify(row: dict) -> str:
     return "fail"
 
 
+def staleness_key(entry: dict, qid: str) -> tuple:
+    if entry["last_round"] is None:
+        tier = 0  # never witnessed
+    elif entry["result"] == "rows_only" and entry["has_oracle"]:
+        tier = 1  # oracle upgraded since last witness
+    else:
+        tier = 2
+    return (tier, entry["last_round"] or 0, qid)
+
+
 def build_ledger() -> dict:
     sys.path.insert(0, REPO)
     from hadoop_distexec_spark import registry
@@ -56,30 +80,32 @@ def build_ledger() -> dict:
     specs = registry.specs()
     rounds = load_rounds()
 
+    old_ids: dict[str, dict] = {}
+    if os.path.exists(LEDGER_PATH):
+        with open(LEDGER_PATH) as f:
+            old_ids = json.load(f).get("ids", {})
+
     ledger: dict[str, dict] = {}
     for order, (qid, spec) in enumerate(specs.items()):
         last_round, result = None, "never"
         for r in sorted(rounds):
             if qid in rounds[r]:
                 last_round, result = r, classify(rounds[r][qid])
+        old = old_ids.get(qid, {})
+        if old.get("fp") is not None and old.get("fp_round") == last_round:
+            fp = old["fp"]  # no new witness since last recorded — keep
+        else:
+            fp = registry.source_fingerprint(spec)
         ledger[qid] = {
             "last_round": last_round,
             "result": result,
             "has_oracle": spec.oracle is not None,
             "registry_order": order,
+            "fp": fp,
+            "fp_round": last_round,
         }
 
-    def staleness(qid: str) -> tuple:
-        e = ledger[qid]
-        if e["last_round"] is None:
-            tier = 0  # never witnessed
-        elif e["result"] == "rows_only" and e["has_oracle"]:
-            tier = 1  # oracle upgraded since last witness
-        else:
-            tier = 2
-        return (tier, e["last_round"] or 0, e["registry_order"])
-
-    suggested = sorted(ledger, key=staleness)[:WINDOW]
+    suggested = sorted(ledger, key=lambda q: staleness_key(ledger[q], q))[:WINDOW]
     return {
         "rounds_seen": sorted(rounds),
         "window": WINDOW,
@@ -88,16 +114,19 @@ def build_ledger() -> dict:
     }
 
 
-def main() -> None:
-    out = build_ledger()
-    path = os.path.join(REPO, "WITNESS_LEDGER.json")
-    with open(path, "w") as f:
+def write_ledger(out: dict) -> None:
+    with open(LEDGER_PATH, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
         f.write("\n")
+
+
+def main() -> None:
+    out = build_ledger()
+    write_ledger(out)
     ids = out["ids"]
     from collections import Counter
 
-    print(f"wrote {path}: {len(ids)} ids over rounds {out['rounds_seen']}")
+    print(f"wrote {LEDGER_PATH}: {len(ids)} ids over rounds {out['rounds_seen']}")
     print(Counter((v["last_round"], v["result"]) for v in ids.values()))
     print("suggested _PRIORITY window (stalest first):")
     for qid in out["suggested_window"]:

@@ -138,43 +138,35 @@ def test_priority_ids_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
 
 
-def test_priority_window_holds_round5_ids():
-    """The round-5 must-witness set sits inside the first 50 registry
-    entries — the observed driver CORRECTNESS budget. After r04's window
-    went 49/50 hash-green, the stalest ids are the 23 r01-latest and 22
-    r02-latest cohorts (VERDICT r04 next-round #1), led by q_bpe_train
-    (whose REPLACE-chain hash oracle landed in r05 — its r04 driver row
-    was rows-only), topped up with the 4 stalest r03 ids."""
+def test_priority_window_holds_round6_ids():
+    """The round-6 must-witness set sits inside the first 50 registry
+    entries — the observed driver CORRECTNESS budget: the 4 round-6
+    registrations (never driver-witnessed) plus 46 of the 50 ids whose
+    latest witness is the r03 cohort (VERDICT r05 next-round #1/#3).
+    The 4 r03 ids that slide past #50 are covered by the change-aware
+    staleness bound (untouched since their hash-green r03 witness, so
+    allowed to age to latest-2) and lead the r07 rotation."""
     ids = list(SPECS)
-    window = set(ids[:50])
-    must_witness = [
-        # round-5 additions, never driver-witnessed
-        "q_quantile_bins", "q_dedup_prefix", "q_dedup_recall_eval",
-        "q_bpe_apply",
-        # oracle upgraded since its last (rows-only) witness
-        "q_bpe_train",
-        # r01-latest cohort
-        "q_fn_array", "q_agg_stats", "q_agg_collect", "q_agg_median",
-        "q_dedup_exact", "q_dedup_ngram", "q_sim_topk", "q_dedup_embed",
-        "q_text_stats", "q_lang_id", "q_token_count", "q_quality_score",
-        "q_fingerprint", "q_winnow_fingerprint", "q_split_train_test",
-        "q_pii_redact", "q_doc_chunks", "q_pack_sequences",
-        "q_dedup_groups", "q_multimodal_frames", "q_set_union",
-        "q_set_intersect", "q_multimodal_meta",
-        # r02-latest cohort
-        "q_join_full_outer", "q_join_salted", "q_agg_minmax",
-        "q_agg_grouping_sets", "q_win_ntile", "q_sql_star",
-        "q_sql_corr_subquery", "q_scalar_subquery", "q_vocab_topk",
-        "q_ngram_counts", "q_repetition", "q_len_hist", "q_decontam",
-        "q_token_entropy", "q_sample_stratified", "q_tfidf",
-        "q_embed_quantize", "q_dedup_incremental", "q_rag_retrieval",
-        "q_cooc_pmi", "q_pack_sequences_dist", "q_corpus_pipeline",
-        # (the 4 stalest-r03 fill ids slid past #50 as the round-5
-        # additions joined the window; all hold green r03 rows, inside
-        # the staleness bound, and stay under the local oracle gate)
-    ]
-    out = [q for q in must_witness if q not in window]
-    assert not out, f"ids fell out of the driver's 50-entry window: {out}"
+    window = ids[:50]
+    new_ids = {
+        "q_uniform_sample", "q_embed_norm_stats",
+        "q_source_top_tokens", "q_key_skew_profile",
+    }
+    out = [q for q in new_ids if q not in window]
+    assert not out, f"round-6 registrations outside the driver window: {out}"
+    # every remaining window slot goes to the stalest (r03-witnessed)
+    # cohort — no slot wasted on an id with a fresher witness
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "WITNESS_LEDGER.json")) as f:
+        ledger = json.load(f)["ids"]
+    for q in window:
+        if q in new_ids:
+            continue
+        assert ledger[q]["last_round"] == 3, (
+            f"window slot wasted on {q} (last witness r{ledger[q]['last_round']})"
+        )
 
 
 def test_priority_window_matches_ledger():
@@ -201,16 +193,31 @@ def test_priority_window_matches_ledger():
 
 def test_witness_staleness_bounded():
     """Rotation debt fails the build instead of relying on judge memory
-    (VERDICT r04 next-round #6): with R = the latest driver CORRECTNESS
-    round, every registered id must either (a) sit inside the upcoming
-    50-entry driver window — it will be witnessed in round R+1 — or
-    (b) hold a driver witness from round R-1 or newer. Once the next
-    CORRECTNESS artifact lands, regenerating the ledger and re-rotating
-    is the only way to keep this green, which is exactly the point."""
+    (VERDICT r04 next-round #6), with the CHANGE-AWARE bound of VERDICT
+    r05 next-round #2: with R = the latest driver CORRECTNESS round,
+    every registered id must either
+      (a) sit inside the upcoming 50-entry driver window — it will be
+          witnessed in round R+1 — or
+      (b) hold a driver witness from round R-1 or newer — or
+      (c) hold a witness from round R-2 AND a source fingerprint
+          (function source + oracle SQL, registry.source_fingerprint)
+          unchanged since that witness, per WITNESS_LEDGER.json.
+    Rationale for (c): an untouched operator's witness does not decay as
+    fast as an edited one's — the local byte-identical oracle gate still
+    covers it every session, and re-witnessing identical semantics every
+    other round starves NEW ids of window slots. The tight R-1 bound
+    stays for any id whose registered semantics changed. This lifts the
+    witness-bandwidth ceiling from 3x50=150 ids to 4x50=~200 at the
+    driver's 50-witness/round budget; the registry is past 150.
+    Once a new CORRECTNESS artifact lands, `python scripts/rotate.py`
+    (rotation + ledger + parity in ONE commit) is the only way to keep
+    this green, which is exactly the point."""
     import glob
     import json
     import os
     import re
+
+    from hadoop_distexec_spark.registry import source_fingerprint
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     rounds = {}
@@ -222,21 +229,36 @@ def test_witness_staleness_bounded():
         import pytest
 
         pytest.skip("no CORRECTNESS artifacts")
+    ledger_path = os.path.join(repo, "WITNESS_LEDGER.json")
+    ledger_ids = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger_ids = json.load(f).get("ids", {})
     latest = max(rounds)
     last_seen = {}
     for r in sorted(rounds):
         for qid in rounds[r]:
             last_seen[qid] = r
     window = set(list(SPECS)[:50])
-    stale = [
-        qid
-        for qid in SPECS
-        if qid not in window and last_seen.get(qid, 0) < latest - 1
-    ]
+    stale = []
+    for qid, spec in SPECS.items():
+        if qid in window:
+            continue
+        seen = last_seen.get(qid, 0)
+        if seen >= latest - 1:
+            continue
+        untouched = (
+            qid in ledger_ids
+            and ledger_ids[qid].get("fp") == source_fingerprint(spec)
+            and ledger_ids[qid].get("fp_round") == seen
+        )
+        if untouched and seen >= latest - 2:
+            continue
+        stale.append(qid)
     assert not stale, (
-        f"ids outside the rotation window with witnesses older than "
-        f"r{latest - 1:02d}: {stale} — re-run scripts/witness_ledger.py "
-        "and re-rotate registry._PRIORITY"
+        f"ids outside the rotation window with witnesses older than their "
+        f"bound (r{latest - 1:02d}, or r{latest - 2:02d} if untouched since "
+        f"last witness): {stale} — run `python scripts/rotate.py`"
     )
 
 

@@ -1,0 +1,115 @@
+"""Round-6 invariants: registration of the r05-prepped operators, the
+NULL-embedding parity gap from ADVICE r05 #1, the helper-column collision
+guard from ADVICE r05 #4, and the q_tfidf_pairs de-hinting plan gate from
+VERDICT r05 what's-wrong #1."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_distexec_spark import registry
+from hadoop_distexec_spark.operators import llmops
+from hadoop_distexec_spark.sources.tables import table
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+SPECS = registry.specs()
+
+NEW_IDS = [
+    "q_uniform_sample",
+    "q_embed_norm_stats",
+    "q_source_top_tokens",
+    "q_key_skew_profile",
+]
+
+
+def test_round6_ids_registered_with_oracles():
+    """The four r05-prep APIs are now registered queries, each carrying
+    the parity-proven DuckDB oracle (VERDICT r05 next-round #3)."""
+    for qid in NEW_IDS:
+        assert qid in SPECS, qid
+        assert SPECS[qid].oracle is not None, qid
+    # and they sit inside the 50-entry driver window so their first
+    # witness lands in CORRECTNESS_r06
+    window = list(SPECS)[:50]
+    for qid in NEW_IDS:
+        assert qid in window, f"{qid} not in the driver witness window"
+
+
+def test_embed_norm_stats_null_and_empty_embedding_parity(spark):
+    """ADVICE r05 #1: a NULL embedding must land at norm 0 (a degenerate
+    vector) in BOTH engines — Spark's aggregate() over a NULL array is
+    NULL and was silently diverging from the oracle's COALESCEd scalar
+    subquery. Parity on a synthetic frame with NULL, empty, zero and
+    normal vectors."""
+    pdf = pd.DataFrame(
+        {
+            "label": ["a", "a", "b", "b", "c"],
+            "embedding": [[3.0, 4.0], None, [], [0.0, 0.0], [1.5]],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf.where(pd.notnull(pdf), None), "label string, embedding array<double>"
+    )
+    got = llmops._embed_norm_stats_frame(sdf).toPandas()
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(llmops.EMBED_NORM_STATS_ORACLE).fetchdf()
+    con.close()
+
+    from tests.oracle_util import compare
+
+    compare(got, want, "embed_norm_stats_null")
+    by = {r["label"]: r for _, r in got.iterrows()}
+    assert by["a"]["n_zero"] == 1 and by["a"]["n_vecs"] == 2  # NULL counted
+    assert by["a"]["min_norm2"] == 0.0 and by["a"]["max_norm2"] == 25.0
+    assert by["b"]["n_zero"] == 2  # empty + all-zero both degenerate
+
+
+def test_uniform_sample_k_helper_column_collision(spark):
+    """ADVICE r05 #4: a caller column named like the sampler's helper
+    (_usk_<salt>) must survive the sample with its data intact."""
+    df = spark.createDataFrame(
+        [(i, f"keep-{i}") for i in range(40)], "doc_id int, _usk_usk string"
+    )
+    out = llmops.uniform_sample_k(df, 10, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 10
+    assert set(out.columns) == {"doc_id", "_usk_usk"}
+    for r in rows:
+        assert r["_usk_usk"] == f"keep-{r['doc_id']}"
+    # same sampled ids as an untouched frame: the helper rename must not
+    # change the md5 order
+    plain = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id int"
+    )
+    want = {r["doc_id"] for r in llmops.uniform_sample_k(plain, 10, "doc_id").collect()}
+    assert {r["doc_id"] for r in rows} == want
+
+
+def test_tfidf_pairs_no_static_broadcast_on_corpus_sized_sides(spark):
+    """VERDICT r05 what's-wrong #1: the per-document norm tables and the
+    df-capped vocabulary grow with the corpus — static broadcast hints on
+    them force a driver collect that OOMs at scale. The analyzed plan may
+    carry at most the single 1-row n_docs broadcast hint; AQE sizes the
+    rest at runtime."""
+    df = SPECS["q_tfidf_pairs"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    hints = plan.count("ResolvedHint")
+    assert hints <= 1, f"expected <=1 broadcast hint (n_docs only), got {hints}:\n{plan}"
+
+
+def test_recall_eval_mod_is_corpus_derived(spark):
+    """VERDICT r05 next-round #6: the truth-sample modulus must derive
+    from corpus size (fixed sampled-truth budget), not a hand-edited
+    constant — both engines compute it from the same COUNT."""
+    n_small = table(spark, SF_SMALL, "documents").count()
+    n_oracle = table(spark, SF_ORACLE, "documents").count()
+    assert llmops._truth_sample_mod(n_small) >= 1
+    # monotone: a bigger corpus never gets a smaller modulus
+    assert llmops._truth_sample_mod(n_oracle) >= llmops._truth_sample_mod(n_small)
+    # budget respected: sampled docs stay near the target
+    for n in (n_small, n_oracle, 10**6, 10**9):
+        mod = llmops._truth_sample_mod(n)
+        assert n / mod <= 2 * llmops.TRUTH_SAMPLE_TARGET_DOCS
