@@ -208,6 +208,61 @@ def _cleanup(paths: Iterable[str], fs: FileSystem) -> None:
                     time.sleep(CLEANUP_SLEEP)
 
 
+def _fd_handles(
+    src_fs: FileSystem,
+    src_path: str,
+    dst_fs: FileSystem,
+    tmp_out: str,
+    tmp_err: str,
+    redirect_err_to_out: bool,
+):
+    """Open (src, tmp_out[, tmp_err]) and return the handles IF every one
+    is a real OS file (has a working fileno()) — the precondition for the
+    kernel-direct child wiring below. Returns None when any side is not
+    fd-backed (e.g. an fsspec object store) or fails to open; the caller
+    then takes the thread-pump path, which also owns error reporting for
+    unopenable sources."""
+    handles = []
+    try:
+        fin = src_fs.open(src_path, "rb")
+        handles.append(fin)
+        fin.fileno()
+        fout = dst_fs.open(tmp_out, "wb")
+        handles.append(fout)
+        fout.fileno()
+        ferr = None
+        if not redirect_err_to_out:
+            ferr = dst_fs.open(tmp_err, "wb")
+            handles.append(ferr)
+            ferr.fileno()
+        return fin, fout, ferr
+    except Exception:
+        for h in handles:
+            try:
+                h.close()
+            except Exception:
+                pass
+        _cleanup([tmp_out, tmp_err], dst_fs)
+        return None
+
+
+def _preserve_attrs(src_fs: FileSystem, src_path: str, dst_fs: FileSystem, final: str) -> None:
+    """Best-effort -p finalize (DistCp.java:662-712 heritage): copy mode +
+    mtime onto the committed output. A vanished/unreadable source or an
+    attribute-less store must not flip the row to FAIL — the output is
+    already renamed into place."""
+    if not dst_fs.exists(final):  # lazy create => maybe no file
+        return
+    try:
+        st = src_fs.stat(src_path)
+        if st.mode is not None:
+            dst_fs.set_mode(final, st.mode)
+        if st.mtime_epoch is not None:
+            dst_fs.set_mtime(final, st.mtime_epoch)
+    except (NotImplementedError, OSError):
+        pass
+
+
 def _commit(tmp: str, final: str, fs: FileSystem) -> None:
     """delete-if-exists + rename (ExecFilesMapper.java:156-170); rename is
     atomic on POSIX/HDFS, making re-runs idempotent (object stores degrade
@@ -250,6 +305,23 @@ def _exec_one(
     uniq = uuid.uuid4().hex[:12]
     tmp_out = dst_fs.join(tmp_dir, f"{uniq}.out")
     tmp_err = dst_fs.join(tmp_dir, f"{uniq}.err")
+    # FD-DIRECT FAST PATH: when both filesystems hand real OS descriptors
+    # (local/mapped — the common case), wire the child straight to them
+    # and let the KERNEL move every byte; the Python thread pumps below
+    # (128 KiB read/write loops, GIL-shared) cap per-stream throughput at
+    # a few hundred MB/s, measured 2.56s vs 0.36s bare-cat on the 1 GiB
+    # bench. Observable semantics are identical: the lazy no-stdout =>
+    # no-destination-file rule becomes "0-byte tmp is removed before
+    # commit" (a pump would never have created it), and bytes_in is read
+    # from the shared file-description offset after the child exits —
+    # exact for early-exiting children (head/grep -q), where a pump's
+    # count includes bytes parked in the pipe buffer.
+    fd = _fd_handles(src_fs, src_path, dst_fs, tmp_out, tmp_err, redirect_err_to_out)
+    if fd is not None:
+        return _exec_one_fd(
+            fd, src_path, final, tmp_out, tmp_err, argv,
+            redirect_err_to_out, timeout, src_fs, dst_fs, preserve,
+        )
     try:
         proc = subprocess.Popen(
             argv,
@@ -292,26 +364,95 @@ def _exec_one(
             _commit(tmp_out, final, dst_fs)
             if perr:
                 _commit(tmp_err, final + ".stderr", dst_fs)
-            if preserve and dst_fs.exists(final):  # lazy create => maybe no file
-                try:
-                    st = src_fs.stat(src_path)
-                    if st.mode is not None:
-                        dst_fs.set_mode(final, st.mode)
-                    if st.mtime_epoch is not None:
-                        dst_fs.set_mtime(final, st.mtime_epoch)
-                except (NotImplementedError, OSError):
-                    # best-effort finalize: the output is already committed
-                    # (renamed into place), so a vanished/unreadable source
-                    # or an attribute-less store must not flip the row to
-                    # FAIL — that would discard a good output and (under
-                    # update='hash') force a pointless re-execution
-                    pass
+            if preserve:
+                _preserve_attrs(src_fs, src_path, dst_fs, final)
             return ("EXECUTED", rc, pin.count, pout.count, bytes_err, None)
         except OSError as e:
             errors.append(e)
     _cleanup([tmp_out, tmp_err], dst_fs)
     msg = f"exit={rc}" + ("; " + "; ".join(map(str, errors)) if errors else "")
     return ("FAIL", rc, pin.count, pout.count, bytes_err, msg)
+
+
+def _exec_one_fd(
+    fd,
+    src_path: str,
+    final: str,
+    tmp_out: str,
+    tmp_err: str,
+    argv: list[str],
+    redirect_err_to_out: bool,
+    timeout: float | None,
+    src_fs: FileSystem,
+    dst_fs: FileSystem,
+    preserve: bool,
+) -> tuple[str, int | None, int, int, int, str | None]:
+    """The fd-direct arm of _exec_one: child stdio wired straight to the
+    source file and tmp sinks (no pump threads, no Python in the byte
+    path). Same return contract and commit/cleanup protocol."""
+    fin, fout, ferr = fd
+
+    def _close_all():
+        for h in (fin, fout, ferr):
+            if h is not None:
+                try:
+                    h.close()
+                except Exception:
+                    pass
+
+    try:
+        proc = subprocess.Popen(
+            argv,
+            stdin=fin,
+            stdout=fout,
+            stderr=subprocess.STDOUT if redirect_err_to_out else ferr,
+        )
+    except OSError as e:
+        _close_all()
+        _cleanup([tmp_out, tmp_err], dst_fs)
+        return ("FAIL", None, 0, 0, 0, f"spawn failed: {e}")
+    try:
+        rc = proc.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        bytes_in = os.lseek(fin.fileno(), 0, os.SEEK_CUR)
+        _close_all()
+        _cleanup([tmp_out, tmp_err], dst_fs)
+        return ("FAIL", None, bytes_in, 0, 0, f"timeout after {timeout}s, killed")
+    # the child's stdin fd shares our open file description, so the
+    # current offset IS the byte count it consumed
+    bytes_in = os.lseek(fin.fileno(), 0, os.SEEK_CUR)
+    _close_all()
+
+    def _size(p: str) -> int:
+        try:
+            return dst_fs.stat(p).size if dst_fs.exists(p) else 0
+        except OSError:
+            return 0
+
+    bytes_out = _size(tmp_out)
+    bytes_err = _size(tmp_err) if ferr is not None else 0
+    # lazy-create equivalence: a child that wrote nothing must leave no
+    # destination file (Executor.java:33-51 / SingleExecution lazy sink)
+    if bytes_out == 0:
+        _cleanup([tmp_out], dst_fs)
+    if ferr is not None and bytes_err == 0:
+        _cleanup([tmp_err], dst_fs)
+    errors: list[Exception] = []
+    if exit_ok(argv, rc):
+        try:
+            _commit(tmp_out, final, dst_fs)
+            if ferr is not None:
+                _commit(tmp_err, final + ".stderr", dst_fs)
+            if preserve:
+                _preserve_attrs(src_fs, src_path, dst_fs, final)
+            return ("EXECUTED", rc, bytes_in, bytes_out, bytes_err, None)
+        except OSError as e:
+            errors.append(e)
+    _cleanup([tmp_out, tmp_err], dst_fs)
+    msg = f"exit={rc}" + ("; " + "; ".join(map(str, errors)) if errors else "")
+    return ("FAIL", rc, bytes_in, bytes_out, bytes_err, msg)
 
 
 def _sum_count(rows: Iterable) -> tuple[int, int]:
