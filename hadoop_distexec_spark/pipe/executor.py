@@ -463,11 +463,12 @@ def _sum_count(rows: Iterable) -> tuple[int, int]:
     return s, c
 
 
-def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin):
+def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin, final_pin=None):
     """Range-order the file manifest by src_path and collect per-partition
     (byte total, row count) in one pass — the shared phase-1 of
-    plan_partitions and limit_manifest. ``pin`` materializes the ordered
-    frame (cache vs eager localCheckpoint, per caller).
+    plan_partitions and limit_manifest. ``pin`` materializes each probe
+    pass; ``final_pin`` (optional) re-pins whichever frame turns out to
+    be final with a stronger strategy.
 
     Partition count is a proxy for manifest SIZE only when the tree is
     deep — one flat directory with 10^6 files arrives as 1-2 listing
@@ -476,10 +477,21 @@ def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin):
     first guess turns out badly undersized (rare; costs one extra pass
     exactly when the manifest is big enough to warrant it).
 
+    WHY two pin strategies (ADVICE r05 #3): DataFrame.unpersist() is a
+    no-op for localCheckpoints, so a checkpoint-pinned UNDERSIZED probe
+    would sit on executor storage until GC — double storage exactly on
+    the large flat manifests the re-plan targets. So every probe pass is
+    pinned with the cheap, releasable ``pin`` (cache), and only the
+    final, correctly-sized frame gets ``final_pin`` (the caller's eager
+    localCheckpoint). When the probe IS final, ``final_pin`` materializes
+    it from the still-live cached blocks — no recompute, so partition
+    identity carries over to the checkpoint — and the cache is then
+    released.
+
     Returns (ordered, part_stats, n_parts)."""
 
-    def one(nparts: int):
-        o = pin(
+    def one(nparts: int, m):
+        o = m(
             files.repartitionByRange(nparts, "src_path").sortWithinPartitions("src_path")
         )
         stats = {
@@ -490,15 +502,23 @@ def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin):
         }
         return o, stats
 
-    ordered, part_stats = one(n_parts)
-    n_flat = sum(c for _, c in part_stats.values())
-    if n_parts < dp and n_flat > n_parts * PLAN_ROWS_PER_PART:
-        try:  # release the undersized first pass (no-op for checkpoints)
-            ordered.unpersist()
+    def _release(df):
+        try:
+            df.unpersist()
         except Exception:
             pass
+
+    probe, part_stats = one(n_parts, pin)
+    n_flat = sum(c for _, c in part_stats.values())
+    if n_parts < dp and n_flat > n_parts * PLAN_ROWS_PER_PART:
         n_parts = min(dp, max(1, -(-n_flat // PLAN_ROWS_PER_PART)))
-        ordered, part_stats = one(n_parts)
+        ordered, part_stats = one(n_parts, final_pin or pin)
+        _release(probe)  # cache-pinned => actually freed, unlike a checkpoint
+        return ordered, part_stats, n_parts
+    if final_pin is None:
+        return probe, part_stats, n_parts
+    ordered = final_pin(probe)  # materializes from the cached blocks
+    _release(probe)
     return ordered, part_stats, n_parts
 
 
@@ -589,17 +609,22 @@ def limit_manifest(
 
     n_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
     # Pin partition identity before the two passes (eager localCheckpoint,
-    # NOT cache): the offsets pass and the cut pass below both drive
-    # ordered.rdd, and an unmaterialized repartitionByRange re-executes
-    # per action with sampled range boundaries — the two jobs could land
-    # boundary rows in different partitions, applying offsets to the
-    # wrong contents (and re-running the manifest walk). Same
-    # eager-checkpoint rule as pack_sequences_distributed.
+    # NOT cache, for the FINAL frame): the offsets pass and the cut pass
+    # below both drive ordered.rdd, and an unmaterialized
+    # repartitionByRange re-executes per action with sampled range
+    # boundaries — the two jobs could land boundary rows in different
+    # partitions, applying offsets to the wrong contents (and re-running
+    # the manifest walk). Same eager-checkpoint rule as
+    # pack_sequences_distributed. The sizing PROBE pass uses a releasable
+    # cache instead (ADVICE r05 #3 — unpersist is a no-op on checkpoints,
+    # and a discarded undersized probe must not hold executor storage on
+    # exactly the big flat manifests the re-plan exists for).
     ordered, part_stats, n_parts = _plan_ordered_stats(
         files,
         n_parts,
         sc.defaultParallelism,
-        lambda df: df.localCheckpoint(eager=True),
+        lambda df: df.cache(),
+        final_pin=lambda df: df.localCheckpoint(eager=True),
     )
     size_off, count_off, acc_s, acc_c = {}, {}, 0, 0
     for i in range(max(part_stats) + 1 if part_stats else 0):
