@@ -3924,3 +3924,281 @@ def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_embed_norm_stats", oracle=EMBED_NORM_STATS_ORACLE)(embed_norm_stats)
 register("q_source_top_tokens", oracle=SOURCE_TOP_TOKENS_ORACLE)(source_top_tokens)
 register("q_key_skew_profile", oracle=KEY_SKEW_PROFILE_ORACLE)(key_skew_profile)
+
+
+# ---------------------------------------------------------------------------
+# round-7 prep: implemented + pytest-gated now, registration queued for the
+# next rotation window (the r06 window is fully allocated — 4 registrations
+# + 46 of the 50 r03-stale ids; the r07 window opens 46 free slots after
+# the 4 r03 leftovers). Same pattern as the r05->r06 hand-off: each op
+# ships with a draft DuckDB twin parity-tested by tests/test_round6_ops.py
+# so registration stays a two-line diff.
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of shared distinct shingles plus Jaccard and
+    containment over the sources' shingle SETS. q_decontam answers
+    "is my eval set in the training data"; this answers "which SOURCES
+    feed each other" — the scraped-site-mirrors-another-site signal that
+    decides source-level dedup ORDER before any per-document pass runs.
+
+    Determinism: exact bigint set sizes; two IEEE divisions of exact
+    aggregates (numeric rule 2); pairs keyed source_a < source_b.
+
+    Shape at 100 TB: the (source, shingle) distinct is one shuffle whose
+    combine collapses per-doc repeats map-side; the pair join fans out
+    each shingle row at most n_sources times (sources are a bounded
+    catalog — hundreds, not corpus-scale), so candidate volume is
+    O(distinct shingles x sources), never doc-pair-shaped. No broadcast
+    hints: the per-source size table is source-cardinality and AQE
+    broadcasts it at runtime."""
+    sh = _shingles_df(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = sh.join(src, "doc_id").select("source", "shingle").distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a", "source_b", "n_common", "n_a", "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + """,
+    ss AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM shingles s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common,
+           za.n_sh AS n_a, zb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard,
+           CAST(n_common AS DOUBLE) / LEAST(za.n_sh, zb.n_sh) AS containment
+    FROM common
+    JOIN sizes za ON source_a = za.source
+    JOIN sizes zb ON source_b = zb.source
+    """
+)
+
+
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-of-frequency spectrum: how many distinct
+    tokens fall in each power-of-two occurrence bucket [2^k, 2^(k+1)),
+    with total occurrences per bucket — the Zipf/Heaps health check a
+    tokenizer-training or vocab-pruning run starts from (a corpus whose
+    singleton bucket balloons is OCR/boilerplate garbage; one whose head
+    buckets dominate is template spam).
+
+    Determinism: the bucket index is length(bin(count)) - 1 — an exact
+    integer floor(log2) via the binary-string length, bit-identical in
+    both engines (no IEEE log anywhere); counts/sums exact bigints.
+
+    Shape at 100 TB: first agg on token is THE full-volume shuffle and
+    combines map-side (token counts are additive); the spectrum agg is
+    ~64 buckets — a broadcast-sized result from a second map-side
+    combine. No windows, no sorts."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("int")
+    return (
+        cnt.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .select(
+            "bucket",
+            # SQL-function form: the Python shiftleft() helper only takes
+            # an int literal for the shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").alias("hi"),
+            "n_tokens",
+            "n_occurrences",
+        )
+    )
+
+
+TOKEN_FREQ_SPECTRUM_ORACLE = """
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks WHERE length(tok) > 0 GROUP BY tok)
+    SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+           CAST(1 AS BIGINT) << (length(bin(c)) - 1) AS lo,
+           (CAST(1 AS BIGINT) << length(bin(c))) - 1 AS hi,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM cnt GROUP BY 1, 2, 3
+    """
+
+
+N_SHARDS = 8
+
+
+def shard_plan(spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic output-shard assignment audit: every document lands
+    in shard = md5(doc_id) mod n_shards (retry/append-stable, the repo's
+    md5-routing rule), and the plan reports per-shard document count,
+    character volume, whitespace-token volume, and a skew factor vs the
+    mean shard byte load — the pre-flight a 100 TB training-shard WRITE
+    runs before committing to a layout (a hot shard serializes the whole
+    job's tail).
+
+    Determinism: md5-mod routing; exact bigint sums; skew is one IEEE
+    division of exact aggregates. Token counts use the same
+    length-filtered whitespace convention as token_freq_spectrum.
+
+    Shape at 100 TB: one map-side-combined hash agg on the shard id
+    (n_shards cells), one 1-row global broadcast for the mean — the scan
+    is the only full-volume pass, and the eventual shard WRITE reuses
+    the same routing expression as a repartition key, so the audit and
+    the write see identical placement."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")), "UTF-8")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    toks = F.filter(_tokens(F.col("text")), lambda x: F.length(x) > 0)
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.length("text").alias("chars"),
+            F.size(toks).alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("n_chars"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
+    glob = per.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "shard", "n_docs", "n_chars", "n_tokens",
+        (F.col("n_chars").cast("double") / F.col("mean_chars")).alias("skew_factor"),
+    )
+
+
+SHARD_PLAN_ORACLE = f"""
+    WITH per AS (
+      SELECT CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    gstats AS (
+      SELECT CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_chars
+      FROM per)
+    SELECT shard, n_docs, n_chars, n_tokens,
+           CAST(n_chars AS DOUBLE) / mean_chars AS skew_factor
+    FROM per, gstats
+    """
+
+
+HAPAX_TOPN = 20
+
+
+def hapax_docs(spark: SparkSession, sf_dir: str, topn: int = HAPAX_TOPN) -> DataFrame:
+    """Corpus-hapax concentration per document: for each doc, how many of
+    its token occurrences are corpus-wide hapaxes (tokens occurring
+    exactly once in the whole corpus), and the hapax ratio — the
+    OCR-garbage / mojibake detector (a clean document's tokens recur
+    across the corpus; a scanned-noise document is wall-to-wall unique
+    strings). Returns the topn docs by ratio (ties: doc_id asc).
+
+    Determinism: exact bigint counts, one IEEE division, total order
+    (ratio desc, doc_id) with a bounded limit.
+
+    Shape at 100 TB: the (doc, token) agg is the full-volume shuffle
+    (map-side combinable); a corpus hapax lives in exactly one document,
+    so the hapax join's output is bounded by the hapax count and never
+    fans out; the topn is TakeOrdered (partial per-partition top-k, no
+    global sort)."""
+    docs = table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    glob = tokc.groupBy("tok").agg(F.sum("c").alias("g"))
+    hap = (
+        tokc.join(glob.where(F.col("g") == 1).select("tok"), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+    )
+    dlen = tokc.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    return (
+        dlen.join(hap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            (
+                F.coalesce("n_hapax", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("hapax_ratio"),
+        )
+        .orderBy(F.col("hapax_ratio").desc(), "doc_id")
+        .limit(topn)
+    )
+
+
+HAPAX_DOCS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    tokc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks
+      WHERE length(tok) > 0 GROUP BY doc_id, tok),
+    gtok AS (SELECT tok, SUM(c) AS g FROM tokc GROUP BY tok),
+    hap AS (
+      SELECT t.doc_id, COUNT(*) AS n_hapax
+      FROM tokc t JOIN gtok USING (tok) WHERE g = 1 GROUP BY t.doc_id),
+    dlen AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens
+             FROM tokc GROUP BY doc_id)
+    SELECT d.doc_id, d.n_tokens,
+           CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+           CAST(COALESCE(h.n_hapax, 0) AS DOUBLE) / d.n_tokens AS hapax_ratio
+    FROM dlen d LEFT JOIN hap h USING (doc_id)
+    ORDER BY hapax_ratio DESC, d.doc_id LIMIT {HAPAX_TOPN}
+    """

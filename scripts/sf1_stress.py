@@ -48,7 +48,11 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # the range-boundary statistic, blocked prefix dedup, and the
            # tokenizer apply pass
            "q_dedup_recall_eval", "q_quantile_bins", "q_dedup_prefix",
-           "q_bpe_apply"]
+           "q_bpe_apply",
+           # round-6: de-hinted sparse-cosine pairs (VERDICT r05 #4 —
+           # prove AQE sizes the norm joins at 10x without the static
+           # broadcast) and the new per-source/skew audits
+           "q_tfidf_pairs", "q_source_top_tokens", "q_key_skew_profile"]
 
 
 def synthesize(spark) -> None:

@@ -100,6 +100,104 @@ def test_tfidf_pairs_no_static_broadcast_on_corpus_sized_sides(spark):
     assert hints <= 1, f"expected <=1 broadcast hint (n_docs only), got {hints}:\n{plan}"
 
 
+def test_r07_prep_draft_oracles_parity(spark):
+    """The draft DuckDB twins for the r07-prep APIs must already match
+    the functions bit-for-bit at sf0.01 — registration becomes a
+    two-line diff with zero correctness risk (the r05->r06 pattern)."""
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    for name, fn, oracle in [
+        ("source_overlap", llmops.source_overlap, llmops.SOURCE_OVERLAP_ORACLE),
+        ("token_freq_spectrum", llmops.token_freq_spectrum, llmops.TOKEN_FREQ_SPECTRUM_ORACLE),
+        ("shard_plan", llmops.shard_plan, llmops.SHARD_PLAN_ORACLE),
+        ("hapax_docs", llmops.hapax_docs, llmops.HAPAX_DOCS_ORACLE),
+    ]:
+        compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
+    con.close()
+
+
+def test_source_overlap_bounds(spark):
+    """0 <= jaccard <= containment <= 1, n_common <= min(n_a, n_b), and
+    pairs are keyed source_a < source_b exactly once."""
+    rows = llmops.source_overlap(spark, SF_SMALL).collect()
+    assert rows, "fixture has no overlapping source pair — vacuous"
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_token_freq_spectrum_partitions_vocabulary(spark):
+    """Bucket token/occurrence totals must equal the corpus vocabulary
+    size and corpus token count; every count c in bucket b satisfies
+    2^b <= c < 2^(b+1)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import _tokens
+    from hadoop_distexec_spark.sources.tables import table
+
+    docs = table(spark, SF_SMALL, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    n_occ = toks.count()
+    n_vocab = toks.distinct().count()
+    rows = llmops.token_freq_spectrum(spark, SF_SMALL).collect()
+    assert sum(r["n_tokens"] for r in rows) == n_vocab
+    assert sum(r["n_occurrences"] for r in rows) == n_occ
+    for r in rows:
+        assert r["lo"] == 2 ** r["bucket"] and r["hi"] == 2 ** (r["bucket"] + 1) - 1
+        # bucket mean occupancy must sit inside the bucket's range
+        assert r["lo"] * r["n_tokens"] <= r["n_occurrences"] <= r["hi"] * r["n_tokens"]
+
+
+def test_shard_plan_covers_corpus(spark):
+    """Shard doc counts sum to the corpus; every shard id in range; skew
+    factors average to ~1 weighted by shard count."""
+    from hadoop_distexec_spark.sources.tables import table
+
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    rows = llmops.shard_plan(spark, SF_SMALL).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < llmops.N_SHARDS for r in rows)
+    mean = sum(r["n_chars"] for r in rows) / len(rows)
+    for r in rows:
+        assert abs(r["skew_factor"] - r["n_chars"] / mean) < 1e-9
+
+
+def test_hapax_docs_matches_python(spark):
+    """Brute-force recompute of hapax counts on the small fixture."""
+    from collections import Counter
+
+    from hadoop_distexec_spark.sources.tables import table
+
+    rows = table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    per_doc = {r["doc_id"]: [t for t in r["text"].strip().split() if t] for r in rows}
+    glob = Counter(t for toks in per_doc.values() for t in toks)
+    got = llmops.hapax_docs(spark, SF_SMALL).collect()
+    for r in got:
+        toks = per_doc[r["doc_id"]]
+        want_hapax = sum(1 for t in toks if glob[t] == 1)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_hapax"] == want_hapax
+        assert abs(r["hapax_ratio"] - want_hapax / len(toks)) < 1e-12
+    # verify the top-k ordering is the true maximal ratio set
+    all_ratio = sorted(
+        (
+            (sum(1 for t in toks if glob[t] == 1) / len(toks), d)
+            for d, toks in per_doc.items()
+            if toks
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    want_top = [d for _, d in all_ratio[: len(got)]]
+    assert [r["doc_id"] for r in got] == want_top
+
+
 def test_recall_eval_mod_is_corpus_derived(spark):
     """VERDICT r05 next-round #6: the truth-sample modulus must derive
     from corpus size (fixed sampled-truth budget), not a hand-edited
