@@ -4202,3 +4202,183 @@ HAPAX_DOCS_ORACLE = f"""
     FROM dlen d LEFT JOIN hap h USING (doc_id)
     ORDER BY hapax_ratio DESC, d.doc_id LIMIT {HAPAX_TOPN}
     """
+
+
+QF_MIN_CHARS = 100
+QF_LANGS = ("en", "es", "de", "fr")
+QF_MIN_ALPHA = 0.82
+QF_BLOCK_CHARS = 64  # q_dedup_prefix's block key
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-yield funnel: the survivor count after each curation
+    stage — min-length, language allowlist, alphabetic-ratio quality
+    gate, then block-key dedup (first doc per 64-char prefix block) —
+    with per-stage drop counts and cumulative yield. This is the report
+    every corpus-curation run ends with: WHERE the tokens went.
+
+    Determinism: the first three stages are per-row predicates folded
+    into ONE conditional aggregation (exact bigint sums; the alpha ratio
+    is an exact-int division, identical expression both engines); the
+    dedup stage's survivor is rank-1 by doc_id within the block (total
+    order). Yields are IEEE divisions of exact counts.
+
+    Shape at 100 TB: one scan + one 1-row conditional agg for stages
+    0-3; the dedup stage adds one block-key Exchange for the rank — the
+    same shuffle the actual dedup pass would do, so the funnel costs
+    what one filter pass costs. The 5-row result assembles from two
+    1-row frames (broadcast crossJoin of scalar aggregates)."""
+    docs = table(spark, sf_dir, "documents")
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    f1 = F.col("n_chars") >= QF_MIN_CHARS
+    f2 = F.col("lang").isin(*QF_LANGS)
+    f3 = alpha >= QF_MIN_ALPHA
+    base = docs.select(
+        "doc_id",
+        F.substring("text", 1, QF_BLOCK_CHARS).alias("blk"),
+        f1.alias("f1"), (f1 & f2).alias("f12"), (f1 & f2 & f3).alias("f123"),
+    )
+    s03 = base.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("f1").cast("bigint")).alias("s1"),
+        F.sum(F.col("f12").cast("bigint")).alias("s2"),
+        F.sum(F.col("f123").cast("bigint")).alias("s3"),
+    )
+    w = W.partitionBy("blk").orderBy("doc_id")
+    s4 = (
+        base.where("f123")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .agg(F.count(F.lit(1)).alias("s4"))
+    )
+    stacked = (
+        s03.crossJoin(F.broadcast(s4))
+        .select(
+            F.expr(
+                "stack(5,"
+                " 0, 'all',         s0, s0,"
+                " 1, 'min_len',     s1, s0,"
+                " 2, 'lang',        s2, s1,"
+                " 3, 'quality',     s3, s2,"
+                " 4, 'dedup_block', s4, s3) AS (stage, label, n_docs, n_prev)"
+            ),
+            F.col("s0").alias("_tot"),
+        )
+    )
+    return stacked.select(
+        F.col("stage").cast("int").alias("stage"),
+        "label",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_prev") - F.col("n_docs")).cast("bigint").alias("n_dropped"),
+        (F.col("n_docs").cast("double") / F.col("_tot")).alias("cum_yield"),
+    )
+
+
+QUALITY_FILTER_FUNNEL_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, substr(text, 1, {QF_BLOCK_CHARS}) AS blk,
+             (n_chars >= {QF_MIN_CHARS}) AS f1,
+             (n_chars >= {QF_MIN_CHARS}
+              AND lang IN ('en','es','de','fr')) AS f12,
+             (n_chars >= {QF_MIN_CHARS}
+              AND lang IN ('en','es','de','fr')
+              AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / n_chars >= {QF_MIN_ALPHA}) AS f123
+      FROM documents),
+    s03 AS (
+      SELECT COUNT(*) AS s0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN f12 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN f123 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      FROM f),
+    s4 AS (
+      SELECT COUNT(*) AS s4 FROM (
+        SELECT ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        FROM f WHERE f123) WHERE rn = 1),
+    rows_ AS (
+      SELECT 0 AS stage, 'all' AS label, s0 AS n_docs, s0 AS n_prev, s0 AS tot FROM s03, s4
+      UNION ALL SELECT 1, 'min_len', s1, s0, s0 FROM s03, s4
+      UNION ALL SELECT 2, 'lang', s2, s1, s0 FROM s03, s4
+      UNION ALL SELECT 3, 'quality', s3, s2, s0 FROM s03, s4
+      UNION ALL SELECT 4, 'dedup_block', s4, s3, s0 FROM s03, s4)
+    SELECT CAST(stage AS INT) AS stage, label,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_prev - n_docs AS BIGINT) AS n_dropped,
+           CAST(n_docs AS DOUBLE) / tot AS cum_yield
+    FROM rows_
+    """
+
+
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication flow: for every source pair, how many
+    CANDIDATE clone pairs (documents sharing a 64-char prefix block —
+    the q_dedup_prefix blocking family) connect them, and across how
+    many distinct blocks. q_source_stats says which sources carry dups;
+    this says which sources duplicate EACH OTHER — the mirror-site
+    detector that decides cross-source dedup order.
+
+    Determinism: pair counts computed by COMBINATORIAL FORMULA from per-
+    (block, source) counts — n_a*n_b for cross pairs, n*(n-1) DIV 2
+    within a source — exact bigints, never enumerated; pairs keyed
+    source_a <= source_b.
+
+    Shape at 100 TB: one (block, source) hash agg (map-side combinable),
+    then a self-join whose fan-out per block is bounded by the SOURCE
+    CATALOG size, not doc count — a boilerplate block with 10^6 clones
+    contributes rows proportional to its distinct sources. No pair
+    enumeration anywhere (the formula replaces it), so clone-clique
+    blow-up is arithmetic, not join fan-out."""
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.select(F.substring("text", 1, QF_BLOCK_CHARS).alias("blk"), "source")
+        .groupBy("blk", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select("blk", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = per.select("blk", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "blk", "source_a", "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("CAST(ca * (ca - 1) DIV 2 AS BIGINT)"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("n_pairs"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("n_pairs").alias("n_dup_pairs"),
+            F.count_distinct(
+                F.when(F.col("n_pairs") > 0, F.col("blk"))
+            ).alias("n_blocks"),
+        )
+        .where(F.col("n_dup_pairs") > 0)
+    )
+
+
+DUP_SOURCE_MATRIX_ORACLE = f"""
+    WITH per AS (
+      SELECT substr(text, 1, {QF_BLOCK_CHARS}) AS blk, source, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.blk, a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source
+                  THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
+                  ELSE CAST(a.c * b.c AS BIGINT) END AS n_pairs
+      FROM per a JOIN per b
+        ON a.blk = b.blk AND a.source <= b.source)
+    SELECT source_a, source_b,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN n_pairs > 0 THEN blk END) AS BIGINT)
+             AS n_blocks
+    FROM pairs GROUP BY 1, 2
+    HAVING SUM(n_pairs) > 0
+    """

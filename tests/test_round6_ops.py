@@ -112,6 +112,8 @@ def test_r07_prep_draft_oracles_parity(spark):
         ("token_freq_spectrum", llmops.token_freq_spectrum, llmops.TOKEN_FREQ_SPECTRUM_ORACLE),
         ("shard_plan", llmops.shard_plan, llmops.SHARD_PLAN_ORACLE),
         ("hapax_docs", llmops.hapax_docs, llmops.HAPAX_DOCS_ORACLE),
+        ("quality_filter_funnel", llmops.quality_filter_funnel, llmops.QUALITY_FILTER_FUNNEL_ORACLE),
+        ("dup_source_matrix", llmops.dup_source_matrix, llmops.DUP_SOURCE_MATRIX_ORACLE),
     ]:
         compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
     con.close()
@@ -196,6 +198,50 @@ def test_hapax_docs_matches_python(spark):
     )
     want_top = [d for _, d in all_ratio[: len(got)]]
     assert [r["doc_id"] for r in got] == want_top
+
+
+def test_quality_filter_funnel_is_monotone(spark):
+    """Survivor counts are non-increasing through the stages, drops are
+    consistent, yields in (0, 1], and every stage is NON-VACUOUS on the
+    oracle fixture (each stage drops at least one doc — a funnel whose
+    stage never fires proves nothing)."""
+    rows = {r["stage"]: r for r in llmops.quality_filter_funnel(spark, SF_ORACLE).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    prev = None
+    for s in range(5):
+        r = rows[s]
+        if prev is not None:
+            assert r["n_docs"] <= prev["n_docs"]
+            assert r["n_dropped"] == prev["n_docs"] - r["n_docs"]
+            assert r["n_dropped"] > 0, f"stage {s} ({r['label']}) is vacuous"
+        assert 0 < r["cum_yield"] <= 1.0
+        assert abs(r["cum_yield"] - r["n_docs"] / rows[0]["n_docs"]) < 1e-12
+        prev = r
+
+
+def test_dup_source_matrix_matches_enumeration(spark):
+    """The combinatorial-formula pair counts must equal brute-force pair
+    enumeration on the small fixture."""
+    from collections import Counter, defaultdict
+
+    from hadoop_distexec_spark.sources.tables import table
+
+    rows = table(spark, SF_SMALL, "documents").select("doc_id", "text", "source").collect()
+    blocks = defaultdict(list)
+    for r in rows:
+        blocks[r["text"][:64]].append((r["doc_id"], r["source"]))
+    want = Counter()
+    want_blocks = defaultdict(set)
+    for blk, members in blocks.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = tuple(sorted((members[i][1], members[j][1])))
+                want[key] += 1
+                want_blocks[key].add(blk)
+    got = llmops.dup_source_matrix(spark, SF_SMALL).collect()
+    assert {(r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in got} == dict(want)
+    for r in got:
+        assert r["n_blocks"] == len(want_blocks[(r["source_a"], r["source_b"])])
 
 
 def test_recall_eval_mod_is_corpus_derived(spark):
