@@ -4382,3 +4382,117 @@ DUP_SOURCE_MATRIX_ORACLE = f"""
     FROM pairs GROUP BY 1, 2
     HAVING SUM(n_pairs) > 0
     """
+
+
+def pii_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report: document counts, documents with
+    ANY hit, and total hits per pattern family (email / phone /
+    long-digit-run — q_pii_redact's exact patterns, imported so the
+    audit can never drift from the redactor). This is the
+    source-inclusion decision input: a source whose pii_doc_rate is high
+    gets redacted-or-dropped BEFORE per-document processing spends a
+    pass on it.
+
+    Determinism: exact bigint counts over identical RE2∩Java-dialect
+    patterns in both engines; one IEEE division.
+
+    Shape at 100 TB: one scan with per-row regexp counts (codegen,
+    no shuffle) + one low-cardinality source hash agg, map-side
+    combinable — the cheapest possible full-corpus audit shape."""
+    from hadoop_distexec_spark.operators.pipeline import (
+        _EMAIL_RE,
+        _LONGNUM_RE,
+        _PHONE_RE,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    em = F.regexp_count("text", F.lit(_EMAIL_RE))
+    ph = F.regexp_count("text", F.lit(_PHONE_RE))
+    ln = F.regexp_count("text", F.lit(_LONGNUM_RE))
+    per = docs.select(
+        "source",
+        em.alias("em"), ph.alias("ph"), ln.alias("ln"),
+        ((em + ph + ln) > 0).cast("bigint").alias("hit"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hit").alias("n_docs_with_pii"),
+        F.sum("em").cast("bigint").alias("n_emails"),
+        F.sum("ph").cast("bigint").alias("n_phones"),
+        F.sum("ln").cast("bigint").alias("n_longnums"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("pii_doc_rate"),
+    )
+
+
+def _pii_source_audit_oracle() -> str:
+    from hadoop_distexec_spark.operators.pipeline import (
+        _EMAIL_RE,
+        _LONGNUM_RE,
+        _PHONE_RE,
+    )
+
+    return f"""
+    WITH per AS (
+      SELECT source,
+             LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS em,
+             LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS ph,
+             LEN(regexp_extract_all(text, '{_LONGNUM_RE}')) AS ln
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN em + ph + ln > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(em) AS BIGINT) AS n_emails,
+           CAST(SUM(ph) AS BIGINT) AS n_phones,
+           CAST(SUM(ln) AS BIGINT) AS n_longnums,
+           CAST(SUM(CASE WHEN em + ph + ln > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pii_doc_rate
+    FROM per GROUP BY source
+    """
+
+
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding distribution audit: count, exact-decimal
+    mean, min and max of each coordinate across the corpus — the
+    feature-drift / dead-dimension detector (a dimension whose range
+    collapses to a constant carries no information; one whose scale
+    dwarfs the rest distorts unnormalized distance). Complements
+    embed_norm_stats (per-vector) with the transposed, per-coordinate
+    view an index build checks before choosing a metric.
+
+    Determinism: elements decimal-cast before the cross-row sum (the
+    embed_norm_stats idiom); min/max over exact decimals; mean is one
+    IEEE division; DuckDB decimal->double goes through VARCHAR (the
+    numeric.py double-rounding rule).
+
+    Shape at 100 TB: posexplode fans each vector to its (dim, x) pairs
+    and the agg keys on the BOUNDED dimension index (64 cells) — a pure
+    map-side-combine aggregation; no windows, no joins, one Exchange of
+    64 rows per map task."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    ex = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").cast("decimal(28,10)").alias("xd")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("mean_x"),
+        F.min("xd").cast("double").alias("min_x"),
+        F.max("xd").cast("double").alias("max_x"),
+    )
+
+
+EMBED_DIM_STATS_ORACLE = """
+    WITH ex AS (
+      -- two UNNESTs in one SELECT zip positionally in DuckDB (a lateral
+      -- range() over a column is not supported)
+      SELECT UNNEST(range(len(embedding))) AS dim,
+             CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(28,10)) AS xd
+      FROM embeddings
+      WHERE embedding IS NOT NULL)
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_x,
+           CAST(CAST(MIN(xd) AS VARCHAR) AS DOUBLE) AS min_x,
+           CAST(CAST(MAX(xd) AS VARCHAR) AS DOUBLE) AS max_x
+    FROM ex GROUP BY dim
+    """

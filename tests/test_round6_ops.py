@@ -114,6 +114,8 @@ def test_r07_prep_draft_oracles_parity(spark):
         ("hapax_docs", llmops.hapax_docs, llmops.HAPAX_DOCS_ORACLE),
         ("quality_filter_funnel", llmops.quality_filter_funnel, llmops.QUALITY_FILTER_FUNNEL_ORACLE),
         ("dup_source_matrix", llmops.dup_source_matrix, llmops.DUP_SOURCE_MATRIX_ORACLE),
+        ("pii_source_audit", llmops.pii_source_audit, llmops._pii_source_audit_oracle()),
+        ("embed_dim_stats", llmops.embed_dim_stats, llmops.EMBED_DIM_STATS_ORACLE),
     ]:
         compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
     con.close()
@@ -242,6 +244,57 @@ def test_dup_source_matrix_matches_enumeration(spark):
     assert {(r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in got} == dict(want)
     for r in got:
         assert r["n_blocks"] == len(want_blocks[(r["source_a"], r["source_b"])])
+
+
+def test_pii_source_audit_consistent_with_redactor(spark):
+    """The audit's per-source totals must equal q_pii_redact's per-doc
+    counts rolled up — the two can never drift (shared patterns)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.sources.tables import table
+
+    red = SPECS["q_pii_redact"].fn(spark, SF_SMALL)
+    src = table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    want = {
+        r["source"]: r
+        for r in red.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_emails").alias("e"),
+            F.sum("n_phones").alias("p"),
+            F.sum("n_longnums").alias("l"),
+        )
+        .collect()
+    }
+    got = llmops.pii_source_audit(spark, SF_SMALL).collect()
+    assert {r["source"] for r in got} == set(want)
+    for r in got:
+        w = want[r["source"]]
+        assert (r["n_emails"], r["n_phones"], r["n_longnums"]) == (w["e"], w["p"], w["l"])
+        assert 0 <= r["n_docs_with_pii"] <= r["n_docs"]
+        assert abs(r["pii_doc_rate"] - r["n_docs_with_pii"] / r["n_docs"]) < 1e-12
+
+
+def test_embed_dim_stats_matches_python(spark):
+    """Brute-force per-dimension recompute on the small fixture; one row
+    per dimension, counts equal the vector count."""
+    import math
+
+    from hadoop_distexec_spark.sources.tables import table
+
+    vecs = [
+        r["embedding"]
+        for r in table(spark, SF_SMALL, "embeddings").select("embedding").collect()
+    ]
+    dims = len(vecs[0])
+    rows = {r["dim"]: r for r in llmops.embed_dim_stats(spark, SF_SMALL).collect()}
+    assert sorted(rows) == list(range(dims))
+    for d in range(dims):
+        xs = [round(float(v[d]), 10) for v in vecs]
+        g = rows[d]
+        assert g["n"] == len(xs)
+        assert math.isclose(g["mean_x"], sum(xs) / len(xs), rel_tol=1e-9)
+        assert g["min_x"] == min(xs) and g["max_x"] == max(xs)
 
 
 def test_recall_eval_mod_is_corpus_derived(spark):
