@@ -297,6 +297,32 @@ def test_embed_dim_stats_matches_python(spark):
         assert g["min_x"] == min(xs) and g["max_x"] == max(xs)
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r07_prep_plan_shapes(spark):
+    """The docstring shape claims, gated on the executed plan:
+    hapax_docs' top-k is TakeOrderedAndProject (no global sort);
+    shard_plan and token_freq_spectrum carry no joins except shard_plan's
+    single 1-row broadcast; dup_source_matrix has no nested-loop join
+    (the combinatorial formula replaces pair enumeration)."""
+    p = _plan(llmops.hapax_docs(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p and "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+    p = _plan(llmops.token_freq_spectrum(spark, SF_SMALL))
+    assert "Join" not in p, p
+
+    p = _plan(llmops.shard_plan(spark, SF_SMALL))
+    assert p.count("Join") == 1 and "BroadcastNestedLoopJoin" in p  # 1-row mean crossJoin
+
+    p = _plan(llmops.dup_source_matrix(spark, SF_SMALL))
+    assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", "") and (
+        "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    )
+    assert "BroadcastNestedLoopJoin" not in p, "pair join must be an equi-join on blk"
+
+
 def test_recall_eval_mod_is_corpus_derived(spark):
     """VERDICT r05 next-round #6: the truth-sample modulus must derive
     from corpus size (fixed sampled-truth budget), not a hand-edited
