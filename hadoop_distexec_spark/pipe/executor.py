@@ -739,161 +739,164 @@ def distexec(
     # small manifests). Metadata-sized rows — storage is bounded by the
     # manifest, not the data. Released after the plan rows are consumed.
     manifest = manifest.cache()
+    try:
 
-    # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
-    dups = (
-        manifest.filter(~F.col("is_dir"))
-        .groupBy("rel_dst")
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(20)
-        .collect()
-    )
-    if dups:
-        raise DuplicationError(
-            "duplicate destinations: " + ", ".join(r["rel_dst"] for r in dups)
+        # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
+        dups = (
+            manifest.filter(~F.col("is_dir"))
+            .groupBy("rel_dst")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(20)
+            .collect()
         )
-
-    dst_fs.mkdirs(dst)
-    # empty-dir preservation pass (ExecFilesMapper.java:91-105): dirs are
-    # manifest records, created executor-side. No ordering needed —
-    # mkdirs creates parents and is idempotent — and no driver collect:
-    # a 100 TB tree can hold 10^7+ directories (VERDICT r01, wrong #3).
-    # Executor-side only when executors actually share dst's store
-    # (remote FS, or LocalFS under a local master); otherwise apply from
-    # the driver via toLocalIterator — same guard as sync_deletes
-    # (ADVICE r01 #5: executor-local os.* on a cluster hits worker disks).
-    def _mk_one(rel: str) -> None:
-        if rel and rel != ".":
-            dst_fs.mkdirs(dst_fs.join(dst, rel))
-
-    dir_rows = manifest.filter(F.col("is_dir")).select("rel_dst")
-    if executor_mutation_safe(spark, dst_fs):
-        dir_rows.foreachPartition(
-            lambda rows: [_mk_one(r["rel_dst"]) for r in rows]
-        )
-    else:
-        for r in dir_rows.toLocalIterator():
-            _mk_one(r["rel_dst"])
-
-    tmp_dir = dst_fs.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
-    dst_fs.mkdirs(tmp_dir)
-
-    planned, n_tasks, plan_cache = plan_partitions(manifest, n_tasks)
-    to_run = planned.select("bin", "src_path", "rel_dst", "mtime_epoch")
-    if prev_state is not None:
-        # prior content hashes ride along with the plan rows (one equi-join
-        # on the unique rel_dst — no driver-side state map)
-        to_run = to_run.join(prev_state, "rel_dst", "left")
-    else:
-        to_run = to_run.withColumn("prev_md5", F.lit(None).cast("string"))
-    # one task per bin, exactly: a hash repartition on the bin id would
-    # collide bins into the same task and leave others empty, destroying
-    # the byte balance — use an identity partitioner on the keyed RDD.
-    keyed = (
-        to_run.rdd.map(
-            lambda r: (r["bin"], (r["src_path"], r["rel_dst"], r["mtime_epoch"], r["prev_md5"]))
-        )
-        .partitionBy(n_tasks, lambda b: b)
-    )
-
-    def run_partition(items) -> Iterator[Row]:
-        # per-SOURCE filesystem, resolved from each file's own URI scheme
-        # (reference: srcstat.getPath().getFileSystem(job),
-        # ExecFilesMapper.java:114) — a -f list may mix local and remote
-        # sources; one scheme -> one FS instance per task
-        fs_cache: dict[str, FileSystem] = {}
-
-        def _sfs(p: str) -> FileSystem:
-            sch = urlsplit(p).scheme
-            if sch not in fs_cache:
-                fs_cache[sch] = resolve_fs(p, fs)
-            return fs_cache[sch]
-
-        def result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, md5):
-            return Row(
-                src_path=src_path,
-                rel_dst=rel_dst,
-                status=status,
-                exit_code=rc,
-                bytes_in=b_in,
-                bytes_out=b_out,
-                bytes_err=b_err,
-                error=err,
-                src_md5=md5,
+        if dups:
+            raise DuplicationError(
+                "duplicate destinations: " + ", ".join(r["rel_dst"] for r in dups)
             )
 
-        for _bin, (src_path, rel_dst, mtime_epoch, prev_md5) in items:
-            src_md5 = None
-            if update:
-                final = dst_fs.join(dst, rel_dst)
-                try:
-                    skip = False
-                    if update_mode == "hash":
-                        # content compare — DistCp needsUpdate's intent
-                        # (DistCp.java:333-337) with md5 instead of
-                        # length+CRC (exec output length is command-
-                        # dependent; only source content identity matters)
-                        src_md5 = _md5_of(_sfs(src_path), src_path)
-                        skip = prev_md5 is not None and src_md5 == prev_md5 and dst_fs.exists(final)
-                    else:
-                        # raw-epoch comparison: naive datetimes would be
-                        # re-interpreted in the machine-local timezone
-                        dst_mtime = (
-                            dst_fs.stat(final).mtime_epoch if dst_fs.exists(final) else None
-                        )
-                        skip = (
-                            dst_mtime is not None
-                            and mtime_epoch is not None
-                            and dst_mtime >= mtime_epoch
-                        )
-                    if skip:
-                        yield result(src_path, rel_dst, "SKIPPED", None, 0, 0, 0, None, src_md5)
-                        continue
-                except OSError:
-                    pass
-            try:
-                status, rc, b_in, b_out, b_err, err = _exec_one(
-                    src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out,
-                    cmd_timeout, _sfs(src_path), dst_fs, preserve,
-                )
-            except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
-                status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
-            yield result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, src_md5)
+        dst_fs.mkdirs(dst)
+        # empty-dir preservation pass (ExecFilesMapper.java:91-105): dirs are
+        # manifest records, created executor-side. No ordering needed —
+        # mkdirs creates parents and is idempotent — and no driver collect:
+        # a 100 TB tree can hold 10^7+ directories (VERDICT r01, wrong #3).
+        # Executor-side only when executors actually share dst's store
+        # (remote FS, or LocalFS under a local master); otherwise apply from
+        # the driver via toLocalIterator — same guard as sync_deletes
+        # (ADVICE r01 #5: executor-local os.* on a cluster hits worker disks).
+        def _mk_one(rel: str) -> None:
+            if rel and rel != ".":
+                dst_fs.mkdirs(dst_fs.join(dst, rel))
 
-    results = spark.createDataFrame(keyed.mapPartitions(run_partition), RESULT_SCHEMA)
-    # Make the results durable BEFORE tearing down tmp: a cached-only frame
-    # would silently re-run every subprocess if partitions were evicted and
-    # the caller acted on it again after tmp_dir is gone. The ledger lives
-    # under dst when Spark's Hadoop layer can write that scheme (local,
-    # hdfs, s3a, ...). For other FileSystem impls, pin the computed rows
-    # with an eager localCheckpoint — executors cannot be assumed to share
-    # a driver-local scratch dir, so a parquet round-trip through
-    # tempfile.mkdtemp would land the parts on worker disks and the
-    # driver's read-back would see an empty directory.
-    n_fails: int | None = None
-    if _spark_native(dst):
-        # piggyback the FAIL count on the durability write (Observation
-        # fills from the write action) — the former fails.limit(1).count()
-        # was a whole extra job just to decide whether to write a log
-        from pyspark.sql import Observation
+        dir_rows = manifest.filter(F.col("is_dir")).select("rel_dst")
+        if executor_mutation_safe(spark, dst_fs):
+            dir_rows.foreachPartition(
+                lambda rows: [_mk_one(r["rel_dst"]) for r in rows]
+            )
+        else:
+            for r in dir_rows.toLocalIterator():
+                _mk_one(r["rel_dst"])
 
-        # unique per call: Spark resolves observations by NAME from query
-        # end events, so two concurrent distexec() calls on one session
-        # sharing a name could latch each other's counts
-        obs = Observation(f"distexec_metrics_{uuid.uuid4().hex[:12]}")
-        results_dir = dst_fs.join(dst, "_distexec_results")
-        observed = results.observe(
-            obs, F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("n_fails")
+        tmp_dir = dst_fs.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
+        dst_fs.mkdirs(tmp_dir)
+
+        planned, n_tasks, plan_cache = plan_partitions(manifest, n_tasks)
+        to_run = planned.select("bin", "src_path", "rel_dst", "mtime_epoch")
+        if prev_state is not None:
+            # prior content hashes ride along with the plan rows (one equi-join
+            # on the unique rel_dst — no driver-side state map)
+            to_run = to_run.join(prev_state, "rel_dst", "left")
+        else:
+            to_run = to_run.withColumn("prev_md5", F.lit(None).cast("string"))
+        # one task per bin, exactly: a hash repartition on the bin id would
+        # collide bins into the same task and leave others empty, destroying
+        # the byte balance — use an identity partitioner on the keyed RDD.
+        keyed = (
+            to_run.rdd.map(
+                lambda r: (r["bin"], (r["src_path"], r["rel_dst"], r["mtime_epoch"], r["prev_md5"]))
+            )
+            .partitionBy(n_tasks, lambda b: b)
         )
-        observed.write.mode("overwrite").parquet(results_dir)
-        n_fails = obs.get["n_fails"] or 0
-        plan_cache.unpersist()
-        manifest.unpersist()
-        results = spark.read.parquet(results_dir)
-    else:
-        results = results.localCheckpoint(eager=True)
-        plan_cache.unpersist()
+
+        def run_partition(items) -> Iterator[Row]:
+            # per-SOURCE filesystem, resolved from each file's own URI scheme
+            # (reference: srcstat.getPath().getFileSystem(job),
+            # ExecFilesMapper.java:114) — a -f list may mix local and remote
+            # sources; one scheme -> one FS instance per task
+            fs_cache: dict[str, FileSystem] = {}
+
+            def _sfs(p: str) -> FileSystem:
+                sch = urlsplit(p).scheme
+                if sch not in fs_cache:
+                    fs_cache[sch] = resolve_fs(p, fs)
+                return fs_cache[sch]
+
+            def result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, md5):
+                return Row(
+                    src_path=src_path,
+                    rel_dst=rel_dst,
+                    status=status,
+                    exit_code=rc,
+                    bytes_in=b_in,
+                    bytes_out=b_out,
+                    bytes_err=b_err,
+                    error=err,
+                    src_md5=md5,
+                )
+
+            for _bin, (src_path, rel_dst, mtime_epoch, prev_md5) in items:
+                src_md5 = None
+                if update:
+                    final = dst_fs.join(dst, rel_dst)
+                    try:
+                        skip = False
+                        if update_mode == "hash":
+                            # content compare — DistCp needsUpdate's intent
+                            # (DistCp.java:333-337) with md5 instead of
+                            # length+CRC (exec output length is command-
+                            # dependent; only source content identity matters)
+                            src_md5 = _md5_of(_sfs(src_path), src_path)
+                            skip = prev_md5 is not None and src_md5 == prev_md5 and dst_fs.exists(final)
+                        else:
+                            # raw-epoch comparison: naive datetimes would be
+                            # re-interpreted in the machine-local timezone
+                            dst_mtime = (
+                                dst_fs.stat(final).mtime_epoch if dst_fs.exists(final) else None
+                            )
+                            skip = (
+                                dst_mtime is not None
+                                and mtime_epoch is not None
+                                and dst_mtime >= mtime_epoch
+                            )
+                        if skip:
+                            yield result(src_path, rel_dst, "SKIPPED", None, 0, 0, 0, None, src_md5)
+                            continue
+                    except OSError:
+                        pass
+                try:
+                    status, rc, b_in, b_out, b_err, err = _exec_one(
+                        src_path, rel_dst, dst, tmp_dir, argv, redirect_err_to_out,
+                        cmd_timeout, _sfs(src_path), dst_fs, preserve,
+                    )
+                except Exception as e:  # per-record isolation (ExecFilesMapper.java:173-208)
+                    status, rc, b_in, b_out, b_err, err = "FAIL", None, 0, 0, 0, repr(e)
+                yield result(src_path, rel_dst, status, rc, b_in, b_out, b_err, err, src_md5)
+
+        results = spark.createDataFrame(keyed.mapPartitions(run_partition), RESULT_SCHEMA)
+        # Make the results durable BEFORE tearing down tmp: a cached-only frame
+        # would silently re-run every subprocess if partitions were evicted and
+        # the caller acted on it again after tmp_dir is gone. The ledger lives
+        # under dst when Spark's Hadoop layer can write that scheme (local,
+        # hdfs, s3a, ...). For other FileSystem impls, pin the computed rows
+        # with an eager localCheckpoint — executors cannot be assumed to share
+        # a driver-local scratch dir, so a parquet round-trip through
+        # tempfile.mkdtemp would land the parts on worker disks and the
+        # driver's read-back would see an empty directory.
+        n_fails: int | None = None
+        if _spark_native(dst):
+            # piggyback the FAIL count on the durability write (Observation
+            # fills from the write action) — the former fails.limit(1).count()
+            # was a whole extra job just to decide whether to write a log
+            from pyspark.sql import Observation
+
+            # unique per call: Spark resolves observations by NAME from query
+            # end events, so two concurrent distexec() calls on one session
+            # sharing a name could latch each other's counts
+            obs = Observation(f"distexec_metrics_{uuid.uuid4().hex[:12]}")
+            results_dir = dst_fs.join(dst, "_distexec_results")
+            observed = results.observe(
+                obs, F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias("n_fails")
+            )
+            observed.write.mode("overwrite").parquet(results_dir)
+            n_fails = obs.get["n_fails"] or 0
+            plan_cache.unpersist()
+            results = spark.read.parquet(results_dir)
+        else:
+            results = results.localCheckpoint(eager=True)
+            plan_cache.unpersist()
+    finally:
+        # released on EVERY exit, including the DuplicationError
+        # pre-flight raise — DataFrame caches are not GC-collected
         manifest.unpersist()
 
     if update_mode == "hash":
