@@ -3636,11 +3636,29 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-or-shuffle join of the per-doc norms. No all-pairs join
     anywhere; candidate volume is sum_tok(df^2), the inverted-index
     bound."""
+    result, w, cnt = _tfidf_pairs_build(spark, sf_dir, materialize=True)
+    result = result.localCheckpoint(eager=True)
+    w.unpersist()
+    cnt.unpersist()
+    return result
+
+
+def _tfidf_pairs_build(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+):
+    """Build q_tfidf_pairs' LAZY result plan plus its two pinned
+    intermediates. ``materialize=False`` skips the persists so the
+    plan-shape gate can inspect the full analyzed plan — the public
+    query's eager localCheckpoint truncates lineage to a LogicalRDD,
+    which would make any hint assertion on the returned frame vacuous
+    (it can never contain a ResolvedHint)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    cnt.count()
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        cnt = cnt.persist()
+        cnt.count()
     length = cnt.groupBy("doc_id").agg(F.sum("c").alias("n_toks"))
     dfreq = (
         cnt.groupBy("tok")
@@ -3665,9 +3683,10 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(length, "doc_id")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "tok", wt.alias("wt"))
-        .persist()
     )
-    w.count()
+    if materialize:
+        w = w.persist()
+        w.count()
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wt") * F.col("wt")).cast("double").alias("norm2")
     )
@@ -3687,11 +3706,8 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .where(F.col("cosine") >= SPARSE_COS_THRESHOLD)
-        .localCheckpoint(eager=True)
     )
-    w.unpersist()
-    cnt.unpersist()
-    return result
+    return result, w, cnt
 
 
 # ---------------------------------------------------------------------------
@@ -3723,8 +3739,12 @@ def uniform_sample_k(df: DataFrame, k: int, key: str, salt: str = "usk") -> Data
     # Derive a helper-column name guaranteed fresh: withColumn REPLACES an
     # existing column, so a caller column named like the helper would be
     # silently overwritten and then dropped from the returned sample.
+    # Case-INSENSITIVE check: Spark resolves column names case-
+    # insensitively by default, so '_USK_usk' would be clobbered by
+    # '_usk_usk' even though the Python strings differ.
     sk = f"_usk_{salt}"
-    while sk in df.columns:
+    lower = {c.lower() for c in df.columns}
+    while sk.lower() in lower:
         sk += "_"
     return (
         df.withColumn(sk, skey)
@@ -3948,15 +3968,27 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (numeric rule 2); pairs keyed source_a < source_b.
 
     Shape at 100 TB: the (source, shingle) distinct is one shuffle whose
-    combine collapses per-doc repeats map-side; the pair join fans out
-    each shingle row at most n_sources times (sources are a bounded
-    catalog — hundreds, not corpus-scale), so candidate volume is
-    O(distinct shingles x sources), never doc-pair-shaped. No broadcast
-    hints: the per-source size table is source-cardinality and AQE
-    broadcasts it at runtime."""
+    combine collapses per-doc repeats map-side — computed ONCE (persisted,
+    the q_dedup_recall_eval shared-scan rule: the sizes leg and both
+    sides of the pair join otherwise re-run the corpus scan, tripling
+    the dominant cost); the pair join fans out each shingle row at most
+    n_sources times (sources are a bounded catalog — hundreds, not
+    corpus-scale), so candidate volume is O(distinct shingles x sources),
+    never doc-pair-shaped. No broadcast hints: the per-source size table
+    is source-cardinality and AQE broadcasts it at runtime."""
     sh = _shingles_df(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = sh.join(src, "doc_id").select("source", "shingle").distinct()
+    ss = sh.join(src, "doc_id").select("source", "shingle").distinct().persist()
+    ss.count()
+    result = _source_overlap_frame(ss).localCheckpoint(eager=True)
+    ss.unpersist()
+    return result
+
+
+def _source_overlap_frame(ss: DataFrame) -> DataFrame:
+    """Pair matrix over a (source, shingle) distinct frame — split out so
+    the plan-shape gate inspects the REAL plan (a localCheckpoint in the
+    public fn truncates lineage to a LogicalRDD)."""
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ss.select(F.col("source").alias("source_a"), "shingle")
     b = ss.select(F.col("source").alias("source_b"), "shingle")
@@ -4150,17 +4182,30 @@ def hapax_docs(spark: SparkSession, sf_dir: str, topn: int = HAPAX_TOPN) -> Data
     (ratio desc, doc_id) with a bounded limit.
 
     Shape at 100 TB: the (doc, token) agg is the full-volume shuffle
-    (map-side combinable); a corpus hapax lives in exactly one document,
-    so the hapax join's output is bounded by the hapax count and never
-    fans out; the topn is TakeOrdered (partial per-partition top-k, no
-    global sort)."""
+    (map-side combinable), computed ONCE — persisted, because the global
+    token counts, the hapax join leg and the per-doc totals all reuse it
+    and would otherwise each re-run the corpus explode (the
+    q_dedup_recall_eval shared-scan rule); a corpus hapax lives in
+    exactly one document, so the hapax join's output is bounded by the
+    hapax count and never fans out; the topn is TakeOrdered (partial
+    per-partition top-k, no global sort)."""
     docs = table(spark, sf_dir, "documents")
     tokc = (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .where(F.length("tok") > 0)
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
+    tokc.count()
+    result = _hapax_docs_frame(tokc, topn).localCheckpoint(eager=True)
+    tokc.unpersist()
+    return result
+
+
+def _hapax_docs_frame(tokc: DataFrame, topn: int) -> DataFrame:
+    """Hapax rollup over a (doc_id, tok, c) frame — split out so the
+    plan-shape gate sees the pre-checkpoint plan."""
     glob = tokc.groupBy("tok").agg(F.sum("c").alias("g"))
     hap = (
         tokc.join(glob.where(F.col("g") == 1).select("tok"), "tok")

@@ -490,17 +490,19 @@ def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin, final_pin=
 
     Returns (ordered, part_stats, n_parts)."""
 
-    def one(nparts: int, m):
-        o = m(
-            files.repartitionByRange(nparts, "src_path").sortWithinPartitions("src_path")
-        )
-        stats = {
+    def collect_stats(o: DataFrame) -> dict:
+        return {
             i: (s, c)
             for i, s, c in o.rdd.mapPartitionsWithIndex(
                 lambda i, rows: [(i, *_sum_count(rows))]
             ).collect()
         }
-        return o, stats
+
+    def one(nparts: int, m):
+        o = m(
+            files.repartitionByRange(nparts, "src_path").sortWithinPartitions("src_path")
+        )
+        return o, collect_stats(o)
 
     def _release(df):
         try:
@@ -517,9 +519,16 @@ def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin, final_pin=
         return ordered, part_stats, n_parts
     if final_pin is None:
         return probe, part_stats, n_parts
-    ordered = final_pin(probe)  # materializes from the cached blocks
+    ordered = final_pin(probe)
     _release(probe)
-    return ordered, part_stats, n_parts
+    # Re-collect the stats FROM the pinned frame: between the probe's
+    # stats job and this checkpoint, a lost cached block would have been
+    # recomputed through a fresh range-sampling pass that can land
+    # boundary rows in different partitions — offsets computed from the
+    # probe layout would then cut the wrong rows. The re-collect is one
+    # cheap metadata-row pass over checkpointed partitions and guarantees
+    # stats and partitions describe the SAME materialization.
+    return ordered, collect_stats(ordered), n_parts
 
 
 def plan_partitions(
@@ -739,6 +748,7 @@ def distexec(
     # small manifests). Metadata-sized rows — storage is bounded by the
     # manifest, not the data. Released after the plan rows are consumed.
     manifest = manifest.cache()
+    plan_cache = None
     try:
 
         # pre-flight: duplicate destinations (DistExec.java:630-631,647-673)
@@ -889,15 +899,16 @@ def distexec(
             )
             observed.write.mode("overwrite").parquet(results_dir)
             n_fails = obs.get["n_fails"] or 0
-            plan_cache.unpersist()
             results = spark.read.parquet(results_dir)
         else:
             results = results.localCheckpoint(eager=True)
-            plan_cache.unpersist()
     finally:
         # released on EVERY exit, including the DuplicationError
-        # pre-flight raise — DataFrame caches are not GC-collected
+        # pre-flight raise and a failed results write — DataFrame caches
+        # are not GC-collected
         manifest.unpersist()
+        if plan_cache is not None:
+            plan_cache.unpersist()
 
     if update_mode == "hash":
         # persist content hashes for the next run: EXECUTED rows carry the

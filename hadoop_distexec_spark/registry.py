@@ -69,7 +69,15 @@ def source_fingerprint(spec: "QuerySpec") -> str:
     driver witness; the change-aware staleness bound
     (tests/test_round2_ops.py::test_witness_staleness_bounded) lets ids
     whose fingerprint is UNCHANGED since their last hash-green witness age
-    one extra round — code edits reset the clock to the tight bound."""
+    one extra round — code edits reset the clock to the tight bound.
+
+    KNOWN LIMITATION: the hash covers the registered function's own
+    source, not helpers it calls — an edit to a shared helper
+    (_bm25_per_doc, the pipe executor) is invisible here. Mitigation:
+    a round that edits shared helpers must mark the dependent ids
+    ``fp_attested: false`` in WITNESS_LEDGER.json (r06 did this for the
+    bm25/hybrid and pipe/manifest families), and the local byte-identical
+    oracle gate still covers every id each session regardless."""
     import hashlib
     import inspect
 

@@ -11,11 +11,20 @@ since their last witness may age to latest-2; any code change resets them
 to the tight latest-1 bound. That lifts the registry's witness-bandwidth
 ceiling from 150 to ~200 ids at 50 witnesses/round (VERDICT r05 #2).
 
-Fingerprint carry-forward: regeneration is meant to run IMMEDIATELY after
-a new CORRECTNESS artifact lands (scripts/rotate.py does this), i.e.
-before any round-N code edits — so "current source" is a faithful proxy
-for "source the driver just witnessed". Ids whose last witness did not
-advance keep their previously recorded fingerprint.
+Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
+IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py
+does this), i.e. before any round-N code edits — so "current source" is
+a faithful proxy for "source the driver just witnessed", and a
+fingerprint recorded at that moment is marked ``fp_attested: true``.
+Ids whose last witness did not advance keep their previously recorded
+fingerprint AND attestation unchanged — the current source is NEVER
+back-filled onto a historical witness round (that would fabricate
+"untouched since last witness" provenance for code edited after the
+witness; found by round-6 code review). Unattested fingerprints do not
+qualify for the relaxed latest-2 staleness bound. The one-time r06
+bootstrap attested each id by comparing its current fingerprint against
+the r05-final tree (commit 4fc86d3) whose 149/149 oracle parity the r05
+judge verified — ids edited after that tree stayed unattested.
 
 It also computes ``suggested_window`` — the 50 ids the next rotation
 should lead with. Staleness policy (stable sort, no self-referential
@@ -93,9 +102,15 @@ def build_ledger() -> dict:
                 last_round, result = r, classify(rounds[r][qid])
         old = old_ids.get(qid, {})
         if old.get("fp") is not None and old.get("fp_round") == last_round:
-            fp = old["fp"]  # no new witness since last recorded — keep
+            # no new witness since last recorded — keep fp AND attestation
+            fp = old["fp"]
+            attested = bool(old.get("fp_attested", False))
         else:
+            # a NEW witness landed (or the id is new): rotate.py runs
+            # immediately after the artifact, before edits, so the
+            # current source IS what the driver just witnessed
             fp = registry.source_fingerprint(spec)
+            attested = last_round is not None
         ledger[qid] = {
             "last_round": last_round,
             "result": result,
@@ -103,6 +118,7 @@ def build_ledger() -> dict:
             "registry_order": order,
             "fp": fp,
             "fp_round": last_round,
+            "fp_attested": attested,
         }
 
     suggested = sorted(ledger, key=lambda q: staleness_key(ledger[q], q))[:WINDOW]

@@ -199,9 +199,15 @@ def test_witness_staleness_bounded():
       (a) sit inside the upcoming 50-entry driver window — it will be
           witnessed in round R+1 — or
       (b) hold a driver witness from round R-1 or newer — or
-      (c) hold a witness from round R-2 AND a source fingerprint
-          (function source + oracle SQL, registry.source_fingerprint)
-          unchanged since that witness, per WITNESS_LEDGER.json.
+      (c) hold a witness from round R-2 AND an ATTESTED source
+          fingerprint (function source + oracle SQL,
+          registry.source_fingerprint) unchanged since that witness, per
+          WITNESS_LEDGER.json. Attested means the fingerprint was
+          recorded at witness time (rotate.py immediately after the
+          artifact) or validated against a judge-verified tree — never
+          back-filled from post-edit source (round-6 review finding:
+          back-filling fabricates "untouched" provenance for edited
+          operators).
     Rationale for (c): an untouched operator's witness does not decay as
     fast as an edited one's — the local byte-identical oracle gate still
     covers it every session, and re-witnessing identical semantics every
@@ -249,6 +255,7 @@ def test_witness_staleness_bounded():
             continue
         untouched = (
             qid in ledger_ids
+            and ledger_ids[qid].get("fp_attested") is True
             and ledger_ids[qid].get("fp") == source_fingerprint(spec)
             and ledger_ids[qid].get("fp_round") == seen
         )
