@@ -79,7 +79,12 @@ def staleness_key(entry: dict, qid: str) -> tuple:
         tier = 1  # oracle upgraded since last witness
     else:
         tier = 2
-    return (tier, entry["last_round"] or 0, qid)
+    # Within a cohort, UNATTESTED ids rotate first: they cannot use the
+    # relaxed latest-2 bound, so leaving one out of the window while an
+    # attested sibling takes the slot risks starving it red — an
+    # alphabetical tie-break alone could defer an edited id indefinitely.
+    attested = 1 if entry.get("fp_attested") else 0
+    return (tier, entry["last_round"] or 0, attested, qid)
 
 
 def build_ledger() -> dict:
