@@ -54,6 +54,13 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # broadcast) and the new per-source/skew audits
            "q_tfidf_pairs", "q_source_top_tokens", "q_key_skew_profile"]
 
+# Unregistered r07-prep APIs (operators/llmops.py): measured at the same
+# 10x scale so their registrations ship with a scaling story already in
+# SCALE.md, the same pattern the r06 registrations followed.
+PREP_APIS = ["source_overlap", "token_freq_spectrum", "shard_plan",
+             "hapax_docs", "quality_filter_funnel", "dup_source_matrix",
+             "pii_source_audit", "embed_dim_stats"]
+
 
 def synthesize(spark) -> None:
     from pyspark.sql import functions as F
@@ -98,13 +105,18 @@ def main() -> None:
         synthesize(spark)
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    from hadoop_distexec_spark.operators import llmops
+
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for qid in QUERIES:
+    runs = [(qid, specs[qid].fn) for qid in QUERIES] + [
+        (name, getattr(llmops, name)) for name in PREP_APIS
+    ]
+    for qid, fn in runs:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            specs[qid].fn(spark, DST).write.format("noop").mode("overwrite").save()
+            fn(spark, DST).write.format("noop").mode("overwrite").save()
             out[qid] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             out[qid] = round(time.perf_counter() - t0, 3)
