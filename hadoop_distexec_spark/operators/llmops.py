@@ -3637,10 +3637,13 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; candidate volume is sum_tok(df^2), the inverted-index
     bound."""
     result, w, cnt = _tfidf_pairs_build(spark, sf_dir, materialize=True)
-    result = result.localCheckpoint(eager=True)
-    w.unpersist()
-    cnt.unpersist()
-    return result
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        # released on every exit — an executor loss mid-checkpoint must
+        # not leave corpus-scale frames pinned for the session
+        w.unpersist()
+        cnt.unpersist()
 
 
 def _tfidf_pairs_build(
@@ -3708,6 +3711,14 @@ def _tfidf_pairs_build(
         .where(F.col("cosine") >= SPARSE_COS_THRESHOLD)
     )
     return result, w, cnt
+
+
+# Fingerprint coverage for delegated bodies (registry.source_fingerprint
+# hashes these helpers' sources alongside the registered fn, so edits to
+# the delegated logic reset the witness-staleness clock — round-6 review):
+q_tfidf_pairs._fingerprint_extras = (_tfidf_pairs_build,)
+q_bm25._fingerprint_extras = (_bm25_per_doc,)
+q_hybrid_search._fingerprint_extras = (_bm25_per_doc,)
 
 
 # ---------------------------------------------------------------------------
@@ -3976,13 +3987,22 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale), so candidate volume is O(distinct shingles x sources),
     never doc-pair-shaped. No broadcast hints: the per-source size table
     is source-cardinality and AQE broadcasts it at runtime."""
+    ss = _source_overlap_ss(spark, sf_dir).persist()
+    ss.count()
+    try:
+        return _source_overlap_frame(ss).localCheckpoint(eager=True)
+    finally:
+        ss.unpersist()  # released on every exit, incl. a failed checkpoint
+
+
+def _source_overlap_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY (source, shingle) distinct frame — the shared scan. Split out
+    so the plan-shape gate can drive the exact production frames without
+    re-deriving them (the public fn persists this and checkpoints the
+    result, truncating its plan to a LogicalRDD)."""
     sh = _shingles_df(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = sh.join(src, "doc_id").select("source", "shingle").distinct().persist()
-    ss.count()
-    result = _source_overlap_frame(ss).localCheckpoint(eager=True)
-    ss.unpersist()
-    return result
+    return sh.join(src, "doc_id").select("source", "shingle").distinct()
 
 
 def _source_overlap_frame(ss: DataFrame) -> DataFrame:
@@ -4189,18 +4209,25 @@ def hapax_docs(spark: SparkSession, sf_dir: str, topn: int = HAPAX_TOPN) -> Data
     exactly one document, so the hapax join's output is bounded by the
     hapax count and never fans out; the topn is TakeOrdered (partial
     per-partition top-k, no global sort)."""
+    tokc = _hapax_tokc(spark, sf_dir).persist()
+    tokc.count()
+    try:
+        return _hapax_docs_frame(tokc, topn).localCheckpoint(eager=True)
+    finally:
+        tokc.unpersist()  # released on every exit, incl. a failed checkpoint
+
+
+def _hapax_tokc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY (doc_id, tok, c) aggregate — the shared full-volume scan,
+    split out so the plan-shape gate drives the same frame production
+    uses instead of a hand-copied rebuild that could drift."""
     docs = table(spark, sf_dir, "documents")
-    tokc = (
+    return (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .where(F.length("tok") > 0)
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
-    tokc.count()
-    result = _hapax_docs_frame(tokc, topn).localCheckpoint(eager=True)
-    tokc.unpersist()
-    return result
 
 
 def _hapax_docs_frame(tokc: DataFrame, topn: int) -> DataFrame:

@@ -562,8 +562,21 @@ def plan_partitions(
     # also yields n_files for the DOP rule (no separate count() job) and
     # re-plans wider for flat-directory manifests — see _plan_ordered_stats.
     n_plan_parts = max(1, min(sc.defaultParallelism, files.rdd.getNumPartitions()))
+    # Same pin discipline as limit_manifest (round-6 review finding #3
+    # applied here too): the bin-assignment pass below drives ordered.rdd
+    # in a LATER action than the stats collect, so the final frame must
+    # be an eager localCheckpoint — a cache-only pin could lose a block
+    # in between and recompute repartitionByRange with fresh sampled
+    # boundaries, silently applying the cumulative offsets to the wrong
+    # partition contents (mis-sized bins, destroyed byte balance). The
+    # sizing probe stays a releasable cache; _plan_ordered_stats
+    # re-collects stats from the checkpointed frame.
     ordered, part_stats, n_plan_parts = _plan_ordered_stats(
-        files, n_plan_parts, sc.defaultParallelism, lambda df: df.cache()
+        files,
+        n_plan_parts,
+        sc.defaultParallelism,
+        lambda df: df.cache(),
+        final_pin=lambda df: df.localCheckpoint(eager=True),
     )
     part_sums = {i: s for i, (s, c) in part_stats.items()}
     total = sum(part_sums.values())

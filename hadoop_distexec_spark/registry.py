@@ -71,22 +71,33 @@ def source_fingerprint(spec: "QuerySpec") -> str:
     whose fingerprint is UNCHANGED since their last hash-green witness age
     one extra round — code edits reset the clock to the tight bound.
 
-    KNOWN LIMITATION: the hash covers the registered function's own
-    source, not helpers it calls — an edit to a shared helper
-    (_bm25_per_doc, the pipe executor) is invisible here. Mitigation:
-    a round that edits shared helpers must mark the dependent ids
+    HELPER COVERAGE: a registered fn that delegates its body to a
+    builder helper declares it via a ``_fingerprint_extras`` attribute
+    (tuple of callables) — their sources are hashed in, so edits to the
+    delegated logic reset the staleness clock exactly like edits to the
+    fn itself (without this, q_tfidf_pairs' 5-line wrapper would leave
+    its entire body outside coverage — round-6 review finding).
+    REMAINING LIMITATION: undeclared shared helpers are still invisible;
+    a round that edits one must mark the dependent ids
     ``fp_attested: false`` in WITNESS_LEDGER.json (r06 did this for the
     bm25/hybrid and pipe/manifest families), and the local byte-identical
     oracle gate still covers every id each session regardless."""
     import hashlib
     import inspect
 
-    try:
-        src = inspect.getsource(spec.fn)
-    except (OSError, TypeError):  # pragma: no cover — builtins/lambdas
-        src = repr(spec.fn)
+    def _src(f) -> str:
+        try:
+            return inspect.getsource(f)
+        except (OSError, TypeError):  # pragma: no cover — builtins/lambdas
+            return repr(f)
+
+    parts = [_src(spec.fn)]
+    for extra in sorted(
+        getattr(spec.fn, "_fingerprint_extras", ()), key=lambda f: f.__qualname__
+    ):
+        parts.append(f"\n--extra {extra.__qualname__}--\n" + _src(extra))
     return hashlib.sha256(
-        (src + "\n--oracle--\n" + (spec.oracle or "")).encode()
+        ("".join(parts) + "\n--oracle--\n" + (spec.oracle or "")).encode()
     ).hexdigest()
 
 

@@ -323,21 +323,22 @@ def test_r07_prep_plan_shapes(spark):
     single 1-row broadcast; dup_source_matrix has no nested-loop join
     (the combinatorial formula replaces pair enumeration)."""
     # pre-checkpoint builder frames (the public fns return eager
-    # localCheckpoints whose plans are truncated LogicalRDD scans)
-    from pyspark.sql import functions as F
-
-    from hadoop_distexec_spark.operators.llmops import _tokens
-    from hadoop_distexec_spark.sources.tables import table
-
-    tokc = (
-        table(spark, SF_SMALL, "documents")
-        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .where(F.length("tok") > 0)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # localCheckpoints whose plans are truncated LogicalRDD scans);
+    # driven through the SAME builders production uses, so the gates
+    # can't drift from the real plans
+    tokc = llmops._hapax_tokc(spark, SF_SMALL)
     p = _plan(llmops._hapax_docs_frame(tokc, llmops.HAPAX_TOPN))
     assert "TakeOrderedAndProject" in p and "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+    # source_overlap: corpus-sized sides must carry NO static broadcast
+    # hint (the q_tfidf_pairs OOM-at-scale rule) and the pair join must
+    # be an equi-join on shingle, never a nested loop
+    ss = llmops._source_overlap_ss(spark, SF_SMALL)
+    ovl = llmops._source_overlap_frame(ss)
+    analyzed = ovl._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    p = _plan(ovl)
+    assert "BroadcastNestedLoopJoin" not in p, p
 
     p = _plan(llmops.token_freq_spectrum(spark, SF_SMALL))
     assert "Join" not in p, p
