@@ -694,3 +694,60 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stream, n_batch = got.count(), expected.count()
     got.unpersist()
     return _check_frame(spark, "late_data_drop", n_stream, n_batch, mism)
+
+
+# ---------------------------------------------------------------------------
+# round-7 prep (registration queued for the next rotation window, the
+# llmops prep pattern): the stream-STATIC dimension join — the one core
+# Structured Streaming join shape the registry didn't yet cover
+# (stream-stream: q_stream_join_smoke; stream-static: this).
+# ---------------------------------------------------------------------------
+
+
+def stream_dim_join(ev: DataFrame, cust: DataFrame) -> DataFrame:
+    """events (stream or batch) x static customer dim -> per-nation
+    rollup. ONE builder serves both executions: withWatermark-free
+    stream-static equi-joins are stateless on the stream side (each
+    micro-batch joins against the static relation — at scale, a
+    broadcast or DPP-pruned scan per batch, no state store), so the
+    identical plan runs under the streaming runtime and as the batch
+    twin.
+
+    Determinism: exact counts; value summed as decimal before the double
+    cast (numeric rule 1)."""
+    j = ev.join(cust, ev.user_id == cust.c_custkey)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def stream_dim_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future q_stream_dim_join: run the stream-static join + aggregate
+    through the REAL streaming runtime (availableNow to exhaustion,
+    complete mode — the aggregate needs no watermark), assert the result
+    equals the batch twin row-for-row, and return the per-nation frame
+    itself — so the driver's DuckDB oracle checks real DATA, not a smoke
+    counter."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    got = _run_bounded(
+        stream_dim_join(read_events_stream(spark, sf_dir), cust), "complete"
+    )
+    batch = stream_dim_join(table(spark, sf_dir, "events"), cust)
+    mism = (
+        got.exceptAll(batch).unionAll(batch.exceptAll(got)).count()
+    )
+    if mism:
+        raise AssertionError(
+            f"stream-static join diverged from batch twin on {mism} rows"
+        )
+    return got
+
+
+STREAM_DIM_JOIN_ORACLE = """
+    SELECT c_nationkey, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_nationkey
+    """

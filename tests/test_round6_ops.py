@@ -366,3 +366,22 @@ def test_recall_eval_mod_is_corpus_derived(spark):
     for n in (n_small, n_oracle, 10**6, 10**9):
         mod = llmops._truth_sample_mod(n)
         assert n / mod <= 2 * llmops.TRUTH_SAMPLE_TARGET_DOCS
+
+
+def test_stream_dim_join_prep_parity_and_batch_equivalence(spark):
+    """r07-prep: the stream-static dim join runs through the real
+    streaming runtime, must equal its batch twin (asserted inside the
+    op), and its returned frame must match the DuckDB twin bit-for-bit
+    at sf0.01."""
+    from hadoop_distexec_spark.streaming.windows import (
+        STREAM_DIM_JOIN_ORACLE,
+        stream_dim_join_check,
+    )
+    from tests.oracle_util import compare, duckdb_conn
+
+    got = stream_dim_join_check(spark, SF_ORACLE).toPandas()
+    con = duckdb_conn(SF_ORACLE)
+    want = con.execute(STREAM_DIM_JOIN_ORACLE).fetchdf()
+    con.close()
+    compare(got, want, "stream_dim_join")
+    assert len(got) > 1, "fixture joins to a single nation — vacuous"
