@@ -138,34 +138,43 @@ def test_priority_ids_all_registered():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate ids in _PRIORITY"
 
 
-def test_priority_window_holds_round6_ids():
-    """The round-6 must-witness set sits inside the first 50 registry
-    entries — the observed driver CORRECTNESS budget: the 4 round-6
-    registrations (never driver-witnessed) plus 46 of the 50 ids whose
-    latest witness is the r03 cohort (VERDICT r05 next-round #1/#3).
-    The 4 r03 ids that slide past #50 are covered by the change-aware
-    staleness bound (untouched since their hash-green r03 witness, so
-    allowed to age to latest-2) and lead the r07 rotation."""
-    ids = list(SPECS)
-    window = ids[:50]
-    new_ids = {
-        "q_uniform_sample", "q_embed_norm_stats",
-        "q_source_top_tokens", "q_key_skew_profile",
-    }
-    out = [q for q in new_ids if q not in window]
-    assert not out, f"round-6 registrations outside the driver window: {out}"
-    # every remaining window slot goes to the stalest (r03-witnessed)
-    # cohort — no slot wasted on an id with a fresher witness
+def test_priority_window_is_coherent():
+    """Round-agnostic window-intent invariants (replaces the per-round
+    pinned composition test, which needed hand-editing every rotation):
+      (a) every never-witnessed id sits inside the 50-entry driver
+          window — a new registration outside it would never earn its
+          first CORRECTNESS row;
+      (b) no window slot is WASTED: an id outside the window must not be
+          strictly staler (by the ledger's own staleness key, which
+          sorts never-witnessed first, then oldest witness, with
+          unattested ids ahead of attested siblings) than any id inside
+          it. Together with test_priority_window_matches_ledger this
+          pins the rotation's intent without encoding a specific round's
+          cohort."""
     import json
     import os
+    import sys
 
+    ids = list(SPECS)
+    window = ids[:50]
     with open(os.path.join(os.path.dirname(__file__), "..", "WITNESS_LEDGER.json")) as f:
         ledger = json.load(f)["ids"]
-    for q in window:
-        if q in new_ids:
-            continue
-        assert ledger[q]["last_round"] == 3, (
-            f"window slot wasted on {q} (last witness r{ledger[q]['last_round']})"
+
+    never = [q for q in SPECS if ledger.get(q, {}).get("last_round") is None]
+    out = [q for q in never if q not in window]
+    assert not out, f"never-witnessed ids outside the driver window: {out}"
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import witness_ledger
+
+    keys_in = {q: witness_ledger.staleness_key(ledger[q], q) for q in window if q in ledger}
+    keys_out = {q: witness_ledger.staleness_key(ledger[q], q) for q in ids[50:] if q in ledger}
+    if keys_in and keys_out:
+        worst_in = max(keys_in.values())
+        best_out = min(keys_out.values())
+        assert best_out >= worst_in, (
+            f"window slot wasted: an outside id sorts staler than an inside "
+            f"id ({min(keys_out, key=keys_out.get)} vs {max(keys_in, key=keys_in.get)})"
         )
 
 
