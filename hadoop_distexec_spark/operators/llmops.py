@@ -4568,3 +4568,136 @@ EMBED_DIM_STATS_ORACLE = """
            CAST(CAST(MAX(xd) AS VARCHAR) AS DOUBLE) AS max_x
     FROM ex GROUP BY dim
     """
+
+
+SIM_QUANT_TOPK = 10
+
+
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of int8-QUANTIZED brute-force cosine search vs the
+    exact float ranking (q_sim_topk's definition) — the number that
+    decides whether the 4x-smaller quantized index (q_embed_quantize's
+    scheme: symmetric per-vector absmax int8) is good enough to serve.
+    A quantized ANN tier without a measured recall is the same
+    untrustworthy sketch the dedup/ANN recall harnesses exist to prevent.
+
+    KEY IDENTITY: per-vector scales CANCEL in cosine —
+    cos(u', v') = sum(qu*qv) / sqrt(sum(qu^2) * sum(qv^2)) — so the
+    quantized ranking is PURE INTEGER arithmetic (|q| <= 127, 64 dims:
+    dots bounded by ~10^6, exact in BIGINT in both engines) followed by
+    one IEEE sqrt+division. No decimal machinery needed: the integer dot
+    is exact by construction, which also makes the quantized tier CHEAP
+    (int ops, no decimal casts) — exactly why production would serve it.
+
+    Determinism: round() ties-away in both engines (q_embed_quantize);
+    rankings tie-break on candidate id; recall is one IEEE division of
+    exact counts.
+
+    Shape at 100 TB: same as q_sim_topk (queries broadcast against the
+    corpus scan, per-partition partial ranking) but the scan reads int8
+    arrays at 1/4 the bytes and the per-pair kernel is an integer
+    multiply-add — the measured-recall twin of the production memory
+    claim."""
+    e = table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    amax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    qe = (
+        e.select("vec_id", "embedding", amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") / (F.col("amax") / 127.0)).cast("long"),
+            ).alias("qarr"),
+        )
+        .select(
+            "vec_id",
+            "qarr",
+            F.aggregate(
+                "qarr", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("qn2"),
+        )
+    )
+    qq = qe.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qarr").alias("q_qarr"), F.col("qn2").alias("q_qn2")
+    )
+    idot = F.aggregate(
+        F.zip_with("q_qarr", "qarr", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qcos = idot.cast("double") / F.sqrt((F.col("q_qn2") * F.col("qn2")).cast("double"))
+    w = W.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id"))
+    quant_top = (
+        qe.crossJoin(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SIM_QUANT_TOPK)
+    )
+    exact_top = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = exact_top.join(quant_top.select("q_id", "c_id"), ["q_id", "c_id"])
+    per_q = exact_top.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    nh = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_q.join(nh, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("k").cast("int").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+SIM_QUANTIZED_RECALL_ORACLE = f"""
+    WITH {_EXACT_TOPK_CTE},
+    qv AS (
+      SELECT vec_id, embedding,
+             (SELECT MAX(ABS(CAST(x AS DOUBLE))) FROM UNNEST(embedding) t(x))
+               AS amax
+      FROM embeddings),
+    qe AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS BIGINT))
+               AS qarr
+      FROM qv WHERE amax > 0),
+    qn AS (
+      SELECT vec_id, qarr,
+             (SELECT CAST(SUM(v * v) AS BIGINT) FROM UNNEST(qarr) t(v)) AS qn2
+      FROM qe),
+    qq AS (SELECT vec_id AS q_id, qarr AS q_qarr, qn2 AS q_qn2
+           FROM qn WHERE vec_id < 5),
+    qp AS (
+      SELECT q_id, c.vec_id AS c_id,
+             (SELECT CAST(SUM(a * b) AS BIGINT)
+              FROM (SELECT UNNEST(q_qarr) AS a, UNNEST(c.qarr) AS b))
+               AS idot,
+             q_qn2, c.qn2 AS c_qn2
+      FROM qq CROSS JOIN qn c WHERE c.vec_id <> q_id),
+    qr AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY CAST(idot AS DOUBLE)
+                        / SQRT(CAST(q_qn2 * c_qn2 AS DOUBLE)) DESC, c_id)
+               AS rnk
+      FROM qp),
+    ex AS (SELECT q_id, c_id FROM r WHERE rnk <= {SIM_QUANT_TOPK}),
+    hits AS (
+      SELECT e.q_id, COUNT(*) AS n_hits
+      FROM ex e JOIN qr ON qr.q_id = e.q_id AND qr.c_id = e.c_id
+                       AND qr.rnk <= {SIM_QUANT_TOPK}
+      GROUP BY e.q_id),
+    perq AS (SELECT q_id, COUNT(*) AS k FROM ex GROUP BY q_id)
+    SELECT p.q_id, CAST(p.k AS INT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k AS recall
+    FROM perq p LEFT JOIN hits h USING (q_id)
+    """

@@ -385,3 +385,23 @@ def test_stream_dim_join_prep_parity_and_batch_equivalence(spark):
     con.close()
     compare(got, want, "stream_dim_join")
     assert len(got) > 1, "fixture joins to a single nation — vacuous"
+
+
+def test_sim_quantized_recall_parity_and_bounds(spark):
+    """r07-prep: quantized-ANN recall matches its DuckDB twin bit-for-bit
+    at sf0.01, and the recall values are sane — one row per query,
+    0 <= n_hits <= k, and int8 quantization of 64-dim vectors should not
+    destroy the ranking (mean recall well above chance)."""
+    from tests.oracle_util import compare, duckdb_conn
+
+    got = llmops.sim_quantized_recall(spark, SF_ORACLE)
+    pdf = got.toPandas()
+    con = duckdb_conn(SF_ORACLE)
+    want = con.execute(llmops.SIM_QUANTIZED_RECALL_ORACLE).fetchdf()
+    con.close()
+    compare(pdf, want, "sim_quantized_recall")
+    assert len(pdf) == 5  # one row per query vector
+    assert ((pdf["n_hits"] >= 0) & (pdf["n_hits"] <= pdf["k"])).all()
+    assert pdf["recall"].mean() > 0.5, (
+        f"int8 quantization should preserve most of the top-k: {pdf}"
+    )
