@@ -59,7 +59,9 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
 # SCALE.md, the same pattern the r06 registrations followed.
 PREP_APIS = ["source_overlap", "token_freq_spectrum", "shard_plan",
              "hapax_docs", "quality_filter_funnel", "dup_source_matrix",
-             "pii_source_audit", "embed_dim_stats"]
+             "pii_source_audit", "embed_dim_stats", "sim_quantized_recall"]
+# stream_dim_join_check (streaming/windows.py) runs the real streaming
+# runtime; measured separately in SCALE.md rather than in this lane.
 
 
 def synthesize(spark) -> None:
