@@ -1,0 +1,74 @@
+"""Generate PLANS.md: the formatted physical plans of a representative
+query per family, at sf0.01 — the `.explain("formatted")` evidence behind
+SCALE.md's plan-shape claims (pushdown reaching the parquet scan,
+WholeStageCodegen spans, broadcast vs shuffle joins, TakeOrdered top-k,
+map-side partial aggregation). Regenerate after plan-affecting changes:
+
+    python scripts/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.01"
+
+# one representative per family; (qid, what the plan should show)
+PICKS = [
+    ("q_agg_groupby", "partial/final hash aggregate, scan-level column pruning"),
+    ("q_join_broadcast", "BroadcastHashJoin of the projected dim, no lineitem shuffle"),
+    ("q_join_multi", "star join: two broadcast dims + shuffle joins on the fact keys"),
+    ("q_topk", "TakeOrderedAndProject — per-partition partial top-k, no global sort"),
+    ("q_win_running", "single window Exchange, running frame inside codegen"),
+    ("q_asof_join", "range-condition join without a cartesian product"),
+    ("q_dedup_exact", "one hash-key aggregate Exchange"),
+    ("q_dedup_minhash", "band equi-join on (band, bucket) — no BroadcastNestedLoopJoin"),
+    ("q_sim_ivf", "broadcast centroid cells; candidates-only join"),
+    ("q_quantile_bins", "fused exact+sketch aggregations sharing one Exchange"),
+    ("q_key_skew_profile", "map-side-combined key agg + TakeOrdered + 1-row broadcast"),
+    ("q_source_top_tokens", "token agg Exchange + per-source rank window, no global sort"),
+]
+
+
+def main() -> None:
+    from hadoop_distexec_spark import registry
+    from hadoop_distexec_spark.session import get_spark
+
+    spark = get_spark("gen-plans")
+    specs = registry.specs()
+    out = [
+        "# PLANS — formatted physical plans (generated: `python scripts/gen_plans.py`)",
+        "",
+        f"One representative query per family at sf0.01 on `local[*]` with AQE",
+        "enabled — the `.explain(\"formatted\")` evidence behind SCALE.md's",
+        "plan-shape claims. Note AQE finalizes some exchanges at runtime; these",
+        "are the static plans the optimizer commits to before execution.",
+        "",
+    ]
+    for qid, claim in PICKS:
+        df = specs[qid].fn(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {qid}")
+        out.append("")
+        out.append(f"*Expected shape:* {claim}")
+        out.append("")
+        out.append("```")
+        out.append(buf.getvalue().rstrip())
+        out.append("```")
+        out.append("")
+    path = os.path.join(REPO, "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}: {len(PICKS)} plans")
+
+
+if __name__ == "__main__":
+    main()
