@@ -28,6 +28,7 @@ WHITELIST = {
     ("operators/relational_ext.py", "q_robust_stats"): "per-group median/MAD, bounded group domain",
     ("operators/llmops.py", "q_dedup_recall_eval"): "four 1-row scalar count aggregates",
     ("operators/llmops.py", "q_sim_topk"): "fixed 5-vector query set",
+    ("operators/llmops.py", "sim_quantized_recall"): "fixed 5-vector quantized query set",
     ("operators/llmops.py", "q_sim_ivf"): "k centroid cells",
     ("operators/llmops.py", "lsh_candidates"): "query set x probe masks, bounded",
     ("operators/llmops.py", "q_tfidf"): "1-row n_docs scalar (dfreq de-hinted r06)",
