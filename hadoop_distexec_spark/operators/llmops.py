@@ -4701,3 +4701,76 @@ SIM_QUANTIZED_RECALL_ORACLE = f"""
            CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k AS recall
     FROM perq p LEFT JOIN hits h USING (q_id)
     """
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY audit: tokens/word and chars/token
+    of the trained BPE tokenizer (q_bpe_train's merge table, q_bpe_apply's
+    fold) aggregated by corpus source. Fertility is the standard
+    tokenizer-quality metric a data pipeline tracks per source — a source
+    whose fertility is far above the corpus norm is mis-tokenized
+    (wrong script, boilerplate markup, OCR noise) and inflates its
+    effective training cost per byte; chars/token is the compression the
+    frozen tokenizer actually achieves on that source.
+
+    Determinism: all five counts are exact BIGINTs from the same greedy
+    fold q_bpe_apply pins (hash-green); fertility and chars_per_token are
+    one IEEE division each of exact aggregates. Docs with no words drop
+    identically in both engines (the w0 length>=1 rule).
+
+    Shape at 100 TB: the merge loop IS the shared _bpe_learn (one
+    explode->agg shuffle + 1-row winner broadcast per round); the audit
+    adds a map-side-combinable per-doc agg, one equi-join to the
+    documents scan pruned to (doc_id, source) — hint-free, AQE-sized —
+    and a final per-source agg over a source-bounded domain. No new
+    full-volume shuffle beyond the doc-id join."""
+    syms, _merges = _bpe_learn(spark, sf_dir, BPE_ROUNDS)
+    per_doc = syms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n0").alias("n_syms"),
+        F.sum(F.size("syms")).alias("n_tokens"),
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = per_doc.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_syms").alias("n_syms"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_words", "n_syms", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+        (F.col("n_syms").cast("double") / F.col("n_tokens")).alias("chars_per_token"),
+    )
+
+
+TOKEN_FERTILITY_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(BPE_ROUNDS))
+    + f""",
+    nsym AS (
+      SELECT doc_id,
+             len(string_split(substr(st, 2, length(st) - 2),
+                              '{_BPE_SEP}{_BPE_SEP}')) AS ln
+      FROM w{BPE_ROUNDS}),
+    before AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             SUM(len(string_split(substr(st, 2, length(st) - 2),
+                                  '{_BPE_SEP}{_BPE_SEP}'))) AS n_syms
+      FROM w0 GROUP BY doc_id),
+    per_doc AS (
+      SELECT b.doc_id, b.n_words, b.n_syms, a.n_tokens
+      FROM before b
+      JOIN (SELECT doc_id, SUM(ln) AS n_tokens FROM nsym GROUP BY doc_id) a
+        USING (doc_id))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_syms) AS BIGINT) AS n_syms,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.n_tokens) AS DOUBLE) / SUM(p.n_words) AS fertility,
+           CAST(SUM(p.n_syms) AS DOUBLE) / SUM(p.n_tokens) AS chars_per_token
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+)

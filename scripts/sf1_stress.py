@@ -59,7 +59,8 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
 # SCALE.md, the same pattern the r06 registrations followed.
 PREP_APIS = ["source_overlap", "token_freq_spectrum", "shard_plan",
              "hapax_docs", "quality_filter_funnel", "dup_source_matrix",
-             "pii_source_audit", "embed_dim_stats", "sim_quantized_recall"]
+             "pii_source_audit", "embed_dim_stats", "sim_quantized_recall",
+             "token_fertility"]
 # stream_dim_join_check (streaming/windows.py) runs the real streaming
 # runtime; measured separately in SCALE.md rather than in this lane.
 

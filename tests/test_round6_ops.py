@@ -131,6 +131,7 @@ def test_r07_prep_draft_oracles_parity(spark):
         ("dup_source_matrix", llmops.dup_source_matrix, llmops.DUP_SOURCE_MATRIX_ORACLE),
         ("pii_source_audit", llmops.pii_source_audit, llmops._pii_source_audit_oracle()),
         ("embed_dim_stats", llmops.embed_dim_stats, llmops.EMBED_DIM_STATS_ORACLE),
+        ("token_fertility", llmops.token_fertility, llmops.TOKEN_FERTILITY_ORACLE),
     ]:
         compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
     con.close()
@@ -346,6 +347,13 @@ def test_r07_prep_plan_shapes(spark):
     p = _plan(llmops.shard_plan(spark, SF_SMALL))
     assert p.count("Join") == 1 and "BroadcastNestedLoopJoin" in p  # 1-row mean crossJoin
 
+    # token_fertility: the doc_id join and source agg must be hint-free
+    # equi-joins (corpus-sized sides stay AQE-sized)
+    fert = llmops.token_fertility(spark, SF_SMALL)
+    assert "ResolvedHint" not in fert._jdf.queryExecution().analyzed().toString()
+    p = _plan(fert)
+    assert "BroadcastNestedLoopJoin" not in p, p
+
     p = _plan(llmops.dup_source_matrix(spark, SF_SMALL))
     assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", "") and (
         "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
@@ -405,3 +413,34 @@ def test_sim_quantized_recall_parity_and_bounds(spark):
     assert pdf["recall"].mean() > 0.5, (
         f"int8 quantization should preserve most of the top-k: {pdf}"
     )
+
+
+def test_token_fertility_bounds_and_consistency(spark):
+    """Every word is at least one token and at most its char count, so
+    per source: n_words <= n_tokens <= n_syms, hence fertility >= 1 and
+    chars_per_token >= 1; and the per-source totals must equal
+    q_bpe_apply's hash-green per-doc totals re-aggregated by source."""
+    fert = llmops.token_fertility(spark, SF_SMALL).toPandas()
+    assert len(fert) > 0
+    assert (fert.n_words <= fert.n_tokens).all()
+    assert (fert.n_tokens <= fert.n_syms).all()
+    assert (fert.fertility >= 1.0).all()
+    assert (fert.chars_per_token >= 1.0).all()
+
+    src = table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    ref = (
+        llmops.q_bpe_apply(spark, SF_SMALL)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_syms").alias("n_syms"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .toPandas()
+    )
+    m = fert.merge(ref, on="source", suffixes=("", "_ref"))
+    assert len(m) == len(fert) == len(ref)
+    for c in ["n_docs", "n_words", "n_syms", "n_tokens"]:
+        assert (m[c] == m[f"{c}_ref"]).all(), c
