@@ -3523,10 +3523,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_APPLY_ORACLE = (
-    "WITH "
-    + ",\n".join(_bpe_ctes(BPE_ROUNDS))
-    + f""",
+# Shared per-document tokenization CTEs (post-merge token lengths +
+# pre-merge word/symbol counts) — the single source both _BPE_APPLY_ORACLE
+# and TOKEN_FERTILITY_ORACLE build on, so the per-doc aggregate can never
+# drift between the registered apply operator and the fertility audit.
+_BPE_PER_DOC_CTES = f""",
     nsym AS (
       SELECT doc_id,
              len(string_split(substr(st, 2, length(st) - 2),
@@ -3536,7 +3537,13 @@ _BPE_APPLY_ORACLE = (
       SELECT doc_id, COUNT(*) AS n_words,
              SUM(len(string_split(substr(st, 2, length(st) - 2),
                                   '{_BPE_SEP}{_BPE_SEP}'))) AS n_syms
-      FROM w0 GROUP BY doc_id)
+      FROM w0 GROUP BY doc_id)"""
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_ctes(BPE_ROUNDS))
+    + _BPE_PER_DOC_CTES
+    + """
     SELECT b.doc_id,
            CAST(b.n_words AS BIGINT) AS n_words,
            CAST(b.n_syms AS BIGINT) AS n_syms,
@@ -4598,6 +4605,13 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays at 1/4 the bytes and the per-pair kernel is an integer
     multiply-add — the measured-recall twin of the production memory
     claim."""
+    # The exact baseline is q_sim_topk, whose registered semantics fix
+    # k=10 (Spark filter and oracle alike) — SIM_QUANT_TOPK only drives
+    # the quantized side and the oracle's exact set, so any other value
+    # would silently measure "exact top-10 found within quant top-k"
+    # instead of recall@k. Guard the coupling until the baseline k is
+    # itself parameterized.
+    assert SIM_QUANT_TOPK == 10, "exact baseline (q_sim_topk) is fixed at k=10"
     e = table(spark, sf_dir, "embeddings")
     e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     amax = F.aggregate(
@@ -4718,18 +4732,19 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division each of exact aggregates. Docs with no words drop
     identically in both engines (the w0 length>=1 rule).
 
+    Built ON q_bpe_apply (not a re-derivation): the per-doc tokenization
+    aggregate exists exactly once in each engine — here via the
+    registered operator, in SQL via the shared _BPE_PER_DOC_CTES — so a
+    change to the fold or the w0 rule can never desynchronize the audit
+    from the witnessed operator.
+
     Shape at 100 TB: the merge loop IS the shared _bpe_learn (one
     explode->agg shuffle + 1-row winner broadcast per round); the audit
-    adds a map-side-combinable per-doc agg, one equi-join to the
-    documents scan pruned to (doc_id, source) — hint-free, AQE-sized —
-    and a final per-source agg over a source-bounded domain. No new
+    adds q_bpe_apply's map-side-combinable per-doc agg, one equi-join to
+    the documents scan pruned to (doc_id, source) — hint-free, AQE-sized
+    — and a final per-source agg over a source-bounded domain. No new
     full-volume shuffle beyond the doc-id join."""
-    syms, _merges = _bpe_learn(spark, sf_dir, BPE_ROUNDS)
-    per_doc = syms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("n0").alias("n_syms"),
-        F.sum(F.size("syms")).alias("n_tokens"),
-    )
+    per_doc = q_bpe_apply(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     agg = per_doc.join(src, "doc_id").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4747,17 +4762,8 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_FERTILITY_ORACLE = (
     "WITH "
     + ",\n".join(_bpe_ctes(BPE_ROUNDS))
-    + f""",
-    nsym AS (
-      SELECT doc_id,
-             len(string_split(substr(st, 2, length(st) - 2),
-                              '{_BPE_SEP}{_BPE_SEP}')) AS ln
-      FROM w{BPE_ROUNDS}),
-    before AS (
-      SELECT doc_id, COUNT(*) AS n_words,
-             SUM(len(string_split(substr(st, 2, length(st) - 2),
-                                  '{_BPE_SEP}{_BPE_SEP}'))) AS n_syms
-      FROM w0 GROUP BY doc_id),
+    + _BPE_PER_DOC_CTES
+    + """,
     per_doc AS (
       SELECT b.doc_id, b.n_words, b.n_syms, a.n_tokens
       FROM before b

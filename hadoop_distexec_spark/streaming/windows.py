@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_distexec_spark.functions.numeric import dsum
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
@@ -718,7 +719,7 @@ def stream_dim_join(ev: DataFrame, cust: DataFrame) -> DataFrame:
     j = ev.join(cust, ev.user_id == cust.c_custkey)
     return j.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 

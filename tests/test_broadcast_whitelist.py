@@ -6,49 +6,58 @@ sets, per-partition offsets). A new hint anywhere else fails this test
 until it is reviewed and added here with its boundedness argument —
 corpus-sized sides must stay hint-free so AQE sizes them at runtime
 (the q_tfidf_pairs lesson: a forced broadcast driver-collects the side
-and OOMs exactly when the operator matters)."""
+and OOMs exactly when the operator matters).
+
+The whitelist records the reviewed HINT COUNT per function, not just the
+function name (round-6 review finding: a set-based whitelist lets an
+unreviewed second hint hide inside an already-whitelisted function —
+e.g. re-adding the de-hinted corpus-sized ``F.broadcast(dfreq)`` to
+``_tfidf_pairs_build``, whose entry is justified only by its 1-row
+n_docs scalar, would have stayed green)."""
 
 import ast
+import collections
 import os
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 PKG = os.path.join(REPO, "hadoop_distexec_spark")
 
-# (module-relative path, enclosing function) -> why the side is bounded
+# (module-relative path, enclosing function) ->
+#     (reviewed hint count, why the side is bounded)
 WHITELIST = {
-    ("plans/manifest_plan.py", "q_split_plan"): "1-row byte-total scalar",
-    ("streaming/windows.py", "q_stream_late_data"): "1-row max-watermark scalar",
-    ("operators/relational.py", "q_join_broadcast"): "the broadcast-join demo op; dim side projected to 2 cols",
-    ("operators/relational.py", "q_join_multi"): "nation (25 rows) + region (5 rows), fixed TPC-H dims",
-    ("operators/relational.py", "q_win_rank"): "nation dim, 25 rows",
-    ("operators/relational_ext.py", "q_range_join"): "static band table (a handful of rows)",
-    ("operators/relational_ext.py", "q_scalar_subquery"): "1-row global average",
-    ("operators/relational_ext.py", "q_anomaly"): "per-event-type stats, bounded event-type domain",
-    ("operators/relational_ext.py", "q_quantile_bins"): "3-row per-group boundary frame (bounded group domain)",
-    ("operators/relational_ext.py", "q_robust_stats"): "per-group median/MAD, bounded group domain",
-    ("operators/llmops.py", "q_dedup_recall_eval"): "four 1-row scalar count aggregates",
-    ("operators/llmops.py", "q_sim_topk"): "fixed 5-vector query set",
-    ("operators/llmops.py", "sim_quantized_recall"): "fixed 5-vector quantized query set",
-    ("operators/llmops.py", "q_sim_ivf"): "k centroid cells",
-    ("operators/llmops.py", "lsh_candidates"): "query set x probe masks, bounded",
-    ("operators/llmops.py", "q_tfidf"): "1-row n_docs scalar (dfreq de-hinted r06)",
-    ("operators/llmops.py", "_tfidf_pairs_build"): "1-row n_docs scalar (norms/dfreq de-hinted r06, plan-gated)",
-    ("operators/llmops.py", "_bm25_per_doc"): "1-row avgdl scalar (dfreq de-hinted r06)",
-    ("operators/llmops.py", "q_rag_retrieval"): "top-k hit list, k bounded",
-    ("operators/llmops.py", "q_hybrid_search"): "two top-k rank lists",
-    ("operators/llmops.py", "q_decontam"): "eval-suite shingle set (benchmarks are MBs, documented contract)",
-    ("operators/llmops.py", "q_weighted_sample"): "1-row scalar total",
-    ("operators/llmops.py", "_lm_score_plan"): "1-row vocab scalar",
-    ("operators/llmops.py", "_assign_hof"): "k-row centroid frame",
-    ("operators/llmops.py", "key_skew_profile"): "1-row global stats",
-    ("operators/llmops.py", "shard_plan"): "1-row mean scalar",
-    ("operators/llmops.py", "quality_filter_funnel"): "1-row stage-count aggregate",
-    ("operators/pipeline.py", "pack_sequences_distributed"): "per-partition offsets, O(#partitions)",
+    ("plans/manifest_plan.py", "q_split_plan"): (1, "1-row byte-total scalar"),
+    ("streaming/windows.py", "q_stream_late_data"): (1, "1-row max-watermark scalar"),
+    ("operators/relational.py", "q_join_broadcast"): (1, "the broadcast-join demo op; dim side projected to 2 cols"),
+    ("operators/relational.py", "q_join_multi"): (2, "nation (25 rows) + region (5 rows), fixed TPC-H dims"),
+    ("operators/relational.py", "q_win_rank"): (1, "nation dim, 25 rows"),
+    ("operators/relational_ext.py", "q_range_join"): (1, "static band table (a handful of rows)"),
+    ("operators/relational_ext.py", "q_scalar_subquery"): (1, "1-row global average"),
+    ("operators/relational_ext.py", "q_anomaly"): (1, "per-event-type stats, bounded event-type domain"),
+    ("operators/relational_ext.py", "q_quantile_bins"): (2, "3-row per-group boundary frame (bounded group domain)"),
+    ("operators/relational_ext.py", "q_robust_stats"): (2, "per-group median/MAD, bounded group domain"),
+    ("operators/llmops.py", "q_dedup_recall_eval"): (4, "four 1-row scalar count aggregates"),
+    ("operators/llmops.py", "q_sim_topk"): (1, "fixed 5-vector query set"),
+    ("operators/llmops.py", "sim_quantized_recall"): (1, "fixed 5-vector quantized query set"),
+    ("operators/llmops.py", "q_sim_ivf"): (1, "k centroid cells"),
+    ("operators/llmops.py", "lsh_candidates"): (1, "query set x probe masks, bounded"),
+    ("operators/llmops.py", "q_tfidf"): (1, "1-row n_docs scalar (dfreq de-hinted r06)"),
+    ("operators/llmops.py", "_tfidf_pairs_build"): (1, "1-row n_docs scalar (norms/dfreq de-hinted r06, plan-gated)"),
+    ("operators/llmops.py", "_bm25_per_doc"): (1, "1-row avgdl scalar (dfreq de-hinted r06)"),
+    ("operators/llmops.py", "q_rag_retrieval"): (1, "top-k hit list, k bounded"),
+    ("operators/llmops.py", "q_hybrid_search"): (1, "two top-k rank lists"),
+    ("operators/llmops.py", "q_decontam"): (1, "eval-suite shingle set (benchmarks are MBs, documented contract)"),
+    ("operators/llmops.py", "q_weighted_sample"): (1, "1-row scalar total"),
+    ("operators/llmops.py", "_lm_score_plan"): (1, "1-row vocab scalar"),
+    ("operators/llmops.py", "_assign_hof"): (1, "k-row centroid frame"),
+    ("operators/llmops.py", "key_skew_profile"): (1, "1-row global stats"),
+    ("operators/llmops.py", "shard_plan"): (1, "1-row mean scalar"),
+    ("operators/llmops.py", "quality_filter_funnel"): (1, "1-row stage-count aggregate"),
+    ("operators/pipeline.py", "pack_sequences_distributed"): (1, "per-partition offsets, O(#partitions)"),
 }
 
 
-def _broadcast_sites() -> set:
-    sites = set()
+def _broadcast_sites() -> collections.Counter:
+    sites: collections.Counter = collections.Counter()
     for root, _, files in os.walk(PKG):
         for f in files:
             if not f.endswith(".py"):
@@ -68,17 +77,27 @@ def _broadcast_sites() -> set:
                     and node.func.attr == "broadcast"
                 ):
                     enc = [n for s, e, n in spans if s <= node.lineno <= e]
-                    sites.add((rel, enc[-1] if enc else "<module>"))
+                    sites[(rel, enc[-1] if enc else "<module>")] += 1
     return sites
 
 
 def test_every_broadcast_hint_is_reviewed():
     sites = _broadcast_sites()
-    unreviewed = sorted(sites - set(WHITELIST))
+    unreviewed = sorted(set(sites) - set(WHITELIST))
     assert not unreviewed, (
         "static F.broadcast() hints outside the reviewed whitelist — prove "
         "the side is bounded at 100 TB and add it here, or drop the hint "
         f"and let AQE size it: {unreviewed}"
     )
-    gone = sorted(set(WHITELIST) - sites)
+    gone = sorted(set(WHITELIST) - set(sites))
     assert not gone, f"whitelist entries with no remaining call site (stale): {gone}"
+    drifted = sorted(
+        (site, sites[site], WHITELIST[site][0])
+        for site in sites
+        if sites[site] != WHITELIST[site][0]
+    )
+    assert not drifted, (
+        "hint count changed inside a whitelisted function — every added or "
+        "removed hint is a new review, not a free pass under the existing "
+        "entry [(site, found, reviewed)]: " + repr(drifted)
+    )
