@@ -80,6 +80,18 @@ HEADLINE = [
     "q_embed_norm_stats",
     "q_source_top_tokens",
     "q_key_skew_profile",
+    # round-7 registrations (new ids — absent from BENCH_r01..r06)
+    "q_source_overlap",
+    "q_token_freq_spectrum",
+    "q_shard_plan",
+    "q_hapax_docs",
+    "q_quality_filter_funnel",
+    "q_dup_source_matrix",
+    "q_pii_source_audit",
+    "q_embed_dim_stats",
+    "q_sim_quantized_recall",
+    "q_token_fertility",
+    "q_stream_dim_join",
 ]
 
 HEADLINE_TRIALS = 3

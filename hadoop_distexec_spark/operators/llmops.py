@@ -4780,3 +4780,47 @@ TOKEN_FERTILITY_ORACLE = (
     GROUP BY d.source
     """
 )
+
+
+# ---------------------------------------------------------------------------
+# round-7 registration of the r06-prepped APIs: the draft oracles above
+# were parity-proven at sf0.01 in round 6 (tests/test_round6_ops.py), so
+# registration is the promised two-line diff per operator. Window-slotted
+# via scripts/rotate.py (never-witnessed ids lead the window). Helper
+# builders are declared via _fingerprint_extras so edits to the delegated
+# logic reset each id's staleness clock (registry.source_fingerprint).
+# ---------------------------------------------------------------------------
+
+register("q_source_overlap", oracle=SOURCE_OVERLAP_ORACLE)(source_overlap)
+source_overlap._fingerprint_extras = (_source_overlap_ss, _source_overlap_frame)
+
+register("q_token_freq_spectrum", oracle=TOKEN_FREQ_SPECTRUM_ORACLE)(
+    token_freq_spectrum
+)
+
+register("q_shard_plan", oracle=SHARD_PLAN_ORACLE)(shard_plan)
+
+register("q_hapax_docs", oracle=HAPAX_DOCS_ORACLE)(hapax_docs)
+hapax_docs._fingerprint_extras = (_hapax_tokc, _hapax_docs_frame)
+
+register("q_quality_filter_funnel", oracle=QUALITY_FILTER_FUNNEL_ORACLE)(
+    quality_filter_funnel
+)
+
+register("q_dup_source_matrix", oracle=DUP_SOURCE_MATRIX_ORACLE)(dup_source_matrix)
+
+# q_pii_source_audit registers at the end of operators/pipeline.py: its
+# oracle interpolates the redactor's regexes, and building it here at
+# import time would re-import the partially initialized pipeline module
+# (pipeline -> llmops -> pipeline cycle).
+
+register("q_embed_dim_stats", oracle=EMBED_DIM_STATS_ORACLE)(embed_dim_stats)
+
+register("q_sim_quantized_recall", oracle=SIM_QUANTIZED_RECALL_ORACLE)(
+    sim_quantized_recall
+)
+
+register("q_token_fertility", oracle=TOKEN_FERTILITY_ORACLE)(token_fertility)
+# fold/w0 edits land in q_bpe_apply's own fingerprint; declaring it here
+# propagates that reset to the audit built on top of it.
+token_fertility._fingerprint_extras = (q_bpe_apply,)

@@ -758,3 +758,15 @@ def q_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# Round-7 registration of the PII source audit (prep proven in round 6,
+# tests/test_round6_ops.py). It lives here rather than llmops.py because
+# its oracle interpolates THIS module's redactor regexes at build time —
+# registering from llmops would re-enter the pipeline->llmops import cycle.
+from hadoop_distexec_spark.operators.llmops import (  # noqa: E402
+    _pii_source_audit_oracle,
+    pii_source_audit,
+)
+
+register("q_pii_source_audit", oracle=_pii_source_audit_oracle())(pii_source_audit)

@@ -752,3 +752,9 @@ STREAM_DIM_JOIN_ORACLE = """
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c_nationkey
     """
+
+
+# Round-7 registration (prep proven in round 6 — parity + batch-equivalence
+# in tests/test_round6_ops.py::test_stream_dim_join_prep_parity_and_batch_equivalence).
+register("q_stream_dim_join", oracle=STREAM_DIM_JOIN_ORACLE)(stream_dim_join_check)
+stream_dim_join_check._fingerprint_extras = (stream_dim_join,)
