@@ -4824,3 +4824,310 @@ register("q_token_fertility", oracle=TOKEN_FERTILITY_ORACLE)(token_fertility)
 # fold/w0 edits land in q_bpe_apply's own fingerprint; declaring it here
 # propagates that reset to the audit built on top of it.
 token_fertility._fingerprint_extras = (q_bpe_apply,)
+
+
+# ---------------------------------------------------------------------------
+# round-8 prep (the established hand-off pattern: implemented + pytest-gated
+# with TESTED draft oracle twins now, registration queued for the next
+# rotation window). Corpus-audit and embedding-analysis operators a
+# training-data pipeline runs before committing a tokenizer / index build.
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_TIERS = (100, 1000, 10000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary coverage curve: for each tier K, how many corpus
+    token OCCURRENCES the K most frequent tokens cover — the number that
+    sizes a tokenizer vocabulary (the knee of this curve is where a
+    bigger vocab stops buying compression) and complements
+    token_freq_spectrum's frequency-of-frequency view with the
+    cumulative head view.
+
+    Determinism: ranking orders by (count DESC, token ASC) — a total
+    order; counts exact bigints; coverage is one IEEE division.
+
+    Shape at 100 TB: the token-count agg is THE full-volume shuffle
+    (map-side combinable); the head extraction is a bounded
+    TakeOrderedAndProject (partial per-partition top-K, never a global
+    sort of the vocabulary); the rank window then runs on max(K) = 10^4
+    rows — driver-scale by construction, documented bound. The tier
+    table (3 static rows) and the 1-row totals aggregate are the only
+    broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(
+        F.sum("c").alias("total_occ"), F.count(F.lit(1)).alias("total_vocab")
+    )
+    maxk = max(VOCAB_COVERAGE_TIERS)
+    top = cnt.orderBy(F.col("c").desc(), "tok").limit(maxk)
+    w = W.orderBy(F.col("c").desc(), "tok")
+    ranked = top.select("tok", "c", F.row_number().over(w).alias("rnk"))
+    tiers = spark.createDataFrame([(k,) for k in VOCAB_COVERAGE_TIERS], "k INT")
+    cov = (
+        ranked.join(F.broadcast(tiers), F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab_used"),
+            F.sum("c").alias("covered_occ"),
+        )
+    )
+    return cov.crossJoin(F.broadcast(total)).select(
+        "k",
+        "n_vocab_used",
+        "covered_occ",
+        "total_vocab",
+        "total_occ",
+        (F.col("covered_occ").cast("double") / F.col("total_occ")).alias("coverage"),
+    )
+
+
+VOCAB_COVERAGE_ORACLE = """
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks WHERE length(tok) > 0 GROUP BY tok),
+    total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_occ, COUNT(*) AS total_vocab
+      FROM cnt),
+    ranked AS (
+      SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk FROM cnt),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10000),
+    tiers(k) AS (VALUES (100), (1000), (10000))
+    SELECT CAST(k AS INT) AS k,
+           COUNT(*) AS n_vocab_used,
+           CAST(SUM(c) AS BIGINT) AS covered_occ,
+           total_vocab, total_occ,
+           CAST(SUM(c) AS DOUBLE) / total_occ AS coverage
+    FROM top JOIN tiers ON rnk <= k CROSS JOIN total
+    GROUP BY k, total_vocab, total_occ
+    """
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle NOVELTY: of the distinct shingles each source
+    contains, how many first entered the corpus through that source
+    (first = MIN doc_id, the ingestion-order convention doc_id encodes).
+    A source with near-zero novelty is re-serving content other sources
+    already contributed — the keep/drop signal source-level curation
+    acts on after source_overlap locates the overlap.
+
+    Determinism: exact bigint counts; novelty is one IEEE division;
+    first-claim is MIN over a unique key.
+
+    Shape at 100 TB: ONE persisted shingle scan (the shared-scan rule)
+    feeds both legs — the (source, shingle) distinct and the per-shingle
+    MIN(doc_id) agg (both map-side combinable); the first-claim join is
+    shingle-count-sized against the pruned (doc_id, source) projection,
+    hint-free so AQE sizes it. Output is source-catalog bounded."""
+    sh = _shingles_df(spark, sf_dir).persist()
+    sh.count()
+    try:
+        return _ngram_novelty_frame(spark, sf_dir, sh).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()  # released on every exit, incl. a failed checkpoint
+
+
+def _ngram_novelty_frame(
+    spark: SparkSession, sf_dir: str, sh: DataFrame
+) -> DataFrame:
+    """Novelty rollup over a (doc_id, shingle) distinct frame — split out
+    so the plan-shape gate inspects the pre-checkpoint plan."""
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    nsrc = (
+        sh.join(src, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    novel = first.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return nsrc.join(novel, "source", "left").select(
+        "source",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_shingles")
+        ).alias("novelty"),
+    )
+
+
+NGRAM_NOVELTY_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + """,
+    ssrc AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM shingles s JOIN documents d USING (doc_id)),
+    nsrc AS (SELECT source, COUNT(*) AS n_shingles FROM ssrc GROUP BY source),
+    first AS (SELECT shingle, MIN(doc_id) AS doc_id FROM shingles GROUP BY shingle),
+    novel AS (
+      SELECT d.source, COUNT(*) AS n_novel
+      FROM first f JOIN documents d USING (doc_id) GROUP BY d.source)
+    SELECT n.source, n.n_shingles,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / n.n_shingles AS novelty
+    FROM nsrc n LEFT JOIN novel v USING (source)
+    """
+)
+
+
+PCA_DEC = "decimal(28,10)"  # the embed_dim_stats cast tier (parity-proven)
+
+
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by TWO unrolled
+    power iterations over the mean-centered data — the anisotropy audit
+    an index build runs before trusting cosine distance (a dominant
+    component that eats most variance means raw cosine is measuring the
+    common direction, not semantics; the standard fix whitens or drops
+    it). Returns one row per dimension: the unit loading of the
+    component plus the scaled Rayleigh estimate of its eigenvalue.
+
+    Iterative linear algebra, oracle-checked: like pagerank/kmeans, the
+    fixed iteration count unrolls into a DuckDB CTE chain, so a
+    genuinely iterative distributed computation stays hash-checkable.
+
+    Determinism (the numeric.py discipline, applied per pass):
+    every cross-row sum decimal-casts its addend first (exact,
+    order-free), then one double cast; per-row arithmetic is plain IEEE
+    (rule 3); v0 = e_0 so iteration 1's projection is just the centered
+    first coordinate; between iterations v1 scales by 1/n (one IEEE
+    division per dim) to keep decimal magnitudes corpus-bounded
+    (w ~ n, never n^2 — DECIMAL(38,10) holds n ~ 10^12 rows x O(1)
+    values with 10^16 headroom); the final normalization happens
+    IN-ENGINE on both sides from the same w2 values.
+
+    Shape at 100 TB: three full scans of the (vec_id, embedding)
+    projection (means pass + one per iteration), each a
+    map-side-combinable agg keyed on the BOUNDED dim index (64 cells) —
+    the per-row projection s is a JVM zip_with/aggregate fold, no
+    Python, no shuffle wider than 64 rows; the driver holds only
+    64-float vectors (bounded planning metadata). A production run
+    would cache the scan across passes; at audit cadence three scans
+    are the cost of zero extra state."""
+    e = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
+
+    # pass 0 — per-dim decimal-exact means (64 rows to the driver)
+    ex = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    mean_rows = (
+        ex.groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast(PCA_DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("md"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    n_dim = len(mean_rows)
+    md = [0.0] * n_dim
+    n_rows = 0
+    for r in mean_rows:
+        md[r["dim"]] = r["md"]
+        n_rows = r["cnt"]
+    md_arr = F.array(*[F.lit(v) for v in md])
+    xc = F.zip_with("embedding", md_arr, lambda x, m: x.cast("double") - m)
+
+    def _w_pass(s_col) -> list[float]:
+        """One power-iteration half: w_d = SUM_r dec(s_r * xc_rd)."""
+        t = e.select(s_col.alias("s"), F.posexplode(xc).alias("dim", "xc"))
+        rows = (
+            t.groupBy("dim")
+            .agg(
+                F.sum((F.col("s") * F.col("xc")).cast(PCA_DEC))
+                .cast("double")
+                .alias("w")
+            )
+            .collect()
+        )
+        w = [0.0] * n_dim
+        for r in rows:
+            w[r["dim"]] = r["w"]
+        return w
+
+    # iteration 1 — v0 = e_0, so s1 is the centered first coordinate
+    w1 = _w_pass(F.element_at(xc, 1))
+    v1 = [wi / n_rows for wi in w1]  # one IEEE division per dim (rule 3)
+
+    # iteration 2 — s2 = <xc, v1> as a decimal-exact JVM fold
+    v1_arr = F.array(*[F.lit(v) for v in v1])
+    s2 = F.aggregate(
+        F.zip_with(xc, v1_arr, lambda x, v: (x * v).cast(PCA_DEC)),
+        F.lit(0).cast(PCA_DEC),
+        # partial sums are multiples of 1e-10 well inside 28 digits, so the
+        # re-cast is lossless — it only pins the accumulator type the HOF
+        # requires (decimal addition widens the scale-preserving precision)
+        lambda acc, t_: (acc + t_).cast(PCA_DEC),
+    ).cast("double")
+    t2 = e.select(s2.alias("s"), F.posexplode(xc).alias("dim", "xc"))
+    w2 = t2.groupBy("dim").agg(
+        F.sum((F.col("s") * F.col("xc")).cast(PCA_DEC)).cast("double").alias("w")
+    )
+
+    # in-engine normalization from the same w2 frame on both sides
+    nrm = w2.agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(PCA_DEC)).cast("double")).alias(
+            "nrm"
+        )
+    )
+    return w2.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        (F.col("w") / F.col("nrm")).alias("loading"),
+        (F.col("nrm") / F.lit(float(n_rows))).alias("eigval_scale"),
+    )
+
+
+EMBED_PCA_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    ex AS (
+      SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM e),
+    mean AS (
+      SELECT dim,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS md
+      FROM ex GROUP BY dim),
+    xc AS (
+      SELECT vec_id, ex.dim, x - md AS xc
+      FROM ex JOIN mean ON ex.dim = mean.dim),
+    s1 AS (SELECT vec_id, xc AS s FROM xc WHERE dim = 0),
+    w1 AS (
+      SELECT xc.dim,
+             CAST(CAST(SUM(CAST(s1.s * xc.xc AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS w
+      FROM xc JOIN s1 ON xc.vec_id = s1.vec_id GROUP BY xc.dim),
+    v1 AS (SELECT dim, w / n AS v FROM w1 CROSS JOIN nn),
+    s2 AS (
+      SELECT xc.vec_id,
+             CAST(CAST(SUM(CAST(xc.xc * v1.v AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS s
+      FROM xc JOIN v1 ON xc.dim = v1.dim GROUP BY xc.vec_id),
+    w2 AS (
+      SELECT xc.dim,
+             CAST(CAST(SUM(CAST(s2.s * xc.xc AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS w
+      FROM xc JOIN s2 ON xc.vec_id = s2.vec_id GROUP BY xc.dim),
+    nrm AS (
+      SELECT SQRT(CAST(CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS VARCHAR)
+                       AS DOUBLE)) AS nrm
+      FROM w2)
+    SELECT CAST(dim AS INT) AS dim,
+           w / nrm AS loading,
+           nrm / n AS eigval_scale
+    FROM w2 CROSS JOIN nrm CROSS JOIN nn
+    """

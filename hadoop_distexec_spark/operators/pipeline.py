@@ -395,9 +395,12 @@ _NGRAM_PAIRS_SQL = f"""
 """
 
 
-@register(
-    "q_dedup_groups",
-    oracle="WITH RECURSIVE "
+# Shared by q_dedup_groups and the round-8-prep cluster-size spectrum
+# (dedup_cluster_stats wraps this byte-identical text as a subquery, so the
+# two can never drift — and q_dedup_groups' registered fingerprint is
+# unchanged by the refactor).
+_DEDUP_GROUPS_ORACLE = (
+    "WITH RECURSIVE "
     + _SHINGLES_SQL.strip().rstrip()
     + ",\n"
     + _NGRAM_PAIRS_SQL
@@ -415,7 +418,13 @@ _NGRAM_PAIRS_SQL = f"""
     SELECT id AS doc_id, MIN(r) AS component,
            CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
     FROM reach GROUP BY id
-    """,
+    """
+)
+
+
+@register(
+    "q_dedup_groups",
+    oracle=_DEDUP_GROUPS_ORACLE,
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components over the n-gram-Jaccard
@@ -770,3 +779,133 @@ from hadoop_distexec_spark.operators.llmops import (  # noqa: E402
 )
 
 register("q_pii_source_audit", oracle=_pii_source_audit_oracle())(pii_source_audit)
+
+
+# ---------------------------------------------------------------------------
+# round-8 prep (implemented + pytest-gated with TESTED draft oracle twins;
+# registration queued for the next rotation window).
+# ---------------------------------------------------------------------------
+
+
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-packing waste audit: the OTHER packing strategy production
+    uses. q_pack_sequences splits documents across pack boundaries (zero
+    waste, but every pack mixes unrelated tails); the padding strategy
+    keeps documents whole — pad each doc to its power-of-two length
+    bucket, pack same-bucket docs CAP//p to a pack — and pays for it in
+    padding + tail slack. This audit prices that trade per bucket:
+    documents, real tokens, slots per pack, packs needed, allocated
+    capacity, and fill ratio. The decision it feeds: if the small
+    buckets' fill is high, padded packing is nearly free and you keep
+    whole-document attention masks; if not, split packing it is.
+
+    Determinism: all counts exact bigint arithmetic (power-of-two
+    ceiling via the bit-exact binary-length idiom; pack counts by
+    integer ceil-division — never enumerated); fill is one IEEE
+    division. Zero-token docs are unpackable and excluded (the w0
+    length>0 token rule).
+
+    Shape at 100 TB: ONE map-side-combinable aggregate on the ~13-cell
+    bucket key over the token-count projection — no join, no window, no
+    pack enumeration (closed-form counts), output bounded by
+    log2(longest doc)."""
+    cap = PACK_TOKENS
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    t = docs.select(F.size(toks).cast("long").alias("n")).where(F.col("n") > 0)
+    p = F.when(F.col("n") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")
+    )
+    g = (
+        t.select(p.alias("p"), "n")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+            # per-doc pack count for oversize docs (p > cap): chunked at cap
+            F.sum(F.expr(f"(n + {cap - 1}) DIV {cap}")).alias("_ovp"),
+        )
+    )
+    slots = F.expr(
+        f"CASE WHEN p <= {cap} THEN {cap} DIV p ELSE CAST(0 AS BIGINT) END"
+    )
+    g = g.select("p", "n_docs", "sum_tokens", "_ovp", slots.alias("slots_per_pack"))
+    n_packs = F.expr(
+        f"CASE WHEN p <= {cap} "
+        "THEN (n_docs + slots_per_pack - 1) DIV slots_per_pack "
+        "ELSE _ovp END"
+    )
+    g = g.select(
+        "p", "n_docs", "sum_tokens", "slots_per_pack", n_packs.alias("n_packs")
+    )
+    return g.select(
+        "p",
+        "n_docs",
+        "sum_tokens",
+        "slots_per_pack",
+        "n_packs",
+        (F.col("n_packs") * cap).alias("alloc_tokens"),
+        (
+            F.col("sum_tokens").cast("double") / (F.col("n_packs") * cap).cast("double")
+        ).alias("fill_ratio"),
+    )
+
+
+PACK_EFFICIENCY_ORACLE = f"""
+    WITH t AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> length(x) > 0)) AS BIGINT) AS n
+      FROM documents),
+    t2 AS (SELECT n FROM t WHERE n > 0),
+    b AS (
+      SELECT CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS p,
+             n
+      FROM t2),
+    g AS (
+      SELECT p, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+             CAST(SUM((n + {PACK_TOKENS - 1}) // {PACK_TOKENS}) AS BIGINT) AS ovp
+      FROM b GROUP BY p),
+    g2 AS (
+      SELECT p, n_docs, sum_tokens,
+             CASE WHEN p <= {PACK_TOKENS} THEN {PACK_TOKENS} // p
+                  ELSE CAST(0 AS BIGINT) END AS slots_per_pack,
+             CASE WHEN p <= {PACK_TOKENS}
+                  THEN (n_docs + ({PACK_TOKENS} // p) - 1) // ({PACK_TOKENS} // p)
+                  ELSE ovp END AS n_packs
+      FROM g)
+    SELECT p, n_docs, sum_tokens, slots_per_pack, n_packs,
+           CAST(n_packs * {PACK_TOKENS} AS BIGINT) AS alloc_tokens,
+           CAST(sum_tokens AS DOUBLE)
+             / CAST(n_packs * {PACK_TOKENS} AS DOUBLE) AS fill_ratio
+    FROM g2
+    """
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-SIZE spectrum of the near-dup graph: for each cluster
+    size, how many connected components and how many documents sit in
+    them — the shape-of-duplication report (a corpus dominated by
+    2-clusters needs pairwise dedup; a few giant clusters mean template
+    spam and call for representative selection). Built ON q_dedup_groups
+    — the spectrum is one bounded aggregate over the witnessed CC
+    labels, and the oracle wraps the groups oracle verbatim so the two
+    can never drift.
+
+    Shape at 100 TB: adds one map-side-combinable agg on the bounded
+    cluster_size key to the CC cost it inherits (which exact-dedup-first
+    composition keeps edge-bounded)."""
+    g = q_dedup_groups(spark, sf_dir)
+    return g.groupBy("cluster_size").agg(
+        F.count_distinct("component").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+DEDUP_CLUSTER_STATS_ORACLE = f"""
+    SELECT cluster_size,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_DEDUP_GROUPS_ORACLE}) g
+    GROUP BY cluster_size
+    """

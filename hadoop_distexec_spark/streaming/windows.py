@@ -758,3 +758,131 @@ STREAM_DIM_JOIN_ORACLE = """
 # in tests/test_round6_ops.py::test_stream_dim_join_prep_parity_and_batch_equivalence).
 register("q_stream_dim_join", oracle=STREAM_DIM_JOIN_ORACLE)(stream_dim_join_check)
 stream_dim_join_check._fingerprint_extras = (stream_dim_join,)
+
+
+# ---------------------------------------------------------------------------
+# round-8 prep (registration queued): DATA-oracle upgrades of the two
+# assertive streaming smokes. q_stream_join_smoke / q_stream_stateful_smoke
+# prove stream==batch and hand the driver a check counter; these return the
+# actual rows so the DuckDB oracle checks real data (the q_stream_dim_join
+# pattern applied to the stream-stream and arbitrary-stateful tiers).
+# ---------------------------------------------------------------------------
+
+
+def stream_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream click->purchase attribution rows through the REAL
+    streaming runtime (availableNow to exhaustion), asserted equal to
+    the batch twin as a set, then returned for the data oracle. Raw
+    per-row values only (ids, epoch micros, the purchase value passed
+    through) — no cross-row float reduction, so bit-determinism is
+    rule-3 trivial.
+
+    Shape at 100 TB: one shuffle per side on user_id; each state store
+    holds only rows younger than watermark + join window (the bounded
+    stream-stream contract streaming_join documents)."""
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_bounded(streaming_join(ev, ev), "append")
+    batch_ev = table(spark, sf_dir, "events")
+    batch = streaming_join(batch_ev, batch_ev)
+    mism = got.exceptAll(batch).unionAll(batch.exceptAll(got)).count()
+    if mism:
+        raise AssertionError(
+            f"stream-stream join diverged from batch twin on {mism} rows"
+        )
+    return got
+
+
+STREAM_JOIN_DATA_ORACLE = """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
+                            AND epoch_us(c.ts) + 1800000000
+    """
+
+
+def streaming_user_totals_exact(
+    events: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Arbitrary-stateful per-user totals with EXACT integer state: the
+    value accumulates as ten-thousandths (the DECIMAL(18,4) unit), so
+    the running sum is order-insensitive across micro-batches — the
+    numeric.py rule-1 discipline applied to applyInPandasWithState. The
+    Python-side quantization (shortest-repr Decimal, HALF_UP at 1e-4)
+    reproduces Spark's double->DECIMAL(18,4) cast (java BigDecimal
+    .valueOf = shortest repr, setScale HALF_UP), which the dsum oracles
+    prove equal to DuckDB's cast on this data."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value_e4 long"
+    state_schema = "n long, tot long"
+    q4 = Decimal("0.0001")
+
+    def update_fn(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                tot += int(
+                    Decimal(repr(float(v))).quantize(q4, rounding=ROUND_HALF_UP)
+                    * 10000
+                )
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_e4": [tot]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user totals from the exact-integer stateful operator,
+    with a real data oracle: the exact BIGINT ten-thousandths plus the
+    one-IEEE-division double. update mode re-emits per state change; the
+    final state is the row with the largest running count (strictly
+    increasing per emission — the q_stream_stateful_smoke struct-max
+    idiom)."""
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_bounded(streaming_user_totals_exact(ev), "update")
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value_e4")).alias("_fin"))
+        .select("user_id", "_fin.n_events", "_fin.total_value_e4")
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        "total_value_e4",
+        (F.col("total_value_e4").cast("double") / F.lit(10000.0)).alias(
+            "total_value"
+        ),
+    )
+
+
+STREAM_STATEFUL_TOTALS_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
+             AS total_value_e4,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
+                AS DOUBLE) / 10000.0 AS total_value
+    FROM events GROUP BY user_id
+    """
