@@ -92,6 +92,14 @@ HEADLINE = [
     "q_sim_quantized_recall",
     "q_token_fertility",
     "q_stream_dim_join",
+    # round-7 wave 2 (same-round prep + registration)
+    "q_vocab_coverage",
+    "q_ngram_novelty",
+    "q_embed_pca",
+    "q_pack_efficiency",
+    "q_dedup_cluster_stats",
+    "q_stream_join_data",
+    "q_stream_stateful_totals",
 ]
 
 HEADLINE_TRIALS = 3

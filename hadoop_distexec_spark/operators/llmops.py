@@ -5131,3 +5131,17 @@ EMBED_PCA_ORACLE = """
            nrm / n AS eigval_scale
     FROM w2 CROSS JOIN nrm CROSS JOIN nn
     """
+
+
+# Round-7 registration of this round's prep wave: all draft oracles above
+# are parity-proven at sf0.01 (tests/test_round7_ops.py) before the
+# driver's first witness, the established hand-off contract — registered
+# in the SAME round because the witness window still holds every
+# displaced stale id within the change-aware bound (the ledger math in
+# the registration commit).
+register("q_vocab_coverage", oracle=VOCAB_COVERAGE_ORACLE)(vocab_coverage)
+
+register("q_ngram_novelty", oracle=NGRAM_NOVELTY_ORACLE)(ngram_novelty)
+ngram_novelty._fingerprint_extras = (_ngram_novelty_frame, _shingles_df)
+
+register("q_embed_pca", oracle=EMBED_PCA_ORACLE)(embed_pca)

@@ -909,3 +909,13 @@ DEDUP_CLUSTER_STATS_ORACLE = f"""
     FROM ({_DEDUP_GROUPS_ORACLE}) g
     GROUP BY cluster_size
     """
+
+
+# Round-7 registration of this round's prep wave (parity proof:
+# tests/test_round7_ops.py).
+register("q_pack_efficiency", oracle=PACK_EFFICIENCY_ORACLE)(pack_efficiency)
+
+register("q_dedup_cluster_stats", oracle=DEDUP_CLUSTER_STATS_ORACLE)(
+    dedup_cluster_stats
+)
+dedup_cluster_stats._fingerprint_extras = (q_dedup_groups,)

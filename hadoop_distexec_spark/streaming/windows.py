@@ -886,3 +886,14 @@ STREAM_STATEFUL_TOTALS_ORACLE = """
                 AS DOUBLE) / 10000.0 AS total_value
     FROM events GROUP BY user_id
     """
+
+
+# Round-7 registration of this round's prep wave (parity proof:
+# tests/test_round7_ops.py).
+register("q_stream_join_data", oracle=STREAM_JOIN_DATA_ORACLE)(stream_join_data)
+stream_join_data._fingerprint_extras = (streaming_join,)
+
+register("q_stream_stateful_totals", oracle=STREAM_STATEFUL_TOTALS_ORACLE)(
+    stream_stateful_totals
+)
+stream_stateful_totals._fingerprint_extras = (streaming_user_totals_exact,)
