@@ -206,17 +206,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_session_confs(spark)
-    # the file stream source needs an explicit schema and a directory; read
-    # the physical schema from a batch scan (footer-only, no data read) and
-    # glob-filter to the events table inside the sf dir
+    # the file stream source needs an explicit schema and a DIRECTORY
+    # base path; read the physical schema from a batch scan (footer-only,
+    # no data read). The driver fixtures ship events.parquet as a single
+    # FILE (stream the parent dir, glob-filtered to that name), but
+    # Spark-written trees (the sf1 stress lane) make it a DIRECTORY of
+    # part-files (stream the directory itself) — the earlier
+    # unconditional pathGlobFilter matched only the single-file layout
+    # and silently read ZERO rows from a directory layout, found when
+    # the 10x lane's stream-stream join returned empty.
+    import os as _os
+
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    rs = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isdir(path):
+        raw = rs.load(path)
+    else:
+        raw = rs.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_events_ts(raw, unit=sniff_bigint_ts_unit(path))
 
 

@@ -52,17 +52,18 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # round-6: de-hinted sparse-cosine pairs (VERDICT r05 #4 —
            # prove AQE sizes the norm joins at 10x without the static
            # broadcast) and the new per-source/skew audits
-           "q_tfidf_pairs", "q_source_top_tokens", "q_key_skew_profile"]
+           "q_tfidf_pairs", "q_source_top_tokens", "q_key_skew_profile",
+           # round-7 wave 2 at 10x: the coverage curve's bounded head,
+           # the novelty shared-scan, the three-pass power iteration,
+           # the join-free pack audit, the CC-spectrum, and both
+           # streaming DATA ops through the real runtime on 10x events
+           "q_vocab_coverage", "q_ngram_novelty", "q_embed_pca",
+           "q_pack_efficiency", "q_dedup_cluster_stats",
+           "q_stream_join_data", "q_stream_stateful_totals"]
 
-# Unregistered r07-prep APIs (operators/llmops.py): measured at the same
-# 10x scale so their registrations ship with a scaling story already in
-# SCALE.md, the same pattern the r06 registrations followed.
-PREP_APIS = ["source_overlap", "token_freq_spectrum", "shard_plan",
-             "hapax_docs", "quality_filter_funnel", "dup_source_matrix",
-             "pii_source_audit", "embed_dim_stats", "sim_quantized_recall",
-             "token_fertility"]
-# stream_dim_join_check (streaming/windows.py) runs the real streaming
-# runtime; measured separately in SCALE.md rather than in this lane.
+# The r06/r07 prep APIs all registered (rounds 6-7), so the lane keys on
+# registry ids alone; nothing unregistered is pending measurement.
+PREP_APIS: list[str] = []
 
 
 def synthesize(spark) -> None:
@@ -115,6 +116,11 @@ def main() -> None:
     runs = [(qid, specs[qid].fn) for qid in QUERIES] + [
         (name, getattr(llmops, name)) for name in PREP_APIS
     ]
+    # --only a,b,c: re-measure a subset against an already-synthesized
+    # tree (pair with --reuse) instead of re-running the whole lane
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        runs = [(q, f) for q, f in runs if q in keep]
     for qid, fn in runs:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
