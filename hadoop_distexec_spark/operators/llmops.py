@@ -3036,40 +3036,13 @@ _HYBRID_ARMS_SQL = f"""{_BM25_CORE_SQL},
         FROM cos) WHERE r <= {HYBRID_DEPTH})"""
 
 
-@register(
-    "q_hybrid_search",
-    oracle=f"""
-    WITH {_HYBRID_ARMS_SQL},
-    fused AS (
-      SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
-             lex_rank, vec_rank,
-             COALESCE(1.0 / ({HYBRID_RRF_K} + lex_rank), 0.0)
-               + COALESCE(1.0 / ({HYBRID_RRF_K} + vec_rank), 0.0) AS rrf
-      FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.vec_id)
-    SELECT doc_id, lex_rank, vec_rank, rrf
-    FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
-    """,
-)
-def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 lexical ranking (q_bm25's per-doc scores)
-    fused with embedding-cosine ranking (query = vec 0's embedding, ids
-    aligned doc_id==vec_id) by reciprocal rank fusion —
-    rrf = sum 1/(60 + rank) over the modalities that returned the doc.
-    This is the composition a RAG/retrieval corpus actually serves:
-    lexical matches catch exact terms, vector matches catch paraphrase,
-    RRF needs no score calibration between the two.
-
-    Determinism: both rank lists are exact (decimal-dot cosines, the
-    fixed-order BM25 double total) and tie-break on id; 1/(k+rank) is one
-    IEEE division per row and the fusion adds the two in fixed order.
-
-    Shape: each modality is cut to its top-{HYBRID_DEPTH} by
-    orderBy+limit — TakeOrderedAndProject, a per-partition partial top-k
-    with no global sort — so the full-outer fusion join runs on two
-    <= {HYBRID_DEPTH}-row frames no matter the corpus size; the final
-    row_number windows rank those bounded frames on a single partition.
-    At 100 TB the modality scans dominate exactly as they should; the
-    fusion itself stays O(depth)."""
+def _hybrid_arms(spark: SparkSession, sf_dir: str):
+    """The two modality rank lists — (lexr: doc_id/lex_rank, vecr:
+    vec_id/vec_rank), each cut to HYBRID_DEPTH by orderBy+limit
+    (TakeOrderedAndProject, partial top-k per partition) with the rank
+    window running on the bounded head. Shared by q_hybrid_search's RRF
+    fusion and the retrieval-agreement harness, mirroring
+    _HYBRID_ARMS_SQL on the oracle side."""
     lex = (
         _bm25_per_doc(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
@@ -3104,6 +3077,44 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("cosine").desc(), "vec_id"))
         .alias("vec_rank"),
     )
+    return lexr, vecr
+
+
+@register(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH {_HYBRID_ARMS_SQL},
+    fused AS (
+      SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS doc_id,
+             lex_rank, vec_rank,
+             COALESCE(1.0 / ({HYBRID_RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({HYBRID_RRF_K} + vec_rank), 0.0) AS rrf
+      FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.vec_id)
+    SELECT doc_id, lex_rank, vec_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking (q_bm25's per-doc scores)
+    fused with embedding-cosine ranking (query = vec 0's embedding, ids
+    aligned doc_id==vec_id) by reciprocal rank fusion —
+    rrf = sum 1/(60 + rank) over the modalities that returned the doc.
+    This is the composition a RAG/retrieval corpus actually serves:
+    lexical matches catch exact terms, vector matches catch paraphrase,
+    RRF needs no score calibration between the two.
+
+    Determinism: both rank lists are exact (decimal-dot cosines, the
+    fixed-order BM25 double total) and tie-break on id; 1/(k+rank) is one
+    IEEE division per row and the fusion adds the two in fixed order.
+
+    Shape: each modality is cut to its top-{HYBRID_DEPTH} by
+    orderBy+limit — TakeOrderedAndProject, a per-partition partial top-k
+    with no global sort — so the full-outer fusion join runs on two
+    <= {HYBRID_DEPTH}-row frames no matter the corpus size; the final
+    row_number windows rank those bounded frames on a single partition.
+    At 100 TB the modality scans dominate exactly as they should; the
+    fusion itself stays O(depth)."""
+    lexr, vecr = _hybrid_arms(spark, sf_dir)
     fused = lexr.join(vecr, lexr.doc_id == vecr.vec_id, "full_outer").select(
         F.coalesce(lexr.doc_id, vecr.vec_id).alias("doc_id"),
         "lex_rank",
@@ -3738,7 +3749,7 @@ def _tfidf_pairs_build(
 # the delegated logic reset the witness-staleness clock — round-6 review):
 q_tfidf_pairs._fingerprint_extras = (_tfidf_pairs_build,)
 q_bm25._fingerprint_extras = (_bm25_per_doc,)
-q_hybrid_search._fingerprint_extras = (_bm25_per_doc,)
+q_hybrid_search._fingerprint_extras = (_bm25_per_doc, _hybrid_arms)
 
 
 # ---------------------------------------------------------------------------
@@ -5026,6 +5037,26 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-float vectors (bounded planning metadata). A production run
     would cache the scan across passes; at audit cadence three scans
     are the cost of zero extra state."""
+    e, xc, n_rows, w2 = _embed_pca_core(spark, sf_dir)
+
+    # in-engine normalization from the same w2 frame on both sides
+    nrm = w2.agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(PCA_DEC)).cast("double")).alias(
+            "nrm"
+        )
+    )
+    return w2.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        (F.col("w") / F.col("nrm")).alias("loading"),
+        (F.col("nrm") / F.lit(float(n_rows))).alias("eigval_scale"),
+    )
+
+
+def _embed_pca_core(spark: SparkSession, sf_dir: str):
+    """Passes 0-2 of the power iteration — (e, xc, n_rows, w2-frame) —
+    shared by embed_pca (normalize + report) and embed_whiten (remove the
+    component and re-measure variance), mirroring the shared CTE prefix
+    on the oracle side."""
     e = table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     ).select("vec_id", "embedding")
@@ -5097,24 +5128,14 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = t2i.select("s", F.posexplode("xcarr").alias("dim", "xc"))
     w2 = t2.groupBy("dim").agg(
         F.sum((F.col("s") * F.col("xc")).cast(PCA_DEC)).cast("double").alias("w")
-    ).localCheckpoint(eager=True)  # 64 rows; else the norm branch and the
-    # output branch would each re-run the full pass-2 scan
-
-    # in-engine normalization from the same w2 frame on both sides
-    nrm = w2.agg(
-        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(PCA_DEC)).cast("double")).alias(
-            "nrm"
-        )
-    )
-    return w2.crossJoin(F.broadcast(nrm)).select(
-        "dim",
-        (F.col("w") / F.col("nrm")).alias("loading"),
-        (F.col("nrm") / F.lit(float(n_rows))).alias("eigval_scale"),
-    )
+    ).localCheckpoint(eager=True)  # 64 rows; else every downstream branch
+    # (norm/output in pca, ww/projection in whiten) re-runs the pass-2 scan
+    return e, xc, n_rows, w2
 
 
-EMBED_PCA_ORACLE = """
-    WITH e AS (
+# Passes 0-2 as CTE text — the oracle twin of _embed_pca_core, shared by
+# the embed_pca and embed_whiten oracles so the two cannot drift.
+_EMBED_PCA_CTES = """e AS (
       SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
     ex AS (
@@ -5145,7 +5166,10 @@ EMBED_PCA_ORACLE = """
       SELECT xc.dim,
              CAST(CAST(SUM(CAST(s2.s * xc.xc AS DECIMAL(28,10))) AS VARCHAR)
                   AS DOUBLE) AS w
-      FROM xc JOIN s2 ON xc.vec_id = s2.vec_id GROUP BY xc.dim),
+      FROM xc JOIN s2 ON xc.vec_id = s2.vec_id GROUP BY xc.dim)"""
+
+EMBED_PCA_ORACLE = f"""
+    WITH {_EMBED_PCA_CTES},
     nrm AS (
       SELECT SQRT(CAST(CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS VARCHAR)
                        AS DOUBLE)) AS nrm
@@ -5169,6 +5193,7 @@ register("q_ngram_novelty", oracle=NGRAM_NOVELTY_ORACLE)(ngram_novelty)
 ngram_novelty._fingerprint_extras = (_ngram_novelty_frame, _shingles_df)
 
 register("q_embed_pca", oracle=EMBED_PCA_ORACLE)(embed_pca)
+embed_pca._fingerprint_extras = (_embed_pca_core,)
 
 
 # ---------------------------------------------------------------------------
@@ -5330,4 +5355,188 @@ JOIN_CARD_EST_ORACLE = f"""
                - CAST(exact_pairs AS DOUBLE))
              / CAST(exact_pairs AS DOUBLE) AS rel_err
     FROM a
+    """
+
+
+def retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-agreement audit for hybrid retrieval: how much do the
+    lexical (BM25) and semantic (embedding-cosine) arms of
+    q_hybrid_search actually agree at depth? Reports overlap@depth and
+    the Spearman-footrule rank distance over the shared candidates — the
+    number that justifies (or retires) the fusion: arms that agree make
+    RRF redundant; arms that diverge make it load-bearing.
+
+    Built ON the fusion's OWN arms (_hybrid_arms / _HYBRID_ARMS_SQL
+    byte-shared with the q_hybrid_search oracle), so the agreement is
+    measured on exactly the ranked lists production fuses.
+
+    Determinism: counts and the footrule sum are exact bigints; the two
+    ratios are single IEEE divisions; mean_rank_gap is NULL for zero
+    overlap in both engines.
+
+    Shape at 100 TB: the modality scans dominate (as in the fusion); the
+    agreement math runs on two <= depth-row frames — the equi-join,
+    counts and footrule are all driver-scale. The three 1-row aggregates
+    broadcast (whitelisted)."""
+    lexr, vecr = _hybrid_arms(spark, sf_dir)
+    ov = lexr.join(vecr, lexr.doc_id == vecr.vec_id).select(
+        "lex_rank", "vec_rank"
+    )
+    nl = lexr.agg(F.count(F.lit(1)).alias("n_lex"))
+    nv = vecr.agg(F.count(F.lit(1)).alias("n_vec"))
+    ag = ov.agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(F.abs(F.col("lex_rank") - F.col("vec_rank"))).alias("footrule"),
+    )
+    return (
+        ag.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.lit(HYBRID_DEPTH).alias("depth"),
+            "n_lex",
+            "n_vec",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double") / F.least("n_lex", "n_vec")
+            ).alias("overlap_ratio"),
+            F.coalesce("footrule", F.lit(0).cast("long")).alias("footrule"),
+            F.when(
+                F.col("n_overlap") > 0,
+                F.col("footrule").cast("double") / F.col("n_overlap"),
+            ).alias("mean_rank_gap"),  # NULL at zero overlap, both engines
+        )
+    )
+
+
+RETRIEVAL_AGREEMENT_ORACLE = f"""
+    WITH {_HYBRID_ARMS_SQL},
+    ov AS (
+      SELECT lex_rank, vec_rank
+      FROM lexr JOIN vecr ON lexr.doc_id = vecr.vec_id),
+    nl AS (SELECT COUNT(*) AS n_lex FROM lexr),
+    nv AS (SELECT COUNT(*) AS n_vec FROM vecr),
+    ag AS (
+      SELECT COUNT(*) AS n_overlap,
+             CAST(COALESCE(SUM(ABS(lex_rank - vec_rank)), 0) AS BIGINT)
+               AS footrule
+      FROM ov)
+    SELECT CAST({HYBRID_DEPTH} AS INT) AS depth, n_lex, n_vec, n_overlap,
+           CAST(n_overlap AS DOUBLE) / LEAST(n_lex, n_vec) AS overlap_ratio,
+           footrule,
+           CASE WHEN n_overlap > 0
+                THEN CAST(footrule AS DOUBLE) / n_overlap END AS mean_rank_gap
+    FROM ag CROSS JOIN nl CROSS JOIN nv
+    """
+
+
+def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top audit: per-dimension variance of the embedding
+    cloud BEFORE and AFTER removing the dominant component embed_pca
+    finds — the measured payoff of the standard anisotropy fix (project
+    out the common direction; if var_drop concentrates in a few
+    dimensions the cloud was dominated by one direction and raw cosine
+    was measuring it, not semantics). The actionable second half of
+    q_embed_pca: pca names the direction, whiten prices removing it.
+
+    Projection removal is SCALE-INVARIANT in the direction vector —
+    x' = xc - (<xc,w>/<w,w>) w — so the UNNORMALIZED w2 frame feeds it
+    directly: w enters per-row expressions as collected literals
+    (bit-equal to the oracle's w2 CTE by pass-2 parity), while <w,w>
+    is computed IN-ENGINE on both sides from the same w2 rows — no
+    driver-side arithmetic beyond the 1/n scaling pca already does.
+
+    Determinism: every cross-row sum decimal-casts first; the residual
+    is per-row IEEE from identical inputs; var_before/var_after are one
+    IEEE division each; var_drop NULL-guards a zero-variance dimension
+    identically in both engines.
+
+    Shape at 100 TB: the three pca passes plus ONE more full scan (the
+    residual second-moment pass) — still all 64-cell map-side-combinable
+    aggs; the per-row fold materializes in an inner select before the
+    explode (the CollapseProject amplification guard)."""
+    e, xc, n_rows, w2 = _embed_pca_core(spark, sf_dir)
+    rows = w2.collect()  # 64 rows — bounded planning metadata
+    w = [0.0] * len(rows)
+    for r in rows:
+        w[r["dim"]] = r["w"]
+    w_arr = F.array(*[F.lit(v) for v in w])
+    ww = w2.agg(
+        F.sum((F.col("w") * F.col("w")).cast(PCA_DEC)).cast("double").alias("ww")
+    )
+    s3 = F.aggregate(
+        F.zip_with(xc, w_arr, lambda x, v: (x * v).cast(PCA_DEC)),
+        F.lit(0).cast(PCA_DEC),
+        lambda acc, t_: (acc + t_).cast(PCA_DEC),
+    ).cast("double")
+    # inner select before the explode (CollapseProject guard), with the
+    # 1-row <w,w> scalar broadcast alongside
+    inner = e.crossJoin(F.broadcast(ww)).select(
+        s3.alias("s"), xc.alias("xcarr"), "ww"
+    )
+    # the residual is QUANTIZED to decimal(28,10) and brought back to
+    # double before squaring: the raw multiply-subtract can differ by an
+    # ULP between engines (DuckDB may fuse it), and the second-moment sum
+    # would expose it; rounding both engines to the same 1e-10 grid first
+    # makes the squared terms bit-identical (measured: 1.3e-11 var_drop
+    # drift without this, exact with it)
+    resid = F.zip_with(
+        "xcarr",
+        w_arr,
+        lambda x, wd: (x - (F.col("s") / F.col("ww")) * wd)
+        .cast(PCA_DEC)
+        .cast("double"),
+    )
+    inner2 = inner.select("xcarr", resid.alias("rarr"))
+    t = inner2.select(
+        F.posexplode(F.arrays_zip("xcarr", "rarr")).alias("dim", "z")
+    )
+    per = t.groupBy("dim").agg(
+        F.sum((F.col("z.xcarr") * F.col("z.xcarr")).cast(PCA_DEC))
+        .cast("double")
+        .alias("sb"),
+        F.sum((F.col("z.rarr") * F.col("z.rarr")).cast(PCA_DEC))
+        .cast("double")
+        .alias("sa"),
+    )
+    nf = float(n_rows)
+    return per.select(
+        "dim",
+        (F.col("sb") / F.lit(nf)).alias("var_before"),
+        (F.col("sa") / F.lit(nf)).alias("var_after"),
+        F.when(
+            F.col("sb") > 0, F.lit(1.0) - F.col("sa") / F.col("sb")
+        ).alias("var_drop"),
+    )
+
+
+EMBED_WHITEN_ORACLE = f"""
+    WITH {_EMBED_PCA_CTES},
+    ww AS (
+      SELECT CAST(CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS ww
+      FROM w2),
+    s3 AS (
+      SELECT xc.vec_id,
+             CAST(CAST(SUM(CAST(xc.xc * w2.w AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS s
+      FROM xc JOIN w2 ON xc.dim = w2.dim GROUP BY xc.vec_id),
+    r AS (
+      SELECT xc.vec_id, xc.dim, xc.xc,
+             CAST(CAST(CAST(xc.xc - (s3.s / ww.ww) * w2.w
+                  AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS rr
+      FROM xc JOIN s3 ON xc.vec_id = s3.vec_id
+              JOIN w2 ON xc.dim = w2.dim
+              CROSS JOIN ww),
+    per AS (
+      SELECT dim,
+             CAST(CAST(SUM(CAST(xc * xc AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS sb,
+             CAST(CAST(SUM(CAST(rr * rr AS DECIMAL(28,10))) AS VARCHAR)
+                  AS DOUBLE) AS sa
+      FROM r GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           sb / n AS var_before,
+           sa / n AS var_after,
+           CASE WHEN sb > 0 THEN 1.0 - sa / sb END AS var_drop
+    FROM per CROSS JOIN nn
     """

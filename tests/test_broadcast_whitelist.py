@@ -44,7 +44,9 @@ WHITELIST = {
     ("operators/llmops.py", "_tfidf_pairs_build"): (1, "1-row n_docs scalar (norms/dfreq de-hinted r06, plan-gated)"),
     ("operators/llmops.py", "_bm25_per_doc"): (1, "1-row avgdl scalar (dfreq de-hinted r06)"),
     ("operators/llmops.py", "q_rag_retrieval"): (1, "top-k hit list, k bounded"),
-    ("operators/llmops.py", "q_hybrid_search"): (1, "two top-k rank lists"),
+    ("operators/llmops.py", "_hybrid_arms"): (1, "1-row query-vector frame (hint moved here from q_hybrid_search in the r07 arms refactor)"),
+    ("operators/llmops.py", "retrieval_agreement"): (2, "two 1-row modality-count aggregates"),
+    ("operators/llmops.py", "embed_whiten"): (1, "1-row <w,w> scalar over the 64-row w2 frame"),
     ("operators/llmops.py", "q_decontam"): (1, "eval-suite shingle set (benchmarks are MBs, documented contract)"),
     ("operators/llmops.py", "q_weighted_sample"): (1, "1-row scalar total"),
     ("operators/llmops.py", "_lm_score_plan"): (1, "1-row vocab scalar"),

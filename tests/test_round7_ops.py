@@ -200,3 +200,101 @@ def test_r08_prep_plan_shapes(spark):
     # embed_pca's only nested-loop is the 1-row norm broadcast
     p = _plan(llmops.embed_pca(spark, SF_SMALL))
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_r09_prep_draft_oracles_parity(spark):
+    """The round-9 prep wave (measured-quality harnesses) is bit-exact
+    against its draft DuckDB twins at sf0.01 before registration."""
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    for name, fn, oracle in [
+        ("lang_id_eval", llmops.lang_id_eval, llmops.LANG_ID_EVAL_ORACLE),
+        ("join_card_est", llmops.join_card_est, llmops.JOIN_CARD_EST_ORACLE),
+        (
+            "retrieval_agreement",
+            llmops.retrieval_agreement,
+            llmops.RETRIEVAL_AGREEMENT_ORACLE,
+        ),
+        ("embed_whiten", llmops.embed_whiten, llmops.EMBED_WHITEN_ORACLE),
+    ]:
+        compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
+
+
+def test_lang_id_eval_consistent_with_classifier(spark):
+    """Confusion cells re-aggregate q_lang_id exactly: cell counts match
+    a Python rollup and shares sum to 1 per label."""
+    import collections
+
+    rows = llmops.q_lang_id(spark, SF_ORACLE).collect()
+    cells = collections.Counter((r["lang"], r["lang_guess"]) for r in rows)
+    got = {(r["lang"], r["lang_guess"]): r for r in
+           llmops.lang_id_eval(spark, SF_ORACLE).collect()}
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        assert got[k]["n_docs"] == n
+    by_label = collections.defaultdict(float)
+    for r in got.values():
+        by_label[r["lang"]] += r["share"]
+    for lang, tot in by_label.items():
+        assert abs(tot - 1.0) < 1e-9, (lang, tot)
+
+
+def test_join_card_est_formula_matches_materialized_join(spark):
+    """The count-product formula equals the materialized join's actual
+    cardinality (the audit's 'exact' arm is exact), and the sampled arm
+    is consistent with a Python re-derivation of the md5 sample."""
+    ev = table(spark, SF_ORACLE, "events").select("user_id", "event_type")
+    clicks = ev.where(F.col("event_type") == "click")
+    purch = ev.where(F.col("event_type") == "purchase")
+    actual = clicks.alias("c").join(
+        purch.alias("p"), F.col("c.user_id") == F.col("p.user_id")
+    ).count()
+    row = llmops.join_card_est(spark, SF_ORACLE).collect()[0]
+    assert row["exact_pairs"] == actual
+    assert row["n_keys_sampled"] <= row["n_keys_both"]
+    assert row["rel_err"] >= 0.0
+
+
+def test_retrieval_agreement_bounds(spark):
+    """Overlap and footrule respect their combinatorial bounds at depth:
+    0 <= overlap <= min(n_lex, n_vec); footrule <= n_overlap * (depth-1)."""
+    r = llmops.retrieval_agreement(spark, SF_ORACLE).collect()[0]
+    assert 0 <= r["n_overlap"] <= min(r["n_lex"], r["n_vec"])
+    assert 0.0 <= r["overlap_ratio"] <= 1.0
+    assert r["footrule"] <= r["n_overlap"] * (r["depth"] - 1)
+    if r["n_overlap"]:
+        assert r["mean_rank_gap"] == pytest.approx(
+            r["footrule"] / r["n_overlap"]
+        )
+
+
+def test_embed_whiten_removes_component_variance(spark):
+    """Removing the top component can only reduce total variance, the
+    drop must be strictly positive overall (the fixture cloud is
+    anisotropic enough for two power iterations), and per-dim var_after
+    stays nonnegative."""
+    rows = llmops.embed_whiten(spark, SF_ORACLE).collect()
+    tot_b = sum(r["var_before"] for r in rows)
+    tot_a = sum(r["var_after"] for r in rows)
+    assert tot_a < tot_b
+    for r in rows:
+        assert r["var_after"] >= 0.0
+        assert r["var_before"] >= 0.0
+
+
+def test_r09_prep_plan_shapes(spark):
+    """lang_id_eval stays join-free (per-row classifier + one agg +
+    bounded window); join_card_est's only join is the key-count
+    equi-join, hint-free; embed_whiten's nested-loop joins are only the
+    1-row scalar broadcasts."""
+    p = _plan(llmops.lang_id_eval(spark, SF_SMALL))
+    assert "Join" not in p, p
+
+    jce = llmops.join_card_est(spark, SF_SMALL)
+    assert "ResolvedHint" not in jce._jdf.queryExecution().analyzed().toString()
+    p = _plan(jce)
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    p = _plan(llmops.embed_whiten(spark, SF_SMALL))
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
