@@ -100,6 +100,11 @@ HEADLINE = [
     "q_dedup_cluster_stats",
     "q_stream_join_data",
     "q_stream_stateful_totals",
+    # round-7 wave 3 (measured-quality harnesses)
+    "q_lang_id_eval",
+    "q_join_card_est",
+    "q_retrieval_agreement",
+    "q_embed_whiten",
 ]
 
 HEADLINE_TRIALS = 3

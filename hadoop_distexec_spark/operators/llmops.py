@@ -5540,3 +5540,21 @@ EMBED_WHITEN_ORACLE = f"""
            CASE WHEN sb > 0 THEN 1.0 - sa / sb END AS var_drop
     FROM per CROSS JOIN nn
     """
+
+
+# Round-7 registration of the measured-quality wave (parity proof:
+# tests/test_round7_ops.py::test_r09_prep_draft_oracles_parity; window
+# arithmetic in the registration commit — all displaced stale ids stay
+# inside the change-aware bound).
+register("q_lang_id_eval", oracle=LANG_ID_EVAL_ORACLE)(lang_id_eval)
+lang_id_eval._fingerprint_extras = (q_lang_id,)
+
+register("q_join_card_est", oracle=JOIN_CARD_EST_ORACLE)(join_card_est)
+
+register("q_retrieval_agreement", oracle=RETRIEVAL_AGREEMENT_ORACLE)(
+    retrieval_agreement
+)
+retrieval_agreement._fingerprint_extras = (_hybrid_arms, _bm25_per_doc)
+
+register("q_embed_whiten", oracle=EMBED_WHITEN_ORACLE)(embed_whiten)
+embed_whiten._fingerprint_extras = (_embed_pca_core,)

@@ -59,7 +59,10 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # streaming DATA ops through the real runtime on 10x events
            "q_vocab_coverage", "q_ngram_novelty", "q_embed_pca",
            "q_pack_efficiency", "q_dedup_cluster_stats",
-           "q_stream_join_data", "q_stream_stateful_totals"]
+           "q_stream_join_data", "q_stream_stateful_totals",
+           # round-7 wave 3: the measured-quality harnesses
+           "q_lang_id_eval", "q_join_card_est", "q_retrieval_agreement",
+           "q_embed_whiten"]
 
 # The r06/r07 prep APIs all registered (rounds 6-7), so the lane keys on
 # registry ids alone; nothing unregistered is pending measurement.
