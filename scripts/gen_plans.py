@@ -33,6 +33,11 @@ PICKS = [
     ("q_quantile_bins", "fused exact+sketch aggregations sharing one Exchange"),
     ("q_key_skew_profile", "map-side-combined key agg + TakeOrdered + 1-row broadcast"),
     ("q_source_top_tokens", "token agg Exchange + per-source rank window, no global sort"),
+    # round-7 families
+    ("q_vocab_coverage", "TakeOrderedAndProject head, rank window on the bounded top-K only"),
+    ("q_pack_efficiency", "single join-free map-side-combinable agg on the bucket key"),
+    ("q_embed_pca", "64-cell dim-keyed aggregate; fold materialized below the Generate"),
+    ("q_join_card_est", "key-count equi-join, hint-free; one-row audit aggregate"),
 ]
 
 
