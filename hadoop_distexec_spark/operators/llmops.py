@@ -3010,10 +3010,14 @@ HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion
 HYBRID_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 HYBRID_TOPK = 20
 
-# Shared by q_hybrid_search and the round-8-prep retrieval-agreement
-# harness: the two modality rank lists (lexr/vecr) as CTE text — extracted
-# byte-identically from the hybrid oracle so arm definitions cannot drift
-# between fusion and agreement (q_hybrid_search's fingerprint unchanged).
+# Shared by q_hybrid_search and the retrieval-agreement harness: the two
+# modality rank lists (lexr/vecr) as CTE text — extracted byte-identically
+# from the hybrid oracle so arm definitions cannot drift between fusion
+# and agreement. NOTE: this refactor DID change q_hybrid_search's
+# registered source fingerprint (the fn body now delegates to
+# _hybrid_arms and the fingerprint extras grew) — its change-aware
+# staleness clock reset at the r07 rotation; only the oracle STRING is
+# byte-identical.
 _HYBRID_ARMS_SQL = f"""{_BM25_CORE_SQL},
     lex AS (SELECT doc_id, {_BM25_TOTAL_SQL} AS score FROM per_doc),
     lexr AS (
@@ -3753,9 +3757,10 @@ q_hybrid_search._fingerprint_extras = (_bm25_per_doc, _hybrid_arms)
 
 
 # ---------------------------------------------------------------------------
-# round-6 prep: implemented + pytest-gated now, registration queued for the
-# next witness-rotation window (the driver witnesses 50 ids/round and the
-# round-5 window is fully allocated — see registry._PRIORITY notes)
+# round-6 prep wave — REGISTERED at the r06 rotation and hash-green in
+# CORRECTNESS_r06 (q_uniform_sample / q_embed_norm_stats /
+# q_source_top_tokens / q_key_skew_profile). Header kept for provenance:
+# these were built one round ahead under the 50-witness/round budget.
 # ---------------------------------------------------------------------------
 
 
@@ -3989,12 +3994,11 @@ register("q_key_skew_profile", oracle=KEY_SKEW_PROFILE_ORACLE)(key_skew_profile)
 
 
 # ---------------------------------------------------------------------------
-# round-7 prep: implemented + pytest-gated now, registration queued for the
-# next rotation window (the r06 window is fully allocated — 4 registrations
-# + 46 of the 50 r03-stale ids; the r07 window opens 46 free slots after
-# the 4 r03 leftovers). Same pattern as the r05->r06 hand-off: each op
-# ships with a draft DuckDB twin parity-tested by tests/test_round6_ops.py
-# so registration stays a two-line diff.
+# round-7 wave 1 — prepped early in round 7, then REGISTERED the same
+# round once the re-rotated window opened slots (all 11 hold "never
+# never" first-witness slots in the r07 window; see rotation.py). Each op
+# shipped with a draft DuckDB twin parity-tested by
+# tests/test_round6_ops.py before registration.
 # ---------------------------------------------------------------------------
 
 
@@ -4851,9 +4855,9 @@ token_fertility._fingerprint_extras = (q_bpe_apply,)
 
 
 # ---------------------------------------------------------------------------
-# round-8 prep (the established hand-off pattern: implemented + pytest-gated
-# with TESTED draft oracle twins now, registration queued for the next
-# rotation window). Corpus-audit and embedding-analysis operators a
+# round-7 wave 2 — prepped as a round-8 hand-off, then REGISTERED within
+# round 7 (window slots remained after wave 1; all five sit in the r07
+# first-witness window). Corpus-audit and embedding-analysis operators a
 # training-data pipeline runs before committing a tokenizer / index build.
 # ---------------------------------------------------------------------------
 
@@ -5197,11 +5201,11 @@ embed_pca._fingerprint_extras = (_embed_pca_core,)
 
 
 # ---------------------------------------------------------------------------
-# round-9 prep, wave started in round 7 (implemented + pytest-gated with
-# TESTED draft oracle twins; registration queued for a future rotation
-# window): measured-quality harnesses — classifier accuracy, retrieval-arm
-# agreement, and join-planning estimator error. The repo's standing rule:
-# a heuristic/sketch/estimator ships WITH the harness that measures it.
+# round-7 wave 3 — measured-quality harnesses, REGISTERED in round 7
+# (first-witness slots in the r07 window): classifier accuracy,
+# retrieval-arm agreement, and join-planning estimator error. The repo's
+# standing rule: a heuristic/sketch/estimator ships WITH the harness that
+# measures it.
 # ---------------------------------------------------------------------------
 
 

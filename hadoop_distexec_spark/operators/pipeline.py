@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from hadoop_distexec_spark.operators.llmops import _SHINGLES_SQL, MAX_SHINGLE_DF
+from hadoop_distexec_spark.operators.llmops import (
+    _SHINGLES_SQL,
+    MAX_SHINGLE_DF,
+    _tokens,
+)
 from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
@@ -811,7 +815,7 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2(longest doc)."""
     cap = PACK_TOKENS
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    toks = F.filter(_tokens(F.col("text")), lambda x: F.length(x) > 0)
     t = docs.select(F.size(toks).cast("long").alias("n")).where(F.col("n") > 0)
     p = F.when(F.col("n") <= 1, F.lit(1).cast("long")).otherwise(
         F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")

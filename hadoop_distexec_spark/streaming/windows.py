@@ -705,10 +705,10 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round-7 prep (registration queued for the next rotation window, the
-# llmops prep pattern): the stream-STATIC dimension join — the one core
-# Structured Streaming join shape the registry didn't yet cover
-# (stream-stream: q_stream_join_smoke; stream-static: this).
+# round-7 wave 1 (REGISTERED round 7, first-witness slot in the r07
+# window): the stream-STATIC dimension join — the one core Structured
+# Streaming join shape the registry didn't yet cover (stream-stream:
+# q_stream_join_smoke; stream-static: this).
 # ---------------------------------------------------------------------------
 
 
@@ -768,11 +768,12 @@ stream_dim_join_check._fingerprint_extras = (stream_dim_join,)
 
 
 # ---------------------------------------------------------------------------
-# round-8 prep (registration queued): DATA-oracle upgrades of the two
-# assertive streaming smokes. q_stream_join_smoke / q_stream_stateful_smoke
-# prove stream==batch and hand the driver a check counter; these return the
-# actual rows so the DuckDB oracle checks real data (the q_stream_dim_join
-# pattern applied to the stream-stream and arbitrary-stateful tiers).
+# round-7 wave 2 (REGISTERED round 7, first-witness slots in the r07
+# window): DATA-oracle upgrades of the two assertive streaming smokes.
+# q_stream_join_smoke / q_stream_stateful_smoke prove stream==batch and
+# hand the driver a check counter; these return the actual rows so the
+# DuckDB oracle checks real data (the q_stream_dim_join pattern applied
+# to the stream-stream and arbitrary-stateful tiers).
 # ---------------------------------------------------------------------------
 
 

@@ -122,7 +122,14 @@ def main() -> None:
     # --only a,b,c: re-measure a subset against an already-synthesized
     # tree (pair with --reuse) instead of re-running the whole lane
     if "--only" in sys.argv:
-        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
+            sys.exit("usage: sf1_stress.py [--reuse] [--only qid,qid,...]")
+        keep = set(sys.argv[idx].split(","))
+        known = {q for q, _ in runs}
+        unknown = keep - known
+        if unknown:
+            sys.exit(f"--only names unknown ids: {sorted(unknown)}")
         runs = [(q, f) for q, f in runs if q in keep]
     for qid, fn in runs:
         spark.catalog.clearCache()

@@ -33,8 +33,12 @@ def test_round6_ids_registered_with_oracles():
     sit inside the 50-entry driver window (awaiting first witness) or
     already hold a driver witness in the ledger."""
     import json
+    import os
 
-    with open("WITNESS_LEDGER.json") as f:
+    ledger_path = os.path.join(
+        os.path.dirname(__file__), "..", "WITNESS_LEDGER.json"
+    )
+    with open(ledger_path) as f:
         ledger = json.load(f)["ids"]
     window = list(SPECS)[:50]
     for qid in NEW_IDS:

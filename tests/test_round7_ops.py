@@ -1,9 +1,9 @@
-"""Round-7 invariants: the r08-prep operators (implemented + draft-oracle
-parity-tested this round, registration queued for the next rotation
-window) — vocabulary coverage curve, per-source shingle novelty, the top
-principal component by unrolled power iteration, padded-packing waste
-audit, dedup cluster-size spectrum, and the two streaming DATA-oracle
-upgrades (stream-stream join rows, exact-integer stateful totals)."""
+"""Round-7 invariants for the wave-2 operators (prepped, draft-oracle
+parity-tested, then REGISTERED within round 7) — vocabulary coverage
+curve, per-source shingle novelty, the top principal component by
+unrolled power iteration, padded-packing waste audit, dedup cluster-size
+spectrum, and the two streaming DATA-oracle upgrades (stream-stream join
+rows, exact-integer stateful totals)."""
 
 import math
 
