@@ -60,6 +60,7 @@ def _load_modules() -> None:
         pipeline,
         multimodal,
         llmops,
+        audits,
     )
 
 

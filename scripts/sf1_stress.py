@@ -64,9 +64,16 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_lang_id_eval", "q_join_card_est", "q_retrieval_agreement",
            "q_embed_whiten"]
 
-# The r06/r07 prep APIs all registered (rounds 6-7), so the lane keys on
-# registry ids alone; nothing unregistered is pending measurement.
-PREP_APIS: list[str] = []
+# Unregistered prep APIs pending a rotation window still get a 10x
+# reading (round-6 review: extend the stress lane to prep APIs). The
+# round-8 audit wave lives in operators/audits.py.
+PREP_APIS: list[str] = [
+    "cms_topk",
+    "drift_tvd",
+    "k_anonymity",
+    "itemset_pairs",
+    "sliding_distinct",
+]
 
 
 def synthesize(spark) -> None:
@@ -112,12 +119,16 @@ def main() -> None:
         synthesize(spark)
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    from hadoop_distexec_spark.operators import llmops
+    from hadoop_distexec_spark.operators import audits, llmops
 
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _prep_fn(name: str):
+        return getattr(audits, name, None) or getattr(llmops, name)
+
     runs = [(qid, specs[qid].fn) for qid in QUERIES] + [
-        (name, getattr(llmops, name)) for name in PREP_APIS
+        (name, _prep_fn(name)) for name in PREP_APIS
     ]
     # --only a,b,c: re-measure a subset against an already-synthesized
     # tree (pair with --reuse) instead of re-running the whole lane
