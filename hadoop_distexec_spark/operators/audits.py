@@ -541,3 +541,443 @@ SLIDING_DISTINCT_ORACLE = f"""
            TRUE AS hll_within_10pct
     FROM wins GROUP BY win_start_s
     """
+
+
+# ===========================================================================
+# Round-8 prep, wave 2: per-source cap sampling, per-group OLS, Benford
+# first-digit audit, l-diversity, and an unbinned exact KS drift statistic.
+# Same hand-off pattern as wave 1: implemented + pytest-gated with TESTED
+# draft DuckDB twins (tests/test_round8_ops.py), registration queued for
+# the round-8 rotation window.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# domain_cap_sample — cap documents per source (the pretraining domain cap)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20  # keep at most this many docs per source
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the standard pretraining-mix step that
+    stops one crawl domain from dominating the corpus: within each
+    source keep at most {DOMAIN_CAP} documents chosen by a deterministic
+    md5(doc_id) priority (a fixed uniform sample, retry-stable across
+    reruns), and report the per-source audit: docs/chars before, kept
+    and dropped counts, kept-char share in exact ppm, and whether the
+    cap actually bit. The kept-CHARS column is the proof the priority
+    order is load-bearing: WHICH docs survive decides it, not just how
+    many (cf. q_uniform_sample's unique-key contract).
+
+    Determinism: priority = (md5 of the decimal doc_id string, doc_id)
+    — total order, no ties; counts exact bigints; shares integer ppm.
+
+    Shape at 100 TB: one row_number window partitioned by source (the
+    per-source sort is bounded by the largest source's doc count; a
+    two-phase per-partition pre-top-cap would bound it further and is
+    noted, not needed at audit cadence) feeding one map-side-combinable
+    per-source aggregate. No join; output is |sources| rows."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("pri"),
+    )
+    rn = d.select(
+        "source",
+        "n_chars",
+        F.expr(
+            "row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)"
+        ).alias("rn"),
+    )
+    return (
+        rn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("rn") <= DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= DOMAIN_CAP, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            (F.col("n_docs") > DOMAIN_CAP).alias("cap_hit"),
+            "total_chars",
+            "kept_chars",
+            F.expr("kept_chars * 1000000 div total_chars")
+            .cast("long")
+            .alias("kept_chars_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_CAP_SAMPLE_ORACLE = f"""
+    WITH d AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COUNT(*) - CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_dropped,
+           COUNT(*) > {DOMAIN_CAP} AS cap_hit,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                * 1000000 // SUM(n_chars) AS BIGINT) AS kept_chars_ppm
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# group_ols — per-group least-squares fit in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+def group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extended price on
+    quantity over lineitem (grouped by return flag) — the grouped
+    regression every pricing/forecast sanity check runs, expressed as
+    the five classic sufficient statistics (n, Sx, Sy, Sxx, Sxy) so the
+    whole fit is ONE map-side-combinable aggregate.
+
+    Determinism: both measures quantize to integer cents BEFORE any
+    arithmetic; the sufficient statistics accumulate as DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — bit-equal int128 lanes; slope and
+    intercept come out of the closed form by integer ``div`` at ppm
+    precision (truncating division matches engines for either sign —
+    verified). No IEEE addition anywhere, so the fit is independent of
+    partitioning and row order.
+
+    Shape at 100 TB: one aggregate over the scan (pruned to 3 columns),
+    output = |groups| rows; the closed-form division happens on those
+    rows only. Headroom: n*Sxy*1e6 at 1e10 rows of cents-scale values
+    stays under 1e37 < DECIMAL(38) — documented, not assumed."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yc").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("xq") * F.col("yc")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    fit = s.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.col("sx").cast("long").alias("sx_cents"),
+        F.col("sy").cast("long").alias("sy_cents"),
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        "slope_ppm",
+        F.expr(
+            "CAST((CAST(sy_cents AS DECIMAL(38,0)) * 1000000"
+            " - CAST(slope_ppm AS DECIMAL(38,0)) * sx_cents)"
+            " div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("intercept_cents"),
+    ).orderBy("l_returnflag")
+
+
+GROUP_OLS_ORACLE = """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(xq AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(yc AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(xq AS HUGEINT) * yc) AS HUGEINT) AS sxy
+      FROM q GROUP BY l_returnflag),
+    fit AS (
+      SELECT l_returnflag, n,
+             CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                  AS BIGINT) AS slope_ppm,
+             CAST(sx AS BIGINT) AS sx_cents,
+             CAST(sy AS BIGINT) AS sy_cents
+      FROM s)
+    SELECT l_returnflag, n, slope_ppm,
+           CAST((CAST(sy_cents AS HUGEINT) * 1000000
+                 - CAST(slope_ppm AS HUGEINT) * sx_cents)
+                // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS intercept_cents
+    FROM fit ORDER BY l_returnflag
+    """
+
+
+# ---------------------------------------------------------------------------
+# benford_audit — first-significant-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6): public constants of Benford's law, shared
+# verbatim by both engines via this dict so they cannot drift.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())
+    + " END"
+)
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic synthetic-data / fraud screen a finance
+    pipeline runs over every new feed: per digit 1-9, the observed count
+    and share (exact ppm), the Benford expectation (shared literal
+    constants), the absolute deviation, and the summed total deviation
+    carried on every row. TPC-H-ish uniform prices should FAIL Benford
+    hard — the audit's value is the measured distance, not a pass flag.
+
+    Determinism: the digit comes from the DECIMAL STRING of integer
+    cents (no log10, no float compare); shares are integer ppm via
+    ``div``; the expectation literals live in one Python dict rendered
+    into both engines' SQL.
+
+    Shape at 100 TB: one conditional aggregate over the scan pruned to
+    one column — 9 output cells, map-side combinable; the share/total
+    windows run over those 9 rows only. No join, no sort."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    cnt = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    shares = cnt.select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 div sum(n) OVER ()").cast("long").alias("share_ppm"),
+        F.expr(_BENFORD_CASE).cast("long").alias("benford_ppm"),
+    )
+    return shares.select(
+        "digit",
+        "n",
+        "share_ppm",
+        "benford_ppm",
+        F.abs(F.col("share_ppm") - F.col("benford_ppm")).alias("dev_ppm"),
+        F.expr("sum(abs(share_ppm - benford_ppm)) OVER ()")
+        .cast("long")
+        .alias("total_dev_ppm"),
+    ).orderBy("digit")
+
+
+BENFORD_AUDIT_ORACLE = f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders),
+    cnt AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    shares AS (
+      SELECT digit, n,
+             CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm,
+             CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+      FROM cnt)
+    SELECT digit, n, share_ppm, benford_ppm,
+           abs(share_ppm - benford_ppm) AS dev_ppm,
+           CAST(SUM(abs(share_ppm - benford_ppm)) OVER () AS BIGINT)
+             AS total_dev_ppm
+    FROM shares ORDER BY digit
+    """
+
+
+# ---------------------------------------------------------------------------
+# l_diversity — sensitive-attribute diversity per quasi-identifier group
+# ---------------------------------------------------------------------------
+
+L_DIV_THRESHOLD = 2  # groups with fewer distinct sensitive values are at risk
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit beside ``k_anonymity``: k-anonymity bounds how
+    FEW rows share a quasi-identifier, but a group whose rows all carry
+    the SAME sensitive value still leaks it — l-diversity counts the
+    distinct sensitive values (market segment) per QI group (nation x
+    balance bucket) and reports the l-spectrum: for each observed l, how
+    many groups and rows sit there, row share in exact ppm, and the
+    at-risk flag below l={L_DIV_THRESHOLD}. The second gate of the same
+    privacy release k_anonymity fronts.
+
+    Determinism: same single-IEEE-division balance bucket as
+    k_anonymity (shared contract); all else exact bigint.
+
+    Shape at 100 TB: one (QI, sensitive) aggregate — map-side combined,
+    the only full-volume shuffle — then a QI-level count, then a
+    bounded l-spectrum aggregate; the ppm window runs over the handful
+    of spectrum rows. Join-free."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(K_ANON_BAL_BUCKET)).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    per_value = c.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows_v")
+    )
+    groups = per_value.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("n_rows_v").alias("k_size"),
+    )
+    spectrum = groups.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k_size").alias("n_rows"),
+    )
+    return spectrum.select(
+        "l_distinct",
+        "n_groups",
+        "n_rows",
+        (F.col("l_distinct") < L_DIV_THRESHOLD).alias("at_risk"),
+        F.expr("n_rows * 1000000 div sum(n_rows) OVER ()")
+        .cast("long")
+        .alias("share_rows_ppm"),
+    ).orderBy("l_distinct")
+
+
+L_DIVERSITY_ORACLE = f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {K_ANON_BAL_BUCKET}) AS BIGINT)
+               AS bal_bucket
+      FROM customer),
+    per_value AS (
+      SELECT c_nationkey, bal_bucket, c_mktsegment, COUNT(*) AS n_rows_v
+      FROM qi GROUP BY 1, 2, 3),
+    groups AS (
+      SELECT c_nationkey, bal_bucket,
+             COUNT(*) AS l_distinct, SUM(n_rows_v) AS k_size
+      FROM per_value GROUP BY 1, 2),
+    spectrum AS (
+      SELECT l_distinct, COUNT(*) AS n_groups,
+             CAST(SUM(k_size) AS BIGINT) AS n_rows
+      FROM groups GROUP BY l_distinct)
+    SELECT CAST(l_distinct AS BIGINT) AS l_distinct,
+           CAST(n_groups AS BIGINT) AS n_groups, n_rows,
+           l_distinct < {L_DIV_THRESHOLD} AS at_risk,
+           CAST(n_rows * 1000000 // SUM(n_rows) OVER () AS BIGINT)
+             AS share_rows_ppm
+    FROM spectrum ORDER BY l_distinct
+    """
+
+
+# ---------------------------------------------------------------------------
+# ks_doclen — exact Kolmogorov-Smirnov drift statistic, unbinned
+# ---------------------------------------------------------------------------
+
+KS_TOPK = 10
+
+
+def ks_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    document-length distributions of the corpus's first and second
+    halves (split at the doc_id midpoint, the ingestion-order drift
+    probe) — the UNBINNED companion to ``drift_tvd``: TVD on 8 bins can
+    miss a shift that never crosses a bin edge; KS evaluates the CDF gap
+    at every observed length. Returns the {KS_TOPK} lengths with the
+    largest |CDF_a - CDF_b| gap (where the drift lives), each row
+    carrying the global KS statistic in exact ppm.
+
+    Determinism: CDFs are cumulative bigint counts over the distinct
+    sorted lengths, shares integer ppm via ``div``; ties are impossible
+    (one row per distinct length); top-k breaks on (gap desc, length).
+
+    Shape at 100 TB: one 1-row min/max broadcast (whitelisted: provably
+    1 row), one conditional aggregate to |distinct lengths| cells, and
+    cumulative/max windows over those cells only — for a bounded-domain
+    statistic like doc length that's thousands of rows, not the corpus.
+    The head is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stats = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    tagged = d.crossJoin(F.broadcast(stats)).select(
+        "n_chars", (F.col("doc_id") * 2 <= F.col("lo") + F.col("hi")).alias("is_a")
+    )
+    cells = tagged.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cnt_b"),
+    )
+    cdf = cells.select(
+        "n_chars",
+        "cnt_a",
+        "cnt_b",
+        F.expr(
+            "sum(cnt_a) OVER (ORDER BY n_chars) * 1000000 div sum(cnt_a) OVER ()"
+        )
+        .cast("long")
+        .alias("cdf_a_ppm"),
+        F.expr(
+            "sum(cnt_b) OVER (ORDER BY n_chars) * 1000000 div sum(cnt_b) OVER ()"
+        )
+        .cast("long")
+        .alias("cdf_b_ppm"),
+    )
+    gaps = cdf.select(
+        "n_chars",
+        "cnt_a",
+        "cnt_b",
+        "cdf_a_ppm",
+        "cdf_b_ppm",
+        F.abs(F.col("cdf_a_ppm") - F.col("cdf_b_ppm")).alias("gap_ppm"),
+    )
+    return (
+        gaps.select(
+            "n_chars",
+            "cnt_a",
+            "cnt_b",
+            "cdf_a_ppm",
+            "cdf_b_ppm",
+            "gap_ppm",
+            F.expr("max(gap_ppm) OVER ()").cast("long").alias("ks_ppm"),
+        )
+        .orderBy(F.col("gap_ppm").desc(), "n_chars")
+        .limit(KS_TOPK)
+    )
+
+
+KS_DOCLEN_ORACLE = f"""
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+    stats AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+    tagged AS (
+      SELECT n_chars, doc_id * 2 <= lo + hi AS is_a FROM d, stats),
+    cells AS (
+      SELECT n_chars,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM tagged GROUP BY n_chars),
+    cdf AS (
+      SELECT n_chars, cnt_a, cnt_b,
+             CAST(SUM(cnt_a) OVER (ORDER BY n_chars) * 1000000
+                  // SUM(cnt_a) OVER () AS BIGINT) AS cdf_a_ppm,
+             CAST(SUM(cnt_b) OVER (ORDER BY n_chars) * 1000000
+                  // SUM(cnt_b) OVER () AS BIGINT) AS cdf_b_ppm
+      FROM cells),
+    gaps AS (
+      SELECT n_chars, cnt_a, cnt_b, cdf_a_ppm, cdf_b_ppm,
+             abs(cdf_a_ppm - cdf_b_ppm) AS gap_ppm
+      FROM cdf)
+    SELECT n_chars, cnt_a, cnt_b, cdf_a_ppm, cdf_b_ppm, gap_ppm,
+           CAST(MAX(gap_ppm) OVER () AS BIGINT) AS ks_ppm
+    FROM gaps
+    ORDER BY gap_ppm DESC, n_chars LIMIT {KS_TOPK}
+    """

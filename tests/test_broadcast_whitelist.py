@@ -58,6 +58,7 @@ WHITELIST = {
     ("operators/llmops.py", "vocab_coverage"): (2, "3-row static tier table + 1-row totals aggregate"),
     ("operators/llmops.py", "embed_pca"): (1, "1-row norm scalar over the 64-row w2 frame"),
     ("operators/audits.py", "drift_tvd"): (1, "1-row min/max epoch+cents scalar aggregate"),
+    ("operators/audits.py", "ks_doclen"): (1, "1-row min/max doc_id scalar aggregate"),
 }
 
 

@@ -176,3 +176,177 @@ def test_audit_wave_plan_shapes(spark):
 
     p = _plan(audits.sliding_distinct(spark, SF_SMALL))
     assert "Join" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: domain cap, grouped OLS, Benford, l-diversity, exact KS
+# ---------------------------------------------------------------------------
+
+WAVE2 = [
+    ("domain_cap_sample", audits.domain_cap_sample, audits.DOMAIN_CAP_SAMPLE_ORACLE),
+    ("group_ols", audits.group_ols, audits.GROUP_OLS_ORACLE),
+    ("benford_audit", audits.benford_audit, audits.BENFORD_AUDIT_ORACLE),
+    ("l_diversity", audits.l_diversity, audits.L_DIVERSITY_ORACLE),
+    ("ks_doclen", audits.ks_doclen, audits.KS_DOCLEN_ORACLE),
+]
+
+
+def test_audit_wave2_draft_oracles_parity(spark):
+    """Every wave-2 operator is bit-exact against its draft DuckDB twin
+    at sf0.01 BEFORE registration — the same gate the driver runs."""
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    for name, fn, oracle in WAVE2:
+        compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
+    con.close()
+
+
+def test_domain_cap_selection_matches_brute_force(spark):
+    """Count laws (kept = min(n, cap), dropped complement, cap_hit) AND
+    the selection itself: kept_chars must equal a pandas brute force of
+    the same md5 priority — proving WHICH docs survive is deterministic,
+    not just how many."""
+    import hashlib
+
+    rows = {r["source"]: r for r in audits.domain_cap_sample(spark, SF_ORACLE).collect()}
+    docs = (
+        table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d)
+    assert set(rows) == set(by_src)
+    for src, ds in by_src.items():
+        r = rows[src]
+        assert r["n_docs"] == len(ds)
+        assert r["n_kept"] == min(len(ds), audits.DOMAIN_CAP)
+        assert r["n_dropped"] == r["n_docs"] - r["n_kept"]
+        assert r["cap_hit"] == (r["n_docs"] > audits.DOMAIN_CAP)
+        assert r["total_chars"] == sum(d["n_chars"] for d in ds)
+        pri = sorted(
+            ds,
+            key=lambda d: (
+                hashlib.md5(str(d["doc_id"]).encode()).hexdigest(),
+                d["doc_id"],
+            ),
+        )
+        kept = pri[: audits.DOMAIN_CAP]
+        assert r["kept_chars"] == sum(d["n_chars"] for d in kept)
+        assert (
+            r["kept_chars_ppm"]
+            == r["kept_chars"] * 1_000_000 // r["total_chars"]
+        )
+
+
+def test_group_ols_matches_float_reference(spark):
+    """The exact integer closed form agrees with an IEEE least-squares
+    fit of the same cents-quantized points to well under the ppm grid —
+    the integer lane is a determinism device, not a different model."""
+    rows = audits.group_ols(spark, SF_ORACLE).collect()
+    pts = (
+        table(spark, SF_ORACLE, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+        )
+        .collect()
+    )
+    by_g = {}
+    for p in pts:
+        by_g.setdefault(p["l_returnflag"], []).append((p["xq"], p["yc"]))
+    assert {r["l_returnflag"] for r in rows} == set(by_g)
+    for r in rows:
+        xs, ys = zip(*by_g[r["l_returnflag"]])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        assert r["n"] == n
+        assert abs(r["slope_ppm"] - slope * 1_000_000) <= 1.0
+        assert abs(r["intercept_cents"] - intercept) <= 1.0
+
+
+def test_benford_audit_laws(spark):
+    rows = audits.benford_audit(spark, SF_ORACLE).collect()
+    n_orders = table(spark, SF_ORACLE, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+    total = {r["total_dev_ppm"] for r in rows}
+    assert len(total) == 1
+    for r in rows:
+        assert r["benford_ppm"] == audits.BENFORD_PPM[r["digit"]]
+        assert r["dev_ppm"] == abs(r["share_ppm"] - r["benford_ppm"])
+    assert total == {sum(r["dev_ppm"] for r in rows)}
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    """Same QI definition => same row total and the SAME group total as
+    k_anonymity's spectrum; l is bounded by the sensitive domain; the
+    at-risk flag follows the threshold."""
+    ld = audits.l_diversity(spark, SF_ORACLE).collect()
+    ka = audits.k_anonymity(spark, SF_ORACLE).collect()
+    n_cust = table(spark, SF_ORACLE, "customer").count()
+    n_seg = (
+        table(spark, SF_ORACLE, "customer").select("c_mktsegment").distinct().count()
+    )
+    assert sum(r["n_rows"] for r in ld) == n_cust
+    for r in ld:
+        assert 1 <= r["l_distinct"] <= n_seg
+        assert r["at_risk"] == (r["l_distinct"] < audits.L_DIV_THRESHOLD)
+    # k_anonymity groups on (nation, segment, bucket); l_diversity's QI
+    # drops the sensitive segment, so it must have AT MOST as many groups
+    ka_groups = sum(r["n_groups"] for r in ka)
+    ld_groups = sum(r["n_groups"] for r in ld)
+    assert 0 < ld_groups <= ka_groups
+
+
+def test_ks_doclen_matches_brute_force(spark):
+    """The KS statistic equals a pure-Python replay of the same integer
+    CDF arithmetic, and every reported row carries it."""
+    rows = audits.ks_doclen(spark, SF_ORACLE).collect()
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars").collect()
+    lo = min(d["doc_id"] for d in docs)
+    hi = max(d["doc_id"] for d in docs)
+    cells = {}
+    for d in docs:
+        a = d["doc_id"] * 2 <= lo + hi
+        ca, cb = cells.get(d["n_chars"], (0, 0))
+        cells[d["n_chars"]] = (ca + a, cb + (not a))
+    tot_a = sum(a for a, _ in cells.values())
+    tot_b = sum(b for _, b in cells.values())
+    cum_a = cum_b = 0
+    gaps = {}
+    for v in sorted(cells):
+        cum_a += cells[v][0]
+        cum_b += cells[v][1]
+        gaps[v] = abs(cum_a * 1_000_000 // tot_a - cum_b * 1_000_000 // tot_b)
+    ks = max(gaps.values())
+    assert len(rows) == audits.KS_TOPK
+    expected = sorted(gaps.items(), key=lambda kv: (-kv[1], kv[0]))[: audits.KS_TOPK]
+    assert [(r["n_chars"], r["gap_ppm"]) for r in rows] == expected
+    for r in rows:
+        assert r["ks_ppm"] == ks
+        assert 0 <= r["gap_ppm"] <= r["ks_ppm"] <= 1_000_000
+
+
+def test_audit_wave2_plan_shapes(spark):
+    """Shape claims gated on executed plans: domain_cap / group_ols /
+    benford / l_diversity are join-free single-aggregate pipelines;
+    ks_doclen carries exactly its one whitelisted 1-row stats broadcast
+    and a TakeOrderedAndProject head."""
+    for fn in (audits.group_ols, audits.benford_audit, audits.l_diversity):
+        p = _plan(fn(spark, SF_SMALL))
+        assert "Join" not in p, p
+    p = _plan(audits.domain_cap_sample(spark, SF_SMALL))
+    assert "Join" not in p, p
+    p = _plan(audits.ks_doclen(spark, SF_SMALL))
+    assert p.count("BroadcastNestedLoopJoin") <= 1 and "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
