@@ -73,6 +73,13 @@ PREP_APIS: list[str] = [
     "k_anonymity",
     "itemset_pairs",
     "sliding_distinct",
+    # wave 2 (round-7 session): cap sampling, grouped OLS, Benford,
+    # l-diversity, exact KS
+    "domain_cap_sample",
+    "group_ols",
+    "benford_audit",
+    "l_diversity",
+    "ks_doclen",
 ]
 
 
