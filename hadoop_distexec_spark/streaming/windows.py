@@ -905,3 +905,67 @@ register("q_stream_stateful_totals", oracle=STREAM_STATEFUL_TOTALS_ORACLE)(
     stream_stateful_totals
 )
 stream_stateful_totals._fingerprint_extras = (streaming_user_totals_exact,)
+
+
+# ---------------------------------------------------------------------------
+# round-8 prep: replay dedup with DATA through the real runtime
+# (registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion dedup witnessed with DATA: the event
+    stream UNIONED with a full replay of itself (two streaming sources
+    over the same fixture — the Kafka-redelivery shape every exactly-once
+    pipeline fronts) deduplicated by dropDuplicatesWithinWatermark
+    through the REAL runtime, asserted row-for-row equal to the batch
+    distinct set, then returned for the data oracle. Upgrades
+    q_stream_dedup_smoke's id-set counter check to full-row content: the
+    survivors carry every passthrough column, so a dedup that kept the
+    wrong copy (or mangled one) fails the oracle hash, not just a count.
+
+    Raw per-row values only (ids, epoch micros, value passed through) —
+    no cross-row float reduction, rule-3 trivial.
+
+    Shape at 100 TB: one shuffle on event_id; state holds only keys
+    younger than the watermark (the bounded-state contract
+    streaming_dedup documents) — the replay doubles input volume but
+    not state, since both copies of a key land inside one watermark
+    window."""
+    ev1 = read_events_stream(spark, sf_dir)
+    ev2 = read_events_stream(spark, sf_dir)
+    replayed = ev1.unionByName(ev2)
+    got = _run_bounded(
+        streaming_dedup(replayed).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        ),
+        "append",
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .distinct()
+    )
+    mism = got.exceptAll(batch).unionAll(batch.exceptAll(got)).count()
+    if mism:
+        raise AssertionError(
+            f"replay dedup diverged from batch distinct on {mism} rows"
+        )
+    return got
+
+
+STREAM_DEDUP_DATA_ORACLE = """
+    SELECT DISTINCT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us, value
+    FROM events
+    """

@@ -80,6 +80,11 @@ PREP_APIS: list[str] = [
     "benford_audit",
     "l_diversity",
     "ks_doclen",
+    # wave 3: a-priori round two, the measured-FPR bloom, PQ recall
+    "itemset_triples",
+    "bloom_fpr_eval",
+    "pq_recall",
+    "stream_dedup_data",
 ]
 
 
@@ -127,12 +132,17 @@ def main() -> None:
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     from hadoop_distexec_spark.operators import audits, llmops
+    from hadoop_distexec_spark.streaming import windows
 
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
 
     def _prep_fn(name: str):
-        return getattr(audits, name, None) or getattr(llmops, name)
+        return (
+            getattr(audits, name, None)
+            or getattr(llmops, name, None)
+            or getattr(windows, name)
+        )
 
     runs = [(qid, specs[qid].fn) for qid in QUERIES] + [
         (name, _prep_fn(name)) for name in PREP_APIS

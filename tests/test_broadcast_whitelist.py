@@ -59,6 +59,7 @@ WHITELIST = {
     ("operators/llmops.py", "embed_pca"): (1, "1-row norm scalar over the 64-row w2 frame"),
     ("operators/audits.py", "drift_tvd"): (1, "1-row min/max epoch+cents scalar aggregate"),
     ("operators/audits.py", "ks_doclen"): (1, "1-row min/max doc_id scalar aggregate"),
+    ("operators/audits.py", "bloom_fpr_eval"): (6, "six 1-row scalar aggregates (max shipdate, build count+slice size x3 uses, neg count, false-pos count)"),
 }
 
 

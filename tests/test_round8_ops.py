@@ -117,9 +117,9 @@ def test_itemset_pairs_support_laws(spark):
     assert 0 < len(rows) <= audits.ITEMSET_TOPK
     for r in rows:
         assert r["part_a"] < r["part_b"]
-        assert r["sup_a"] >= audits.ITEMSET_MIN_SUPPORT
-        assert r["sup_b"] >= audits.ITEMSET_MIN_SUPPORT
-        assert audits.ITEMSET_MIN_PAIR <= r["n_co"] <= min(r["sup_a"], r["sup_b"])
+        assert r["sup_a"] >= 25  # 1700 ppm of the 14743 sf0.01 baskets
+        assert r["sup_b"] >= 25
+        assert 3 <= r["n_co"] <= min(r["sup_a"], r["sup_b"])  # 204 ppm -> 3
         assert 0 < r["jaccard_ppm"] <= 1_000_000
 
 
@@ -166,6 +166,8 @@ def test_audit_wave_plan_shapes(spark):
     assert p.count("BroadcastNestedLoopJoin") <= 1 and "CartesianProduct" not in p, p
 
     it = audits.itemset_pairs(spark, SF_SMALL)
+    # rate cutoffs are plan LITERALS (one bounded planning collect) —
+    # no hint, no scalar-broadcast subtree to duplicate
     assert "ResolvedHint" not in it._jdf.queryExecution().analyzed().toString()
     p = _plan(it)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
@@ -350,3 +352,139 @@ def test_audit_wave2_plan_shapes(spark):
     p = _plan(audits.ks_doclen(spark, SF_SMALL))
     assert p.count("BroadcastNestedLoopJoin") <= 1 and "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: a-priori round two, bloom FPR harness, PQ recall, replay dedup
+# ---------------------------------------------------------------------------
+
+
+def _wave3():
+    from hadoop_distexec_spark.operators import llmops
+    from hadoop_distexec_spark.streaming import windows
+
+    return [
+        ("itemset_triples", audits.itemset_triples, audits.ITEMSET_TRIPLES_ORACLE),
+        ("bloom_fpr_eval", audits.bloom_fpr_eval, audits.BLOOM_FPR_EVAL_ORACLE),
+        ("pq_recall", llmops.pq_recall, llmops.PQ_RECALL_ORACLE),
+        (
+            "stream_dedup_data",
+            windows.stream_dedup_data,
+            windows.STREAM_DEDUP_DATA_ORACLE,
+        ),
+    ]
+
+
+def test_audit_wave3_draft_oracles_parity(spark):
+    """Every wave-3 operator is bit-exact against its draft DuckDB twin
+    at sf0.01 BEFORE registration — the same gate the driver runs."""
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    for name, fn, oracle in _wave3():
+        compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
+    con.close()
+
+
+def test_itemset_triples_downward_closure(spark):
+    """Every reported triple's three sub-pairs are frequent pairs, and
+    the triple's support cannot exceed any sub-pair's support."""
+    triples = audits.itemset_triples(spark, SF_ORACLE).collect()
+    assert 0 < len(triples) <= audits.ITEMSET_TRIPLE_TOPK
+    pc = {
+        (r["part_a"], r["part_b"]): r["n_co"]
+        for r in audits._pair_counts(
+            *audits._frequent_basket_items(spark, SF_ORACLE),
+            audits.ITEMSET_TRIPLE_PPM,
+        ).collect()
+    }
+    for t in triples:
+        a, b, c = t["part_a"], t["part_b"], t["part_c"]
+        assert a < b < c
+        for pair in ((a, b), (a, c), (b, c)):
+            assert pair in pc, f"triple {t} reported but {pair} not frequent"
+            assert t["n_co"] <= pc[pair]
+        assert t["n_co"] >= 2  # the rate floor at sf0.01 resolves to 2
+
+
+def test_bloom_no_false_negatives_and_laws(spark):
+    """The bloom property proper: every BUILD key must pass all hashes
+    (re-derive the bit set the operator's own way and probe the build
+    side); the registered face's counters obey their laws."""
+    from pyspark.sql import functions as F2
+
+    row = audits.bloom_fpr_eval(spark, SF_ORACLE).collect()[0]
+    assert row["m"] >= 2 * row["n_build"]
+    assert row["m"] & (row["m"] - 1) == 0  # power of two
+    assert 0 < row["n_bits_set"] <= min(
+        row["m"] * audits.BLOOM_HASHES, row["n_build"] * audits.BLOOM_HASHES
+    )
+    assert 0 <= row["n_false_pos"] <= row["n_neg"]
+    assert row["n_neg"] >= 10 * row["n_build"] // 10  # real negative mass
+    assert row["fpr_ppm"] == row["n_false_pos"] * 1_000_000 // row["n_neg"]
+    assert 0 <= row["fill_ppm"] <= 1_000_000
+
+    li = table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", F2.unix_micros("l_shipdate").alias("ship_us")
+    )
+    max_us = li.agg(F2.max("ship_us")).collect()[0][0]
+    build = (
+        li.where(F2.col("ship_us") >= max_us - audits.BLOOM_RECENT_US)
+        .select(F2.col("l_orderkey").alias("key"))
+        .distinct()
+        .withColumn("m", F2.lit(row["m"]))
+    )
+    probes = build.select(
+        "key",
+        *[
+            audits._bloom_bucket(j, "key", "m").alias(f"b{j}")
+            for j in range(audits.BLOOM_HASHES)
+        ],
+    )
+    bits = {
+        (j, r[f"b{j}"])
+        for r in probes.collect()
+        for j in range(audits.BLOOM_HASHES)
+    }
+    assert len(bits) == row["n_bits_set"]
+    for r in probes.collect():
+        for j in range(audits.BLOOM_HASHES):
+            assert (j, r[f"b{j}"]) in bits  # no false negative possible
+
+
+def test_pq_recall_bounds(spark):
+    """Recall laws: k fixed at 10, hits bounded, recall = hits/k, and
+    the deterministic codebook buys SOME signal (mean recall strictly
+    above zero — random-codebook PQ is lossy, not blind)."""
+    from hadoop_distexec_spark.operators import llmops
+
+    rows = llmops.pq_recall(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["k"] == 10
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall"] - r["n_hits"] / r["k"]) < 1e-12
+    assert sum(r["n_hits"] for r in rows) > 0
+
+
+def test_wave3_plan_shapes(spark):
+    """itemset_triples: hint-free, no nested loop, TakeOrderedAndProject
+    head, and the three closure prunes are LEFT SEMI joins; bloom: only
+    its five whitelisted 1-row broadcasts go nested-loop."""
+    it = audits.itemset_triples(spark, SF_SMALL)
+    assert "ResolvedHint" not in it._jdf.queryExecution().analyzed().toString()
+    p = _plan(it)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("LeftSemi") >= 3, p
+
+    p = _plan(audits.bloom_fpr_eval(spark, SF_SMALL))
+    # 6 whitelisted hint sites, every one a 1-row scalar aggregate;
+    # column pruning + the chained stats crossJoins split them into more
+    # physical 1-row broadcasts (14 observed) — the gate here is that NO
+    # join is a real cartesian product over data-sized sides
+    assert "CartesianProduct" not in p, p
+    # ...and every nested-loop's broadcast side is a 1-row scalar: the
+    # plan must carry exactly as many single-row IdentityBroadcastMode
+    # exchanges (scalar aggregates) as nested-loop joins
+    assert p.count("BroadcastNestedLoopJoin") <= p.count("IdentityBroadcastMode"), p
