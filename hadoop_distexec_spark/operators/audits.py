@@ -1,10 +1,11 @@
-"""Round-8 prep wave: sketch-accuracy, drift, privacy, co-occurrence and
-windowed-cardinality audits (the hand-off pattern: implemented +
-pytest-gated with TESTED draft DuckDB oracle twins now; registration
-queued for the round-8 rotation window — the r07 window is fully
-allocated at 22 first-witness + 28 stale slots).
+"""Round-8 prep waves: sketch-accuracy, drift, privacy, co-occurrence,
+windowed-cardinality, sampling, regression and join-filter audits (the
+hand-off pattern: implemented + pytest-gated with TESTED draft DuckDB
+oracle twins now; registration queued for the round-8 rotation window —
+the r07 window is fully allocated at 22 first-witness + 28 stale slots).
 
-Five operators a training-data / analytics pipeline runs continuously:
+Wave 1 — five operators a training-data / analytics pipeline runs
+continuously:
 
 - ``cms_topk``       — count-min-sketch heavy hitters SHIPPED WITH the
                        harness measuring its overestimate vs exact counts
@@ -20,11 +21,24 @@ Five operators a training-data / analytics pipeline runs continuously:
                        dataset ships.
 - ``itemset_pairs``  — support-pruned market-basket pair mining over
                        lineitem (parts co-ordered in one order), the
-                       classic a-priori first round.
+                       classic a-priori first round (support cutoffs are
+                       ppm RATES of the basket count — scale-invariant).
 - ``sliding_distinct`` — exact distinct users per 2h/1h sliding window
                        beside an HLL tier whose error is CHECKED in-query
                        (TRUE-flag idiom, cf. q_quantile_bins /
                        q_robust_stats).
+
+Wave 2 — ``domain_cap_sample`` (the pretraining per-source document
+cap), ``group_ols`` (per-group least squares via bigint-lane sufficient
+statistics), ``benford_audit`` (first-digit law distance in exact ppm),
+``l_diversity`` (sensitive-value diversity beside k_anonymity),
+``ks_doclen`` (unbinned exact two-sample KS beside drift_tvd).
+
+Wave 3 — ``itemset_triples`` (a-priori round two, closure-pruned at the
+triple threshold), ``bloom_fpr_eval`` (partitioned bloom join filter
+with MEASURED false-positive rate on the incremental-join shape); the
+wave's other two live with their families: ``llmops.pq_recall`` and
+``streaming.windows.stream_dedup_data``.
 
 Determinism rules follow hadoop_distexec_spark/functions/numeric.py: all
 counts and shares are exact bigints (shares in integer ppm via ``div``,

@@ -40,6 +40,27 @@ PICKS = [
     ("q_join_card_est", "key-count equi-join, hint-free; one-row audit aggregate"),
 ]
 
+# round-8 prep APIs (unregistered until the r08 window): resolved from
+# their modules instead of the registry
+PREP_PICKS = [
+    ("group_ols", "ONE bigint-lane aggregate; int128 reconstruction on |groups| rows only"),
+    ("itemset_triples", "three LeftSemi closure prunes BEFORE the counting shuffle; TakeOrdered head"),
+    ("bloom_fpr_eval", "distinct bit-set agg + bucket equi-join; only 1-row scalar nested loops"),
+    ("pq_recall", "bounded codebook/LUT equi-joins; assignment window collapses the fan-out"),
+    ("ks_doclen", "conditional agg to distinct-length cells; windows over cells only"),
+]
+
+
+def _prep_fn(name: str):
+    from hadoop_distexec_spark.operators import audits, llmops
+    from hadoop_distexec_spark.streaming import windows
+
+    return (
+        getattr(audits, name, None)
+        or getattr(llmops, name, None)
+        or getattr(windows, name)
+    )
+
 
 def main() -> None:
     from hadoop_distexec_spark import registry
@@ -56,8 +77,8 @@ def main() -> None:
         "are the static plans the optimizer commits to before execution.",
         "",
     ]
-    for qid, claim in PICKS:
-        df = specs[qid].fn(spark, SF)
+    for qid, claim in PICKS + PREP_PICKS:
+        df = specs[qid].fn(spark, SF) if qid in specs else _prep_fn(qid)(spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -72,7 +93,7 @@ def main() -> None:
     path = os.path.join(REPO, "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote {path}: {len(PICKS)} plans")
+    print(f"wrote {path}: {len(PICKS) + len(PREP_PICKS)} plans")
 
 
 if __name__ == "__main__":

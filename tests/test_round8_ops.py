@@ -1,9 +1,12 @@
-"""Round-8 prep wave invariants (operators/audits.py — implemented +
-draft-oracle parity-tested in round 7, registration queued for the
-round-8 rotation window): count-min-sketch accuracy harness, first/second
-half distribution drift in exact ppm, k-anonymity group-size spectrum,
-support-pruned market-basket pairs, and sliding-window distinct with a
-checked HLL tier."""
+"""Round-8 prep wave invariants (implemented + draft-oracle
+parity-tested in round 7, registration queued for the round-8 rotation
+window). Wave 1: count-min-sketch accuracy harness, first/second-half
+distribution drift in exact ppm, k-anonymity group-size spectrum,
+support-pruned market-basket pairs, sliding-window distinct with a
+checked HLL tier. Wave 2: per-source domain cap, grouped OLS, Benford
+first-digit audit, l-diversity, exact two-sample KS. Wave 3: a-priori
+triples, measured-FPR bloom join filter, PQ ADC recall, streaming
+replay dedup."""
 
 import pytest
 from pyspark.sql import functions as F
