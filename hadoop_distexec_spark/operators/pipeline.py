@@ -923,3 +923,125 @@ register("q_dedup_cluster_stats", oracle=DEDUP_CLUSTER_STATS_ORACLE)(
     dedup_cluster_stats
 )
 dedup_cluster_stats._fingerprint_extras = (q_dedup_groups,)
+
+
+# ---------------------------------------------------------------------------
+# label_prop — synchronous label propagation (round-8 prep, registration
+# queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3  # fixed synchronous rounds; unrolled identically in the oracle
+
+
+def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    embedding near-dup graph (edges = q_dedup_embed's label-blocked
+    cosine pairs, shared builder + shared CTE so graph and communities
+    cannot drift): every node starts as its own label; each round it
+    adopts the MODE of its neighbors' labels (tie -> smallest label),
+    isolated nodes keep their own. After {LPA_ROUNDS} fixed rounds the
+    label spectrum is reported: community id, member count, share in
+    exact ppm. Where connected components (q_dedup_groups) answers
+    "what is transitively linked", LPA answers "what is DENSELY linked"
+    — the dedup-adjacent clustering that splits a hairball CC into its
+    cores; the iterative-family member beside pagerank / kmeans / BPE /
+    CC, with deterministic synchronous updates so the unrolled DuckDB
+    twin is bit-exact.
+
+    Determinism: mode ties break on smallest label (row_number over
+    (count desc, label asc)); fixed round count; exact bigint counts and
+    integer-ppm shares.
+
+    Shape at 100 TB: the edge list is built once, symmetrized, and
+    localCheckpoint-pinned (the q_dedup_groups discipline — lineage must
+    not grow with rounds); each round is ONE equi-join of the label
+    frame against the pinned edges plus one (node, label) hash aggregate
+    and a per-node top-1 window — all map-side combinable, no
+    all-pairs anything. Rounds are a constant, not data-dependent."""
+    from hadoop_distexec_spark.operators.llmops import q_dedup_embed
+
+    nodes = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v")
+    )
+    edges = q_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
+    sym = (
+        edges.select(F.col("vec_a").alias("v"), F.col("vec_b").alias("u"))
+        .unionByName(
+            edges.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("v", F.col("v").alias("lab"))
+    tw = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lab"))
+    for _ in range(LPA_ROUNDS):
+        msgs = (
+            sym.join(
+                labels.select(F.col("v").alias("u"), F.col("lab")), "u"
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = (
+            msgs.withColumn("rn", F.row_number().over(tw))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(top, "v", "left")
+            .select("v", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    spectrum = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return spectrum.select(
+        "community",
+        "n_members",
+        F.expr("n_members * 1000000 div sum(n_members) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy(F.col("n_members").desc(), "community")
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One unrolled synchronous LPA round (the SQL twin of the Spark
+    loop body), chained by CTE name."""
+    return f"""m{cur} AS (
+      SELECT nbr.v, l.lab, COUNT(*) AS cnt
+      FROM nbr JOIN {prev} l ON nbr.u = l.v
+      GROUP BY 1, 2),
+    p{cur} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, lab) AS rn
+        FROM m{cur}) t
+      WHERE rn = 1),
+    l{cur} AS (
+      SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+      FROM {prev} l LEFT JOIN p{cur} p USING (v))"""
+
+
+def _lpa_oracle() -> str:
+    from hadoop_distexec_spark.operators.llmops import _EMBED_EDGES_SQL
+
+    rounds = ",\n    ".join(
+        _lpa_round_sql(f"l{i}", str(i + 1)) for i in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_EMBED_EDGES_SQL},
+    nbr AS (
+      SELECT vec_a AS v, vec_b AS u FROM edges
+      UNION ALL
+      SELECT vec_b AS v, vec_a AS u FROM edges),
+    l0 AS (SELECT vec_id AS v, vec_id AS lab FROM embeddings),
+    {rounds}
+    SELECT lab AS community, COUNT(*) AS n_members,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+             AS share_ppm
+    FROM l{LPA_ROUNDS} GROUP BY lab
+    ORDER BY n_members DESC, community
+    """
+
+
+LABEL_PROP_ORACLE = _lpa_oracle()

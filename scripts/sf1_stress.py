@@ -85,6 +85,8 @@ PREP_APIS: list[str] = [
     "bloom_fpr_eval",
     "pq_recall",
     "stream_dedup_data",
+    # wave 4: synchronous label propagation over the near-dup graph
+    "label_prop",
 ]
 
 
@@ -131,7 +133,7 @@ def main() -> None:
         synthesize(spark)
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    from hadoop_distexec_spark.operators import audits, llmops
+    from hadoop_distexec_spark.operators import audits, llmops, pipeline
     from hadoop_distexec_spark.streaming import windows
 
     out: dict[str, float] = {}
@@ -141,6 +143,7 @@ def main() -> None:
         return (
             getattr(audits, name, None)
             or getattr(llmops, name, None)
+            or getattr(pipeline, name, None)
             or getattr(windows, name)
         )
 
