@@ -1045,3 +1045,142 @@ def _lpa_oracle() -> str:
 
 
 LABEL_PROP_ORACLE = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# split_leakage — near-dup contamination across the train/test boundary
+# (round-8 prep, registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs
+    (q_dedup_ngram's jaccard >= 0.1 set, shared builder + shared
+    _NGRAM_PAIRS_SQL CTE) classified against q_split_train_test's
+    hash-bucket assignment (same md5 expression, no join needed — the
+    split is a pure function of doc_id). A CROSS pair means a test
+    document has a near-duplicate in the training set: its eval score
+    is memorization, not generalization — the decontamination concern
+    applied to the pipeline's OWN split rather than an external
+    benchmark (q_decontam's sibling). TEST-TEST pairs are counted
+    separately: duplicate eval items overweight one document's score
+    without touching train.
+
+    One summary row: pair counts by kind with exact-ppm shares,
+    distinct contaminated test docs, and the contaminated share of the
+    whole test split.
+
+    Determinism: the split is the registered md5-bucket rule; counts
+    exact bigints; shares integer ppm.
+
+    Shape at 100 TB: the near-dup pair list is the expensive input and
+    it is already blocked/df-capped by the shared builder; this audit
+    adds per-pair split flags (pure expressions), one bounded
+    conditional aggregate, one distinct over the (small) cross-pair
+    test ids, and one test-split count — no new corpus-sized shuffle.
+    The three 1-row frames meet in whitelisted scalar broadcasts (the
+    q_dedup_recall_eval convention for provably-1-row sides)."""
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+
+    def _split(col: str):
+        b = F.substring(
+            F.md5(F.encode(F.col(col).cast("string"), "UTF-8")), 1, 2
+        )
+        return F.when(b <= _TEST_CEIL, "test").otherwise("train")
+
+    pairs = q_dedup_ngram(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        _split("doc_a").alias("split_a"),
+        _split("doc_b").alias("split_b"),
+    )
+    kinds = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("split_a") == F.col("split_b"), F.col("split_a"))
+        .otherwise(F.lit("cross"))
+        .alias("kind"),
+        "split_a",
+        "split_b",
+    )
+    counts = kinds.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("kind") == "train", 1).otherwise(0)).alias(
+            "n_train_train"
+        ),
+        F.sum(F.when(F.col("kind") == "test", 1).otherwise(0)).alias("n_test_test"),
+        F.sum(F.when(F.col("kind") == "cross", 1).otherwise(0)).alias("n_cross"),
+    )
+    contaminated = (
+        kinds.where(F.col("kind") == "cross")
+        .select(
+            F.when(F.col("split_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc")
+        )
+        .agg(F.countDistinct("test_doc").alias("n_contaminated_test_docs"))
+    )
+    test_total = (
+        table(spark, sf_dir, "documents")
+        .where(_split("doc_id") == "test")
+        .agg(F.count(F.lit(1)).alias("n_test_docs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(contaminated))
+        .crossJoin(F.broadcast(test_total))
+        .select(
+            "n_pairs",
+            "n_train_train",
+            "n_test_test",
+            "n_cross",
+            F.expr("n_cross * 1000000 div n_pairs").cast("long").alias("cross_ppm"),
+            "n_contaminated_test_docs",
+            "n_test_docs",
+            F.expr("n_contaminated_test_docs * 1000000 div n_test_docs")
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+    )
+
+
+SPLIT_LEAKAGE_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ",\n"
+    + _NGRAM_PAIRS_SQL
+    + f""",
+    flagged AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) <= '{_TEST_CEIL}'
+                  THEN 'test' ELSE 'train' END AS split_a,
+             CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) <= '{_TEST_CEIL}'
+                  THEN 'test' ELSE 'train' END AS split_b
+      FROM pairs),
+    kinds AS (
+      SELECT doc_a, doc_b, split_a, split_b,
+             CASE WHEN split_a = split_b THEN split_a ELSE 'cross' END AS kind
+      FROM flagged),
+    counts AS (
+      SELECT COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN kind = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_train,
+             CAST(SUM(CASE WHEN kind = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_test,
+             CAST(SUM(CASE WHEN kind = 'cross' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross
+      FROM kinds),
+    contaminated AS (
+      SELECT COUNT(DISTINCT CASE WHEN split_a = 'test' THEN doc_a
+                                 ELSE doc_b END) AS n_contaminated_test_docs
+      FROM kinds WHERE kind = 'cross'),
+    test_total AS (
+      SELECT COUNT(*) AS n_test_docs FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_TEST_CEIL}')
+    SELECT n_pairs, n_train_train, n_test_test, n_cross,
+           CAST(n_cross * 1000000 // n_pairs AS BIGINT) AS cross_ppm,
+           n_contaminated_test_docs, n_test_docs,
+           CAST(n_contaminated_test_docs * 1000000 // n_test_docs AS BIGINT)
+             AS contamination_ppm
+    FROM counts, contaminated, test_total
+    """
+)

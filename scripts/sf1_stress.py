@@ -87,6 +87,7 @@ PREP_APIS: list[str] = [
     "stream_dedup_data",
     # wave 4: synchronous label propagation over the near-dup graph
     "label_prop",
+    "split_leakage",
 ]
 
 

@@ -541,3 +541,67 @@ def test_label_prop_respects_components(spark):
     assert len(rows) >= len(set(cc.values()))  # LPA refines CC
     for r in rows:
         assert r["community"] in cc
+
+
+# ---------------------------------------------------------------------------
+# Wave 4b: train/test split leakage audit
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_draft_oracle_parity(spark):
+    from hadoop_distexec_spark.operators import pipeline
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        pipeline.split_leakage(spark, SF_ORACLE).toPandas(),
+        con.execute(pipeline.SPLIT_LEAKAGE_ORACLE).fetchdf(),
+        "split_leakage",
+    )
+    con.close()
+
+
+def test_split_leakage_matches_brute_force(spark):
+    """Recompute every counter from the raw pair list + the split rule
+    in pure Python (hashlib md5): kinds, cross pairs, contaminated test
+    docs, test-split size — and the audit must be NON-vacuous on the
+    fixture (the near-dup corpus straddles the boundary)."""
+    import hashlib
+
+    from hadoop_distexec_spark.operators import pipeline
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+
+    row = pipeline.split_leakage(spark, SF_ORACLE).collect()[0]
+
+    def split(doc_id: int) -> str:
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "test" if b <= pipeline._TEST_CEIL else "train"
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_ngram(spark, SF_ORACLE).select("doc_a", "doc_b").collect()
+    ]
+    kinds = {"train": 0, "test": 0, "cross": 0}
+    contaminated = set()
+    for a, b in pairs:
+        sa, sb = split(a), split(b)
+        if sa == sb:
+            kinds[sa] += 1
+        else:
+            kinds["cross"] += 1
+            contaminated.add(a if sa == "test" else b)
+    n_test = sum(
+        1
+        for r in table(spark, SF_ORACLE, "documents").select("doc_id").collect()
+        if split(r["doc_id"]) == "test"
+    )
+    assert row["n_pairs"] == len(pairs) > 0
+    assert row["n_train_train"] == kinds["train"]
+    assert row["n_test_test"] == kinds["test"]
+    assert row["n_cross"] == kinds["cross"] > 0  # non-vacuous on the fixture
+    assert row["n_contaminated_test_docs"] == len(contaminated)
+    assert row["n_test_docs"] == n_test
+    assert row["cross_ppm"] == kinds["cross"] * 1_000_000 // len(pairs)
+    assert (
+        row["contamination_ppm"] == len(contaminated) * 1_000_000 // n_test
+    )
