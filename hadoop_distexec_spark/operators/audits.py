@@ -564,9 +564,13 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the explode is a fixed 2x fan-out (window/step), so
     the shuffled volume is 2x events — the alternative (a range join of
     events against a generated window table) shuffles the same rows AND
-    adds the join. One hash aggregate on (window, user) implicitly via
-    count-distinct's two-phase plan; partial aggregation runs map-side.
-    At 100 TB the deployment keeps ONLY the HLL arm (one pass, mergeable
+    adds the join. The exact arm and the HLL arm run as SEPARATE hash
+    aggregations joined on the bounded window key: mixing countDistinct
+    with the {SLIDE_HLL_RSD}-rsd HLL in one aggregate plans an Expand
+    whose doubled rows drag the ~64 KiB HLL buffers through a sort-based
+    aggregate — measured 360s at the 10x lane vs 2.6s + 5.3s for the
+    arms run apart (the decomposition below lands at ~8s). At 100 TB
+    the deployment keeps ONLY the HLL arm (one pass, mergeable
     sketches, no distinct shuffle); the exact arm is the audit tier this
     harness exists to price — the flag proves the cheap tier honest."""
     ev = table(spark, sf_dir, "events").select(
@@ -579,11 +583,17 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("win_start_s"),
         "user_id",
     )
-    agg = wins.groupBy("win_start_s").agg(
+    base = wins.groupBy("win_start_s").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
         F.approx_count_distinct("user_id", SLIDE_HLL_RSD).alias("hll"),
     )
+    exact = (
+        wins.select("win_start_s", "user_id")
+        .distinct()
+        .groupBy("win_start_s")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    agg = base.join(exact, "win_start_s")
     return agg.select(
         "win_start_s",
         "n_events",

@@ -5859,3 +5859,95 @@ PQ_RECALL_ORACLE = f"""
     FROM exact_top e LEFT JOIN hits h ON e.q_id = h.q_id
     GROUP BY e.q_id
     """
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature — temperature-scaled source sampling weights (round-8
+# prep, registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source sampling weights — the standard
+    pretraining-mix step (weight_i proportional to share_i^alpha at
+    alpha = 0.5) that upsamples small high-quality sources and damps
+    the dominant crawl, beside q_data_mix's fixed plan: per source the
+    char mass, its exact-ppm natural share (alpha = 1), the
+    alpha = 0.5 weight, and the resulting boost factor (x1000) — the
+    number a mix designer actually reads ("this source gets sampled at
+    2.3x its natural rate").
+
+    Determinism: shares are exact integer ppm; the temperature power is
+    ONE correctly-rounded IEEE sqrt of an integer-valued double (the
+    k_anonymity single-IEEE-op rule), immediately floored onto a
+    1e-3 grid so the normalization is an exact INTEGER sum over the
+    bounded source rows — no IEEE accumulation whose order could
+    differ between engines; the boost ratio is integer div with a
+    zero-share guard.
+
+    Shape at 100 TB: one map-side-combinable per-source aggregate (the
+    only full-volume work), then ppm/normalization windows over the
+    |sources| rows only. Join-free, hint-free."""
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    shares = per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("n_chars * 1000000 div sum(n_chars) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    rooted = shares.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "share_ppm",
+        F.expr("CAST(floor(sqrt(CAST(share_ppm AS DOUBLE)) * 1000) AS BIGINT)").alias(
+            "root_mu"
+        ),
+    )
+    return rooted.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "share_ppm",
+        F.expr("root_mu * 1000000 div sum(root_mu) OVER ()")
+        .cast("long")
+        .alias("w_alpha50_ppm"),
+        F.expr(
+            "CASE WHEN share_ppm = 0 THEN NULL"
+            " ELSE (root_mu * 1000000 div sum(root_mu) OVER ()) * 1000"
+            " div share_ppm END"
+        )
+        .cast("long")
+        .alias("boost_x1000"),
+    ).orderBy("source")
+
+
+MIX_TEMPERATURE_ORACLE = """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    shares AS (
+      SELECT source, n_docs, n_chars,
+             CAST(n_chars * 1000000 // SUM(n_chars) OVER () AS BIGINT)
+               AS share_ppm
+      FROM per),
+    rooted AS (
+      SELECT source, n_docs, n_chars, share_ppm,
+             CAST(floor(sqrt(CAST(share_ppm AS DOUBLE)) * 1000) AS BIGINT)
+               AS root_mu
+      FROM shares)
+    SELECT source, n_docs, n_chars, share_ppm,
+           CAST(root_mu * 1000000 // SUM(root_mu) OVER () AS BIGINT)
+             AS w_alpha50_ppm,
+           CASE WHEN share_ppm = 0 THEN NULL
+                ELSE CAST((root_mu * 1000000 // SUM(root_mu) OVER ()) * 1000
+                          // share_ppm AS BIGINT) END AS boost_x1000
+    FROM rooted ORDER BY source
+    """

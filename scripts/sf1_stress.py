@@ -88,6 +88,7 @@ PREP_APIS: list[str] = [
     # wave 4: synchronous label propagation over the near-dup graph
     "label_prop",
     "split_leakage",
+    "mix_temperature",
 ]
 
 

@@ -605,3 +605,46 @@ def test_split_leakage_matches_brute_force(spark):
     assert (
         row["contamination_ppm"] == len(contaminated) * 1_000_000 // n_test
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4c: temperature-scaled mix weights
+# ---------------------------------------------------------------------------
+
+
+def test_mix_temperature_draft_oracle_parity(spark):
+    from hadoop_distexec_spark.operators import llmops
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        llmops.mix_temperature(spark, SF_ORACLE).toPandas(),
+        con.execute(llmops.MIX_TEMPERATURE_ORACLE).fetchdf(),
+        "mix_temperature",
+    )
+    con.close()
+
+
+def test_mix_temperature_laws(spark):
+    """Mass conservation (both ppm columns sum to 1e6 minus floor
+    slack), the alpha=0.5 law against a float reference (within the
+    1e-3 quantization grid), and temperature monotonicity: the boost
+    factor is non-increasing in natural share."""
+    import math
+
+    from hadoop_distexec_spark.operators import llmops
+
+    rows = llmops.mix_temperature(spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n > 1
+    for col in ("share_ppm", "w_alpha50_ppm"):
+        s = sum(r[col] for r in rows)
+        assert 1_000_000 - n <= s <= 1_000_000
+    tot_root = sum(math.sqrt(r["share_ppm"]) for r in rows)
+    for r in rows:
+        ref = math.sqrt(r["share_ppm"]) / tot_root * 1_000_000
+        assert abs(r["w_alpha50_ppm"] - ref) < 50, (r, ref)
+        assert r["boost_x1000"] == r["w_alpha50_ppm"] * 1000 // r["share_ppm"]
+    by_share = sorted(rows, key=lambda r: r["share_ppm"])
+    boosts = [r["boost_x1000"] for r in by_share]
+    assert all(a >= b - 1 for a, b in zip(boosts, boosts[1:]))  # ±1 floor slack
