@@ -150,20 +150,32 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee at any SF. At 100 TB the exact twins are the expensive path
     (full distinct shuffle) and the sketches are the product; here the twins
     double as the correctness witness.
+
+    Shape: the sketch arm, the exact-distinct arm and the exact-percentile
+    arm run as THREE separate aggregations joined on the 3-row group key —
+    one combined groupBy plans an Expand for the two countDistincts whose
+    tripled rows drag the percentile/HLL buffers through a sort aggregate
+    (measured 210s, and one JVM OOM, at the 10x lane vs ~8s decomposed;
+    the sliding_distinct lesson on a registered operator).
     """
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_p95"),
+    )
+    exacts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.45)").alias("_p50_lo"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("_p50_hi"),
         F.expr("percentile(l_extendedprice, 0.94)").alias("_p95_lo"),
         F.expr("percentile(l_extendedprice, 0.96)").alias("_p95_hi"),
     )
+    agg = sketches.join(exacts, "l_returnflag").join(pcts, "l_returnflag")
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
     )
