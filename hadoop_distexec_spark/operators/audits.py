@@ -61,6 +61,7 @@ from hadoop_distexec_spark.sources.tables import table
 CMS_WIDTH = 1024  # buckets per row; 8 KiB of bigint counters per hash row
 CMS_DEPTH = 4  # independent hash rows; min over rows kills most collisions
 CMS_TOPK = 20
+_CMS_ROW_IDX = ", ".join(str(j) for j in range(CMS_DEPTH))
 
 
 def _cms_bucket(j: int, key_col: str = "key"):
@@ -158,7 +159,7 @@ CMS_TOPK_ORACLE = f"""
              CAST('0x' || substr(md5('cm' || j || ':' || CAST(key AS VARCHAR)),
                                  1, 15)
                   AS BIGINT) % {CMS_WIDTH} AS b
-      FROM cnt CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(j)),
+      FROM cnt CROSS JOIN UNNEST([{_CMS_ROW_IDX}]) AS t(j)),
     sketch AS (
       SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS bucket_cnt
       FROM jb GROUP BY j, b),
@@ -1192,6 +1193,9 @@ ITEMSET_TRIPLES_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 BLOOM_HASHES = 4  # one bit slice per hash (partitioned / blocked bloom)
+# rendered into the oracle so a BLOOM_HASHES change cannot half-wire it
+# (round-7 review finding; the _PQ_SUB_IDX pattern)
+_BLOOM_HASH_IDX = ", ".join(str(j) for j in range(BLOOM_HASHES))
 BLOOM_RECENT_US = 30 * 86_400 * 1_000_000  # build slice: last 30 days of shipments
 
 
@@ -1255,6 +1259,11 @@ def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ship_us") >= F.col("max_us") - BLOOM_RECENT_US)
         .select(F.col("l_orderkey").alias("key"))
         .distinct()
+        # the stats row consumes build through ~8 branches (nb twice,
+        # bits twice, neg twice via probes and its count); pinning build
+        # + bits measured 6.0s -> 2.6s at the 10x lane (ReuseExchange
+        # dedupes some branches but not across the bits explode)
+        .localCheckpoint(eager=True)
     )
     nb = build.agg(F.count(F.lit(1)).alias("n_build")).select(
         "n_build",
@@ -1279,11 +1288,16 @@ def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)  # bounded by m*k cells; used twice
     )
     neg = (
         table(spark, sf_dir, "orders")
         .select(F.col("o_orderkey").alias("key"))
         .join(build, "key", "left_anti")
+        # deliberately NOT pinned: it is used twice, but over the pinned
+        # build its anti-join is one cheap scan, while checkpointing
+        # writes every negative key to disk — measured 5.4s (pinned) vs
+        # 2.6s (lazy) at the 10x lane
     )
     pkeys = neg.crossJoin(F.broadcast(nb))
     probes = pkeys.select(
@@ -1342,7 +1356,7 @@ BLOOM_FPR_EVAL_ORACLE = f"""
                                  1, 15)
                   AS BIGINT) % m AS b
       FROM build CROSS JOIN nb
-      CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(j)),
+      CROSS JOIN UNNEST([{_BLOOM_HASH_IDX}]) AS t(j)),
     neg AS (
       SELECT o_orderkey AS key FROM orders
       WHERE o_orderkey NOT IN (SELECT key FROM build)),
@@ -1352,7 +1366,7 @@ BLOOM_FPR_EVAL_ORACLE = f"""
                                  1, 15)
                   AS BIGINT) % m AS b
       FROM neg CROSS JOIN nb
-      CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(j)),
+      CROSS JOIN UNNEST([{_BLOOM_HASH_IDX}]) AS t(j)),
     fp AS (
       SELECT p.key
       FROM probes p JOIN bits ON p.j = bits.j AND p.b = bits.b

@@ -5708,7 +5708,9 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
     ).localCheckpoint()  # <=128 rows
 
-    codes = _pq_assign(subs, cb1)
+    # consumed by BOTH the cn2 aggregate and the num join: pin it, or
+    # the 8x64-fanout assignment join+window runs twice (round-7 review)
+    codes = _pq_assign(subs, cb1).localCheckpoint(eager=True)
     cn2 = codes.groupBy("vec_id").agg(F.sum("cn2_s").alias("cn2"))
     qsubs = subs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "s", F.col("sub").alias("qsub")

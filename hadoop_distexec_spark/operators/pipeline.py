@@ -963,13 +963,18 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("v")
     )
-    edges = q_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
-    sym = (
-        edges.select(F.col("vec_a").alias("v"), F.col("vec_b").alias("u"))
-        .unionByName(
-            edges.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u"))
-        )
+    # pin the cosine pair join BEFORE symmetrizing — the union's two
+    # branches would otherwise each evaluate the expensive edge build
+    # (round-7 review finding); sym stays lazy over the pinned frame
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("u")
+    ).unionByName(
+        edges.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("u"))
     )
     labels = nodes.select("v", F.col("v").alias("lab"))
     tw = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lab"))

@@ -52,14 +52,9 @@ PREP_PICKS = [
 
 
 def _prep_fn(name: str):
-    from hadoop_distexec_spark.operators import audits, llmops
-    from hadoop_distexec_spark.streaming import windows
+    from scripts.sf1_stress import prep_fn  # the one shared resolver
 
-    return (
-        getattr(audits, name, None)
-        or getattr(llmops, name, None)
-        or getattr(windows, name)
-    )
+    return prep_fn(name)
 
 
 def main() -> None:

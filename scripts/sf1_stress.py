@@ -92,6 +92,20 @@ PREP_APIS: list[str] = [
 ]
 
 
+def prep_fn(name: str):
+    """Resolve an unregistered prep API by name — the ONE resolver shared
+    with scripts/gen_plans.py (round-7 review: two diverging copies)."""
+    from hadoop_distexec_spark.operators import audits, llmops, pipeline
+    from hadoop_distexec_spark.streaming import windows
+
+    return (
+        getattr(audits, name, None)
+        or getattr(llmops, name, None)
+        or getattr(pipeline, name, None)
+        or getattr(windows, name)
+    )
+
+
 def synthesize(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -135,22 +149,11 @@ def main() -> None:
         synthesize(spark)
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    from hadoop_distexec_spark.operators import audits, llmops, pipeline
-    from hadoop_distexec_spark.streaming import windows
-
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def _prep_fn(name: str):
-        return (
-            getattr(audits, name, None)
-            or getattr(llmops, name, None)
-            or getattr(pipeline, name, None)
-            or getattr(windows, name)
-        )
-
     runs = [(qid, specs[qid].fn) for qid in QUERIES] + [
-        (name, _prep_fn(name)) for name in PREP_APIS
+        (name, prep_fn(name)) for name in PREP_APIS
     ]
     # --only a,b,c: re-measure a subset against an already-synthesized
     # tree (pair with --reuse) instead of re-running the whole lane
