@@ -48,6 +48,8 @@ PREP_PICKS = [
     ("bloom_fpr_eval", "distinct bit-set agg + bucket equi-join; only 1-row scalar nested loops"),
     ("pq_recall", "bounded codebook/LUT equi-joins; assignment window collapses the fan-out"),
     ("ks_doclen", "conditional agg to distinct-length cells; windows over cells only"),
+    ("split_leakage", "split flags as pure expressions on the shared pair build; 1-row scalar broadcasts"),
+    ("mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
 ]
 
 
