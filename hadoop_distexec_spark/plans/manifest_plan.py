@@ -195,3 +195,96 @@ def q_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.crossJoin(F.broadcast(total)).select(
         "src_path", "size", split_id.alias("split_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan — the small-files report over the manifest (round-8
+# prep, registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+COMPACT_SMALL = 256  # a file below this many bytes is "small"
+COMPACT_TARGET = 4096  # compacted container size (the 128 MiB of the fixture)
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-directory small-files report + compaction projection — THE
+    classic HDFS operations audit the reference's DistCp heritage exists
+    to act on: for each source directory, file/byte counts, how many
+    files sit under the {COMPACT_SMALL}-byte small threshold, the bytes
+    they hold, the file count AFTER packing the small files into
+    {COMPACT_TARGET}-byte containers (exact ceil-division, the
+    size-balanced split-plan arithmetic in reverse), and the resulting
+    file-count reduction in exact ppm. The number an ops runbook reads
+    before scheduling a distexec compaction pass; thresholds are
+    absolute by design — file-size policy is measured in bytes, not
+    corpus share (contrast the itemset rate cutoffs).
+
+    Determinism: exact bigint counts/bytes; ceil division via the
+    (x + d - 1) div d identity; ppm via ``div``; directories derive
+    from the manifest path by one regexp both engines share.
+
+    Shape at 100 TB: ONE map-side-combinable aggregate on the directory
+    key over the file manifest (the same scan every manifest op reads);
+    output is |directories| rows. Join-free, hint-free, no window over
+    anything bigger than the output."""
+    files = manifest_df(spark, sf_dir).filter(~F.col("is_dir"))
+    per_dir = (
+        files.select(
+            F.regexp_replace("src_path", "/[^/]*$", "").alias("dir"),
+            "size",
+        )
+        .groupBy("dir")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("bytes"),
+            F.sum(F.when(F.col("size") < COMPACT_SMALL, 1).otherwise(0)).alias(
+                "n_small"
+            ),
+            F.sum(
+                F.when(F.col("size") < COMPACT_SMALL, F.col("size")).otherwise(0)
+            ).alias("small_bytes"),
+        )
+    )
+    n_after = F.expr(
+        f"n_files - n_small + CASE WHEN small_bytes = 0 THEN 0"
+        f" ELSE (small_bytes + {COMPACT_TARGET} - 1) div {COMPACT_TARGET} END"
+    ).cast("long")
+    return per_dir.select(
+        "dir",
+        "n_files",
+        "bytes",
+        "n_small",
+        "small_bytes",
+        n_after.alias("n_after_compaction"),
+        F.expr(
+            f"(n_files - (n_files - n_small + CASE WHEN small_bytes = 0 THEN 0"
+            f" ELSE (small_bytes + {COMPACT_TARGET} - 1) div {COMPACT_TARGET} END))"
+            " * 1000000 div n_files"
+        )
+        .cast("long")
+        .alias("reduction_ppm"),
+    ).orderBy("dir")
+
+
+COMPACTION_PLAN_ORACLE = (
+    MANIFEST_CTE
+    + f"""
+    , per_dir AS (
+      SELECT regexp_replace(src_path, '/[^/]*$', '') AS dir,
+             COUNT(*) AS n_files,
+             CAST(SUM(size) AS BIGINT) AS bytes,
+             CAST(SUM(CASE WHEN size < {COMPACT_SMALL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small,
+             CAST(SUM(CASE WHEN size < {COMPACT_SMALL} THEN size ELSE 0 END)
+                  AS BIGINT) AS small_bytes
+      FROM manifest WHERE NOT is_dir GROUP BY 1)
+    SELECT dir, n_files, bytes, n_small, small_bytes,
+           n_files - n_small + CASE WHEN small_bytes = 0 THEN 0
+             ELSE (small_bytes + {COMPACT_TARGET} - 1) // {COMPACT_TARGET} END
+             AS n_after_compaction,
+           CAST((n_files - (n_files - n_small + CASE WHEN small_bytes = 0 THEN 0
+                 ELSE (small_bytes + {COMPACT_TARGET} - 1) // {COMPACT_TARGET}
+                 END)) * 1000000 // n_files AS BIGINT) AS reduction_ppm
+    FROM per_dir ORDER BY dir
+    """
+)

@@ -89,6 +89,8 @@ PREP_APIS: list[str] = [
     "label_prop",
     "split_leakage",
     "mix_temperature",
+    # wave 4d: the manifest small-files / compaction report
+    "compaction_plan",
 ]
 
 
@@ -96,12 +98,14 @@ def prep_fn(name: str):
     """Resolve an unregistered prep API by name — the ONE resolver shared
     with scripts/gen_plans.py (round-7 review: two diverging copies)."""
     from hadoop_distexec_spark.operators import audits, llmops, pipeline
+    from hadoop_distexec_spark.plans import manifest_plan
     from hadoop_distexec_spark.streaming import windows
 
     return (
         getattr(audits, name, None)
         or getattr(llmops, name, None)
         or getattr(pipeline, name, None)
+        or getattr(manifest_plan, name, None)
         or getattr(windows, name)
     )
 

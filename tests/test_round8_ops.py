@@ -652,3 +652,55 @@ def test_mix_temperature_laws(spark):
     by_share = sorted(rows, key=lambda r: r["share_ppm"])
     boosts = [r["boost_x1000"] for r in by_share]
     assert all(a >= b - 1 for a, b in zip(boosts, boosts[1:]))  # ±1 floor slack
+
+
+# ---------------------------------------------------------------------------
+# Wave 4d: manifest small-files / compaction report
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_draft_oracle_parity(spark):
+    from hadoop_distexec_spark.plans import manifest_plan
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        manifest_plan.compaction_plan(spark, SF_ORACLE).toPandas(),
+        con.execute(manifest_plan.COMPACTION_PLAN_ORACLE).fetchdf(),
+        "compaction_plan",
+    )
+    con.close()
+
+
+def test_compaction_plan_matches_brute_force(spark):
+    """Replay every counter from the raw manifest in pure Python, and
+    require the audit to be NON-vacuous (the fixture holds small files)
+    plus internally lawful (n_after <= n_files, packing never grows a
+    directory, reduction matches the count law)."""
+    from hadoop_distexec_spark.plans import manifest_plan
+
+    rows = {r["dir"]: r for r in manifest_plan.compaction_plan(spark, SF_ORACLE).collect()}
+    files = (
+        manifest_plan.manifest_df(spark, SF_ORACLE)
+        .filter("NOT is_dir")
+        .select("src_path", "size")
+        .collect()
+    )
+    by_dir = {}
+    for f in files:
+        d = f["src_path"].rsplit("/", 1)[0]
+        by_dir.setdefault(d, []).append(f["size"])
+    assert set(rows) == set(by_dir)
+    T, S = manifest_plan.COMPACT_TARGET, manifest_plan.COMPACT_SMALL
+    assert any(any(s < S for s in sizes) for sizes in by_dir.values())
+    for d, sizes in by_dir.items():
+        r = rows[d]
+        small = [s for s in sizes if s < S]
+        sb = sum(small)
+        n_after = len(sizes) - len(small) + ((sb + T - 1) // T if sb else 0)
+        assert r["n_files"] == len(sizes)
+        assert r["bytes"] == sum(sizes)
+        assert r["n_small"] == len(small)
+        assert r["small_bytes"] == sb
+        assert r["n_after_compaction"] == n_after <= r["n_files"]
+        assert r["reduction_ppm"] == (len(sizes) - n_after) * 1_000_000 // len(sizes)
