@@ -1382,3 +1382,135 @@ BLOOM_FPR_EVAL_ORACLE = f"""
                 // (SELECT COUNT(*) FROM neg) AS BIGINT) AS fpr_ppm
     FROM nb
     """
+
+
+# ---------------------------------------------------------------------------
+# hot_key_churn — heavy-hitter churn between stream halves (round-8 prep,
+# registration queued for the r08 rotation window)
+# ---------------------------------------------------------------------------
+
+CHURN_TOPK = 20
+
+
+def hot_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter CHURN between the first and second halves of the
+    event stream (the drift_tvd epoch-midpoint split): the top
+    {CHURN_TOPK} users by event count in each half, full-outer joined —
+    who stayed hot, who entered, who dropped, with both ranks and both
+    counts, and the overlap@{CHURN_TOPK} in exact ppm carried on every
+    row. drift_tvd asks "did the DISTRIBUTION move"; this asks "did the
+    IDENTITY of the heavy hitters move" — the lens that decides whether
+    yesterday's salting list / cache-warm set / per-key quota table is
+    still the right one today.
+
+    Determinism: exact bigint counts; ranks break ties on key asc; the
+    overlap share is integer ppm of the fixed K.
+
+    Shape at 100 TB: ONE conditional aggregate over the scan (key ->
+    before/after counts, map-side combined — the only full-volume
+    shuffle), then two TakeOrderedAndProject heads of K rows each and a
+    full-outer join of two K-row frames; the ppm window runs over at
+    most 2K rows. The 1-row min/max scalar rides a whitelisted
+    broadcast (the drift_tvd contract)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("tus"), "user_id"
+    )
+    stats = ev.agg(F.min("tus").alias("lo"), F.max("tus").alias("hi"))
+    cnt = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            (F.col("tus") * 2 <= F.col("lo") + F.col("hi")).alias("is_before"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("n_before"),
+            F.sum(F.when(F.col("is_before"), 0).otherwise(1)).alias("n_after"),
+        )
+    )
+    before = (
+        cnt.orderBy(F.col("n_before").desc(), "user_id")
+        .limit(CHURN_TOPK)
+        .select(
+            "user_id",
+            F.col("n_before").alias("cnt_before"),
+            F.expr(
+                "row_number() OVER (ORDER BY n_before DESC, user_id)"
+            ).alias("rank_before"),
+        )
+    )
+    after = (
+        cnt.orderBy(F.col("n_after").desc(), "user_id")
+        .limit(CHURN_TOPK)
+        .select(
+            "user_id",
+            F.col("n_after").alias("cnt_after"),
+            F.expr(
+                "row_number() OVER (ORDER BY n_after DESC, user_id)"
+            ).alias("rank_after"),
+        )
+    )
+    joined = before.join(after, "user_id", "full_outer").select(
+        "user_id",
+        "cnt_before",
+        "rank_before",
+        "cnt_after",
+        "rank_after",
+        F.when(
+            F.col("rank_before").isNotNull() & F.col("rank_after").isNotNull(),
+            F.lit("stayed"),
+        )
+        .when(F.col("rank_after").isNotNull(), F.lit("entered"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+    return joined.select(
+        "user_id",
+        "cnt_before",
+        "rank_before",
+        "cnt_after",
+        "rank_after",
+        "status",
+        F.expr(
+            "sum(CASE WHEN status = 'stayed' THEN 1 ELSE 0 END) OVER ()"
+            f" * 1000000 div {CHURN_TOPK}"
+        )
+        .cast("long")
+        .alias("overlap_ppm"),
+    ).orderBy("user_id")
+
+
+HOT_KEY_CHURN_ORACLE = f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS tus, user_id FROM events),
+    stats AS (SELECT MIN(tus) AS lo, MAX(tus) AS hi FROM ev),
+    cnt AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN tus * 2 <= lo + hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN tus * 2 <= lo + hi THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_after
+      FROM ev, stats GROUP BY user_id),
+    before AS (
+      SELECT user_id, n_before AS cnt_before,
+             row_number() OVER (ORDER BY n_before DESC, user_id)
+               AS rank_before
+      FROM cnt ORDER BY n_before DESC, user_id LIMIT {CHURN_TOPK}),
+    afterw AS (
+      SELECT user_id, n_after AS cnt_after,
+             row_number() OVER (ORDER BY n_after DESC, user_id)
+               AS rank_after
+      FROM cnt ORDER BY n_after DESC, user_id LIMIT {CHURN_TOPK}),
+    joined AS (
+      SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+             b.cnt_before, b.rank_before, a.cnt_after, a.rank_after,
+             CASE WHEN b.user_id IS NOT NULL AND a.user_id IS NOT NULL
+                    THEN 'stayed'
+                  WHEN a.user_id IS NOT NULL THEN 'entered'
+                  ELSE 'dropped' END AS status
+      FROM before b FULL OUTER JOIN afterw a ON b.user_id = a.user_id)
+    SELECT user_id, cnt_before, rank_before, cnt_after, rank_after, status,
+           CAST(SUM(CASE WHEN status = 'stayed' THEN 1 ELSE 0 END) OVER ()
+                * 1000000 // {CHURN_TOPK} AS BIGINT) AS overlap_ppm
+    FROM joined ORDER BY user_id
+    """

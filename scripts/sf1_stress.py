@@ -91,6 +91,7 @@ PREP_APIS: list[str] = [
     "mix_temperature",
     # wave 4d: the manifest small-files / compaction report
     "compaction_plan",
+    "hot_key_churn",
 ]
 
 

@@ -61,6 +61,7 @@ WHITELIST = {
     ("operators/audits.py", "ks_doclen"): (1, "1-row min/max doc_id scalar aggregate"),
     ("operators/audits.py", "bloom_fpr_eval"): (6, "six 1-row scalar aggregates (max shipdate, build count+slice size x3 uses, neg count, false-pos count)"),
     ("operators/pipeline.py", "split_leakage"): (2, "two 1-row scalar aggregates (contaminated-test count, test-split count)"),
+    ("operators/audits.py", "hot_key_churn"): (1, "1-row min/max epoch scalar aggregate (the drift_tvd split contract)"),
 }
 
 

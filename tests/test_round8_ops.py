@@ -704,3 +704,64 @@ def test_compaction_plan_matches_brute_force(spark):
         assert r["small_bytes"] == sb
         assert r["n_after_compaction"] == n_after <= r["n_files"]
         assert r["reduction_ppm"] == (len(sizes) - n_after) * 1_000_000 // len(sizes)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4e: heavy-hitter churn between stream halves
+# ---------------------------------------------------------------------------
+
+
+def test_hot_key_churn_draft_oracle_parity(spark):
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        audits.hot_key_churn(spark, SF_ORACLE).toPandas(),
+        con.execute(audits.HOT_KEY_CHURN_ORACLE).fetchdf(),
+        "hot_key_churn",
+    )
+    con.close()
+
+
+def test_hot_key_churn_matches_brute_force(spark):
+    """Replay both half top-Ks in pure Python from the raw events and
+    check membership, ranks, statuses and the overlap share."""
+    rows = {r["user_id"]: r for r in audits.hot_key_churn(spark, SF_ORACLE).collect()}
+    ev = table(spark, SF_ORACLE, "events").selectExpr(
+        "unix_micros(ts) AS tus", "user_id"
+    ).collect()
+    lo = min(e["tus"] for e in ev)
+    hi = max(e["tus"] for e in ev)
+    nb, na = {}, {}
+    for e in ev:
+        d = nb if e["tus"] * 2 <= lo + hi else na
+        d[e["user_id"]] = d.get(e["user_id"], 0) + 1
+    K = audits.CHURN_TOPK
+
+    def topk(d):
+        return sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+
+    tb = {u: (c, i + 1) for i, (u, c) in enumerate(topk(nb))}
+    ta = {u: (c, i + 1) for i, (u, c) in enumerate(topk(na))}
+    assert set(rows) == set(tb) | set(ta)
+    stayed = set(tb) & set(ta)
+    for u, r in rows.items():
+        if u in tb:
+            assert (r["cnt_before"], r["rank_before"]) == tb[u]
+        else:
+            assert r["cnt_before"] is None and r["rank_before"] is None
+        if u in ta:
+            assert (r["cnt_after"], r["rank_after"]) == ta[u]
+        else:
+            assert r["cnt_after"] is None and r["rank_after"] is None
+        expect = "stayed" if u in stayed else ("entered" if u in ta else "dropped")
+        assert r["status"] == expect
+        assert r["overlap_ppm"] == len(stayed) * 1_000_000 // K
+
+
+def test_hot_key_churn_plan_shape(spark):
+    p = _plan(audits.hot_key_churn(spark, SF_SMALL))
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    # the one whitelisted 1-row stats scalar; its subtree duplicates into
+    # the before/after branches (the bloom pruning-split effect)
+    assert p.count("BroadcastNestedLoopJoin") <= 2 and "CartesianProduct" not in p, p
