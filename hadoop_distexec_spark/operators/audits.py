@@ -40,6 +40,11 @@ with MEASURED false-positive rate on the incremental-join shape); the
 wave's other two live with their families: ``llmops.pq_recall`` and
 ``streaming.windows.stream_dedup_data``.
 
+Wave 4 — ``hot_key_churn`` here (heavy-hitter identity churn between
+stream halves); the rest with their families: ``pipeline.label_prop``,
+``pipeline.split_leakage``, ``llmops.mix_temperature``,
+``plans.manifest_plan.compaction_plan``.
+
 Determinism rules follow hadoop_distexec_spark/functions/numeric.py: all
 counts and shares are exact bigints (shares in integer ppm via ``div``,
 never IEEE division); hashes are the md5/conv 60-bit idiom reproducible

@@ -6,7 +6,9 @@ support-pruned market-basket pairs, sliding-window distinct with a
 checked HLL tier. Wave 2: per-source domain cap, grouped OLS, Benford
 first-digit audit, l-diversity, exact two-sample KS. Wave 3: a-priori
 triples, measured-FPR bloom join filter, PQ ADC recall, streaming
-replay dedup."""
+replay dedup. Wave 4: label propagation (4), split leakage (4b),
+temperature mix weights (4c), the manifest compaction report (4d),
+heavy-hitter churn (4e)."""
 
 import pytest
 from pyspark.sql import functions as F
