@@ -975,10 +975,18 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The error bound is additionally asserted with the raw estimate in
     tests/test_round2_ops.py. Exact twin: q_agg_distinct."""
     o = table(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
-        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    # sketch and exact arms as SEPARATE aggregations joined on the 5-row
+    # priority key — mixing a distinct aggregate with the HLL buffer in
+    # one agg plans an Expand that drags the buffer through every doubled
+    # row (the round-7 q_agg_approx/sliding_distinct finding; this was
+    # the tripwire's last whitelisted instance)
+    sketch = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_approx")
     )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    )
+    agg = sketch.join(exact, "o_orderpriority")
     return agg.select(
         "o_orderpriority",
         "exact_custkeys",

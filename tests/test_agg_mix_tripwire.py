@@ -31,11 +31,6 @@ WHITELIST = {
         "bounded by the tiny domain, not the row count — Expand is 2x "
         "rows of a 3-element set"
     ),
-    ("operators/relational_ext.py", "q_hll_distinct"): (
-        "one distinct column + one rsd-0.02 HLL (4 KiB buffer), 5 groups: "
-        "Expand is 2x with small buffers — measured 4.5s at the 10x lane; "
-        "splitting costs a witness reset for ~2s"
-    ),
 }
 
 
