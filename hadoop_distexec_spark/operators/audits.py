@@ -508,7 +508,10 @@ def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the a-priori CTE chain shared verbatim by the pairs and triples
 # oracles (one definition, so support thresholds cannot drift); the
-# GREATEST(2, n*ppm//1e6) cutoffs mirror _min_count exactly
+# GREATEST(2, n*ppm//1e6) cutoffs mirror _min_count exactly. The pc CTE
+# (pair counts at ITEMSET_PAIR_PPM, round one's reporting cutoff) is
+# pairs-only and appended by ITEMSET_PAIRS_ORACLE alone — the triples
+# oracle prunes pairs at ITEMSET_TRIPLE_PPM via its own fp CTE.
 _ITEMSET_CTES = f"""items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
@@ -522,14 +525,14 @@ _ITEMSET_CTES = f"""items AS (
       SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b,
              a.sup AS sup_a, b.sup AS sup_b
       FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey),
+      WHERE a.l_partkey < b.l_partkey)"""
+
+ITEMSET_PAIRS_ORACLE = f"""
+    WITH {_ITEMSET_CTES},
     pc AS (
       SELECT part_a, part_b, sup_a, sup_b, COUNT(*) AS n_co
       FROM pairs, nb GROUP BY 1, 2, 3, 4, n_baskets
-      HAVING COUNT(*) >= GREATEST(2, n_baskets * {ITEMSET_PAIR_PPM} // 1000000))"""
-
-ITEMSET_PAIRS_ORACLE = f"""
-    WITH {_ITEMSET_CTES}
+      HAVING COUNT(*) >= GREATEST(2, n_baskets * {ITEMSET_PAIR_PPM} // 1000000))
     SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
            CAST(sup_a AS BIGINT) AS sup_a, CAST(sup_b AS BIGINT) AS sup_b,
            CAST(n_co * 1000000 // (sup_a + sup_b - n_co) AS BIGINT)
@@ -597,7 +600,7 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         wins.select("win_start_s", "user_id")
         .distinct()
         .groupBy("win_start_s")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+        .agg(F.count("user_id").alias("n_users"))
     )
     agg = base.join(exact, "win_start_s")
     return agg.select(

@@ -5610,7 +5610,8 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact float ranking (q_sim_topk's definition) — the third
     compression tier of the ANN family: int8 (q_sim_quantized_recall)
     shrinks bytes 4x with near-perfect recall; PQ with {PQ_SUBS}
-    subspaces x {PQ_CODES} codewords stores 4 BITS per subvector (16x),
+    subspaces x {PQ_CODES} codewords stores 6 BITS per subvector
+    (~42x vs float32, matching the PQ_CODES constant),
     and this harness reports what that buys and what it costs. The
     codebook starts from the {PQ_CODES} md5-ranked seed vectors'
     subvectors and is refined by ONE Lloyd round (assign all subvectors,
@@ -5689,7 +5690,8 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb0 = _pq_with_norm(
         subs.join(seeds, "vec_id").select("s", "code", F.col("sub").alias("carr"))
-    ).localCheckpoint()  # 128 rows; stops seed ranking re-runs downstream
+    ).localCheckpoint()  # PQ_SUBS*PQ_CODES = 512 rows; stops seed
+    # ranking re-runs downstream
 
     # ONE Lloyd round: recenter each codeword on the exact integer mean
     # of its assigned subvectors, then re-assign against the refined book
