@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the contract JSON line LAST:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+preceded by one full-precision detail line (same shape plus
+queries_spread/tiers/pipe_*; save it as BENCH_LOCAL_r{N}.json). The
+final line is kept under the driver's 2000-byte stdout-tail capture
+(VERDICT r07 What's-wrong #1) by 2-significant-digit query timings.
 
 Each query executes its full plan into Spark's no-op sink (write.format
 ("noop")) so scans, shuffles, and codegen all run but nothing is collected
@@ -414,7 +419,57 @@ def main() -> None:
         out["warnings"] = warnings
     if errors:
         out["errors"] = errors
+    # Two lines: the full-precision detail record first (save as
+    # BENCH_LOCAL_r{N}.json), then the compact contract line LAST. The
+    # driver's capture keeps only the final ~2000 bytes of stdout and
+    # parses what survives (BENCH_r07.json: "tail" exactly 2000 bytes,
+    # "parsed": null), so the line it must parse has to fit there whole.
     print(json.dumps(out))
+    print(json.dumps(_compact_contract_line(out), separators=(",", ":")))
+
+
+_TAIL_BUDGET = 1950  # driver keeps the last 2000 bytes of stdout
+
+
+def _sig(v: float, digits: int) -> float:
+    """Round to `digits` significant digits (keeps 0.032 at 0.032 while
+    11.84 becomes 12 — sub-second precision where it matters, short
+    strings where it doesn't)."""
+    import math
+
+    if not v:
+        return 0.0
+    return round(v, max(0, digits - 1 - int(math.floor(math.log10(abs(v))))))
+
+
+def _compact_contract_line(out: dict) -> dict:
+    """The driver-facing JSON line: metric/value/unit/sf plus EVERY
+    headline query at reduced precision, guaranteed to serialize under
+    the driver's 2000-byte stdout tail. Degrades precision, then drops
+    the fastest queries (with an explicit queries_omitted count) before
+    ever emitting an oversized line."""
+    for digits in (2, 1):
+        qs = {k: _sig(v, digits) for k, v in out["queries"].items()}
+        compact = {
+            "metric": out["metric"],
+            "value": _sig(out["value"], 3),
+            "unit": out["unit"],
+            "sf": out["sf"],
+            "queries": qs,
+        }
+        if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
+            return compact
+    # last resort: keep the slowest queries that fit; never a long line
+    ranked = sorted(qs.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    compact["queries"] = kept
+    for k, v in ranked:
+        kept[k] = v
+        if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET - 30:
+            del kept[k]
+            break
+    compact["queries_omitted"] = len(ranked) - len(kept)
+    return compact
 
 
 if __name__ == "__main__":

@@ -32,3 +32,35 @@ def test_observed_custom_metrics_match_agg(spark):
     got = obs.get
     assert got["executed"] == expect["executed"]
     assert got["qty"] == expect["qty"]
+
+
+def test_bench_contract_line_fits_driver_tail():
+    """The driver's artifact capture keeps only the final 2000 bytes of
+    bench.py's stdout (BENCH_r07.json: tail exactly 2000 bytes, parsed
+    null) — the contract line printed last must always serialize under
+    that, with every registered headline query named, for any plausible
+    future headline size."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    for n in (len(bench.HEADLINE) + 19, 120, 200):
+        out = {
+            "metric": "headline_queries_total",
+            "value": 123.456,
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": {f"q_plausibly_long_name_{i:03d}": 0.123 + i * 0.731
+                        for i in range(n)},
+        }
+        compact = bench._compact_contract_line(out)
+        line = json.dumps(compact, separators=(",", ":"))
+        assert len(line) <= 2000 - 30, (n, len(line))
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert parsed["unit"] == "sec"
+        # every query named unless the line explicitly says it dropped some
+        if "queries_omitted" not in parsed:
+            assert len(parsed["queries"]) == n
