@@ -110,6 +110,27 @@ HEADLINE = [
     "q_join_card_est",
     "q_retrieval_agreement",
     "q_embed_whiten",
+    # round-8 registrations (the r07 prep waves — new ids, absent from
+    # BENCH_r01..r07)
+    "q_cms_topk",
+    "q_drift_tvd",
+    "q_k_anonymity",
+    "q_itemset_pairs",
+    "q_itemset_triples",
+    "q_sliding_distinct",
+    "q_domain_cap_sample",
+    "q_group_ols",
+    "q_benford_audit",
+    "q_l_diversity",
+    "q_ks_doclen",
+    "q_bloom_fpr_eval",
+    "q_hot_key_churn",
+    "q_pq_recall",
+    "q_mix_temperature",
+    "q_label_prop",
+    "q_split_leakage",
+    "q_stream_dedup_data",
+    "q_compaction_plan",
 ]
 
 HEADLINE_TRIALS = 3

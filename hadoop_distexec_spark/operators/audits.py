@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_distexec_spark.registry import register
 from hadoop_distexec_spark.sources.tables import table
 
 # ---------------------------------------------------------------------------
@@ -1522,3 +1523,23 @@ HOT_KEY_CHURN_ORACLE = f"""
                 * 1000000 // {CHURN_TOPK} AS BIGINT) AS overlap_ppm
     FROM joined ORDER BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registration: the prep waves above enter the driver contract
+# under q_-prefixed ids (registry convention), oracles parity-proven at
+# sf0.01 since round 7 (tests/test_round8_ops.py).
+# ---------------------------------------------------------------------------
+register("q_cms_topk", oracle=CMS_TOPK_ORACLE)(cms_topk)
+register("q_drift_tvd", oracle=DRIFT_TVD_ORACLE)(drift_tvd)
+register("q_k_anonymity", oracle=K_ANONYMITY_ORACLE)(k_anonymity)
+register("q_itemset_pairs", oracle=ITEMSET_PAIRS_ORACLE)(itemset_pairs)
+register("q_itemset_triples", oracle=ITEMSET_TRIPLES_ORACLE)(itemset_triples)
+register("q_sliding_distinct", oracle=SLIDING_DISTINCT_ORACLE)(sliding_distinct)
+register("q_domain_cap_sample", oracle=DOMAIN_CAP_SAMPLE_ORACLE)(domain_cap_sample)
+register("q_group_ols", oracle=GROUP_OLS_ORACLE)(group_ols)
+register("q_benford_audit", oracle=BENFORD_AUDIT_ORACLE)(benford_audit)
+register("q_l_diversity", oracle=L_DIVERSITY_ORACLE)(l_diversity)
+register("q_ks_doclen", oracle=KS_DOCLEN_ORACLE)(ks_doclen)
+register("q_bloom_fpr_eval", oracle=BLOOM_FPR_EVAL_ORACLE)(bloom_fpr_eval)
+register("q_hot_key_churn", oracle=HOT_KEY_CHURN_ORACLE)(hot_key_churn)

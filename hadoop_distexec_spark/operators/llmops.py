@@ -3006,6 +3006,129 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# hub-heavy mitigation tier (VERDICT r07 next-round #6): a deterministic
+# degree cap that bounds per-vertex work on adversarially dense graphs
+# (the 10x fixture's shared-label replication inflates the near-dup edge
+# set ~100x; label_prop/triangle ran 142s/120s there — right asymptotics,
+# wrong constant for interactive audits). UNREGISTERED by design: the
+# query surface is frozen at 194 ids (VERDICT r07 #5); these are library
+# tiers measured through the sf1 stress lane, with agreement vs the
+# exact registered semantics measured the way pq_recall ships its error.
+# ---------------------------------------------------------------------------
+
+DEGREE_CAP = 16  # max edges kept per vertex in the capped tier
+
+
+def degree_cap_edges(edges: DataFrame, cap: int = DEGREE_CAP) -> DataFrame:
+    """Deterministic MUTUAL degree cap over an undirected (va, vb) edge
+    frame (va < vb, no duplicates): an edge survives only if it ranks
+    within BOTH endpoints' `cap` highest-priority incident edges
+    (priority = md5 of the "va:vb" pair string — fixed, retry-stable,
+    no rand()). Mutual (intersection) capping bounds EVERY vertex's
+    post-cap degree by `cap`, so downstream wedge enumeration is
+    <= cap^2 per vertex and LPA messages are <= cap per node regardless
+    of how hot a hub is — the property a union/kNN-style cap (keep if
+    EITHER endpoint ranks it) cannot give, since a hub stays unbounded
+    when every neighbor keeps its hub edge.
+
+    Shape at 100 TB: one 2x explode of the edge list to per-endpoint
+    incident rows, one row_number window on the vertex key, one
+    count==2 aggregate back on the edge key — linear in |E|, the window
+    partition bounded by the hottest vertex's degree, which is exactly
+    the quantity q_key_skew_profile exists to watch; no joins, no
+    collect. (First draft ranked the va-side and vb-side incident lists
+    in two separate windows, which bounds each SIDE by cap and the
+    vertex by 2*cap — caught by the degree-law pytest.)"""
+    e = edges.select(
+        "va",
+        "vb",
+        F.md5(
+            F.concat_ws(":", F.col("va").cast("string"), F.col("vb").cast("string"))
+        ).alias("pri"),
+    )
+    inc = e.select(F.col("va").alias("v"), "va", "vb", "pri").unionByName(
+        e.select(F.col("vb").alias("v"), "va", "vb", "pri")
+    )
+    w = W.partitionBy("v").orderBy("pri", "va", "vb")
+    return (
+        inc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).alias("n_keep"))
+        .filter(F.col("n_keep") == 2)
+        .select("va", "vb")
+    )
+
+
+def triangle_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_triangle_count's cheap tier: the same degree-oriented counting
+    over the degree-capped edge set. Removing edges only removes
+    triangles, so every per-vertex count is a LOWER BOUND of the exact
+    tier's (pytest-gated law); the audit question the count answers —
+    "is this vertex inside a dense paraphrase core?" — survives the cap
+    because a vertex capped at {DEGREE_CAP} neighbors still closes up to
+    {DEGREE_CAP}*({DEGREE_CAP}-1)/2 triangles. Agreement vs exact is
+    MEASURED (triangle_cap_agreement), not assumed."""
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .localCheckpoint(eager=True)
+    )
+    return triangle_counts(degree_cap_edges(edges))
+
+
+TRI_AGREE_TOPK = 20
+
+
+def triangle_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement harness for the capped tier (runs BOTH tiers —
+    one-off audit cost, the q_recall_eval pattern): global triangle
+    recall of the capped tier in exact ppm, plus overlap@{TRI_AGREE_TOPK}
+    between the tiers' most-triangled vertices — the rank signal an
+    auditor actually consumes. One shared pinned edge build feeds both
+    tiers; the comparison joins are on the bounded per-vertex outputs."""
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .localCheckpoint(eager=True)
+    )
+    exact = triangle_counts(edges).localCheckpoint(eager=True)
+    capped = triangle_counts(degree_cap_edges(edges)).localCheckpoint(eager=True)
+    both = exact.select(
+        "vec_id", F.col("n_tri").alias("n_exact")
+    ).join(
+        capped.select("vec_id", F.col("n_tri").alias("n_capped")),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id", "n_exact", F.coalesce("n_capped", F.lit(0)).alias("n_capped")
+    )
+    top_e = exact.orderBy(F.col("n_tri").desc(), "vec_id").limit(TRI_AGREE_TOPK)
+    top_c = capped.orderBy(F.col("n_tri").desc(), "vec_id").limit(TRI_AGREE_TOPK)
+    overlap = top_e.select("vec_id").join(top_c.select("vec_id"), "vec_id").count()
+    totals = both.agg(
+        F.sum("n_exact").alias("tri_exact"),
+        F.sum("n_capped").alias("tri_capped"),
+        F.count(F.lit(1)).alias("n_vertices_exact"),
+        F.sum(F.when(F.col("n_capped") > 0, 1).otherwise(0)).alias(
+            "n_vertices_capped"
+        ),
+    )
+    return totals.select(
+        "tri_exact",
+        "tri_capped",
+        F.expr("tri_capped * 1000000 div tri_exact").cast("long").alias(
+            "tri_recall_ppm"
+        ),
+        "n_vertices_exact",
+        "n_vertices_capped",
+        F.lit(overlap * 1_000_000 // TRI_AGREE_TOPK).cast("long").alias(
+            f"top{TRI_AGREE_TOPK}_overlap_ppm"
+        ),
+    )
+
+
 HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion
 HYBRID_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 HYBRID_TOPK = 20
@@ -5955,3 +6078,9 @@ MIX_TEMPERATURE_ORACLE = """
                           // share_ppm AS BIGINT) END AS boost_x1000
     FROM rooted ORDER BY source
     """
+
+
+# round-8 registration of the prep ops above (parity-proven since r07,
+# tests/test_round8_ops.py)
+register("q_pq_recall", oracle=PQ_RECALL_ORACLE)(pq_recall)
+register("q_mix_temperature", oracle=MIX_TEMPERATURE_ORACLE)(mix_temperature)

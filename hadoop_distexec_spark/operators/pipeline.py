@@ -971,6 +971,16 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
+    return _lpa_spectrum(_lpa_labels(nodes, edges))
+
+
+def _lpa_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The synchronous LPA loop (label_prop's registered core, declared
+    via _fingerprint_extras): LPA_ROUNDS rounds of mode-of-neighbors
+    with smallest-label tiebreak over an undirected (vec_a, vec_b) edge
+    frame, isolated nodes self-stable; returns per-node (v, lab).
+    Shared with label_prop_capped so the capped tier cannot drift from
+    the registered semantics it approximates."""
     sym = edges.select(
         F.col("vec_a").alias("v"), F.col("vec_b").alias("u")
     ).unionByName(
@@ -996,6 +1006,12 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", F.coalesce("new_lab", "lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
+    return labels
+
+
+def _lpa_spectrum(labels: DataFrame) -> DataFrame:
+    """Community spectrum over per-node labels: community id, member
+    count, exact-ppm share (label_prop's registered output shape)."""
     spectrum = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
@@ -1006,6 +1022,99 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     ).orderBy(F.col("n_members").desc(), "community")
+
+
+def label_prop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_prop's hub-mitigation tier (VERDICT r07 #6, UNREGISTERED —
+    surface frozen at 194 ids): the same {LPA_ROUNDS}-round synchronous
+    LPA over the degree-capped edge set (llmops.degree_cap_edges, mutual
+    md5-priority cap at llmops.DEGREE_CAP edges/vertex), so per-round message
+    volume is <= cap*|V| no matter how dense the near-dup graph gets —
+    the 10x fixture's shared-label replication makes |E| ~100x while
+    this tier stays linear in |V|. Partition agreement vs the exact tier
+    is MEASURED by lpa_cap_agreement, never assumed."""
+    from hadoop_distexec_spark.operators.llmops import (
+        degree_cap_edges,
+        q_dedup_embed,
+    )
+
+    nodes = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v")
+    )
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    capped = degree_cap_edges(
+        edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+    ).select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"))
+    return _lpa_spectrum(_lpa_labels(nodes, capped))
+
+
+def lpa_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured partition agreement between label_prop's exact and
+    degree-capped tiers (runs BOTH — one-off audit cost, the
+    q_recall_eval pattern): over the exact edge set, the share of edges
+    whose two endpoints are co-members in BOTH tiers or in NEITHER
+    (pair-level Rand-style agreement on the pairs that matter — the
+    linked ones), plus each tier's community count. One pinned edge
+    build feeds both tiers and the probe pairs."""
+    from hadoop_distexec_spark.operators.llmops import (
+        degree_cap_edges,
+        q_dedup_embed,
+    )
+
+    nodes = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v")
+    )
+    edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    capped = degree_cap_edges(
+        edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+    ).select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"))
+    lab_e = _lpa_labels(nodes, edges)
+    lab_c = _lpa_labels(nodes, capped)
+    probe = (
+        edges.join(
+            lab_e.select(F.col("v").alias("vec_a"), F.col("lab").alias("ea")),
+            "vec_a",
+        )
+        .join(
+            lab_e.select(F.col("v").alias("vec_b"), F.col("lab").alias("eb")),
+            "vec_b",
+        )
+        .join(
+            lab_c.select(F.col("v").alias("vec_a"), F.col("lab").alias("ca")),
+            "vec_a",
+        )
+        .join(
+            lab_c.select(F.col("v").alias("vec_b"), F.col("lab").alias("cb")),
+            "vec_b",
+        )
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("ea") == F.col("eb")) == (F.col("ca") == F.col("cb")), 1
+            ).otherwise(0)
+        ).alias("n_agree"),
+    )
+    n_comm_e = lab_e.select("lab").distinct().count()
+    n_comm_c = lab_c.select("lab").distinct().count()
+    return agg.select(
+        "n_pairs",
+        "n_agree",
+        F.expr("n_agree * 1000000 div n_pairs").cast("long").alias(
+            "pair_agreement_ppm"
+        ),
+        F.lit(n_comm_e).cast("long").alias("n_comm_exact"),
+        F.lit(n_comm_c).cast("long").alias("n_comm_capped"),
+    )
 
 
 def _lpa_round_sql(prev: str, cur: str) -> str:
@@ -1189,3 +1298,12 @@ SPLIT_LEAKAGE_ORACLE = (
     FROM counts, contaminated, test_total
     """
 )
+
+
+# round-8 registration of the prep ops above (parity-proven since r07,
+# tests/test_round8_ops.py). label_prop's loop body lives in the shared
+# _lpa_labels/_lpa_spectrum helpers (the capped tier reuses them), so
+# they join its fingerprint coverage.
+label_prop._fingerprint_extras = (_lpa_labels, _lpa_spectrum)
+register("q_label_prop", oracle=LABEL_PROP_ORACLE)(label_prop)
+register("q_split_leakage", oracle=SPLIT_LEAKAGE_ORACLE)(split_leakage)

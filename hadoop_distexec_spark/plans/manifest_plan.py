@@ -288,3 +288,7 @@ COMPACTION_PLAN_ORACLE = (
     FROM per_dir ORDER BY dir
     """
 )
+
+
+# round-8 registration (parity-proven since r07, tests/test_round8_ops.py)
+register("q_compaction_plan", oracle=COMPACTION_PLAN_ORACLE)(compaction_plan)

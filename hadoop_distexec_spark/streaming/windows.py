@@ -969,3 +969,7 @@ STREAM_DEDUP_DATA_ORACLE = """
            epoch_us(ts) AS ts_us, value
     FROM events
     """
+
+
+# round-8 registration (parity-proven since r07, tests/test_round8_ops.py)
+register("q_stream_dedup_data", oracle=STREAM_DEDUP_DATA_ORACLE)(stream_dedup_data)

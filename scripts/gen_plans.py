@@ -40,17 +40,19 @@ PICKS = [
     ("q_join_card_est", "key-count equi-join, hint-free; one-row audit aggregate"),
 ]
 
-# round-8 prep APIs (unregistered until the r08 window): resolved from
-# their modules instead of the registry
-PREP_PICKS = [
-    ("group_ols", "ONE bigint-lane aggregate; int128 reconstruction on |groups| rows only"),
-    ("itemset_triples", "three LeftSemi closure prunes BEFORE the counting shuffle; TakeOrdered head"),
-    ("bloom_fpr_eval", "distinct bit-set agg + bucket equi-join; only 1-row scalar nested loops"),
-    ("pq_recall", "bounded codebook/LUT equi-joins; assignment window collapses the fan-out"),
-    ("ks_doclen", "conditional agg to distinct-length cells; windows over cells only"),
-    ("split_leakage", "split flags as pure expressions on the shared pair build; 1-row scalar broadcasts"),
-    ("mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
+# registered in round 8 (the former prep APIs, now registry-resolved
+# under q_-prefixed ids); PREP_PICKS stays as the hook for future waves
+PICKS += [
+    ("q_group_ols", "ONE bigint-lane aggregate; int128 reconstruction on |groups| rows only"),
+    ("q_itemset_triples", "three LeftSemi closure prunes BEFORE the counting shuffle; TakeOrdered head"),
+    ("q_bloom_fpr_eval", "distinct bit-set agg + bucket equi-join; only 1-row scalar nested loops"),
+    ("q_pq_recall", "bounded codebook/LUT equi-joins; assignment window collapses the fan-out"),
+    ("q_ks_doclen", "conditional agg to distinct-length cells; windows over cells only"),
+    ("q_split_leakage", "split flags as pure expressions on the shared pair build; 1-row scalar broadcasts"),
+    ("q_mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
 ]
+
+PREP_PICKS: list[tuple[str, str]] = []
 
 
 def _prep_fn(name: str):

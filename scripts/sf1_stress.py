@@ -62,36 +62,27 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_stream_join_data", "q_stream_stateful_totals",
            # round-7 wave 3: the measured-quality harnesses
            "q_lang_id_eval", "q_join_card_est", "q_retrieval_agreement",
-           "q_embed_whiten"]
+           "q_embed_whiten",
+           # round-8 registrations (the former PREP_APIS, now in the
+           # registry under q_-prefixed ids; 10x rows in SCALE.md)
+           "q_cms_topk", "q_drift_tvd", "q_k_anonymity", "q_itemset_pairs",
+           "q_sliding_distinct", "q_domain_cap_sample", "q_group_ols",
+           "q_benford_audit", "q_l_diversity", "q_ks_doclen",
+           "q_itemset_triples", "q_bloom_fpr_eval", "q_pq_recall",
+           "q_stream_dedup_data", "q_label_prop", "q_split_leakage",
+           "q_mix_temperature", "q_compaction_plan", "q_hot_key_churn"]
 
-# Unregistered prep APIs pending a rotation window still get a 10x
-# reading (round-6 review: extend the stress lane to prep APIs). The
-# round-8 audit wave lives in operators/audits.py.
+# Unregistered prep APIs still get a 10x reading (round-6 review:
+# extend the stress lane to prep APIs). After the round-8 registration
+# this carries only the UNREGISTERED hub-mitigation library tiers
+# (VERDICT r07 #6; surface frozen at 194 ids) — the capped tiers time
+# the cheap path, the *_agreement harnesses time the one-off audit that
+# runs BOTH tiers and reports measured agreement.
 PREP_APIS: list[str] = [
-    "cms_topk",
-    "drift_tvd",
-    "k_anonymity",
-    "itemset_pairs",
-    "sliding_distinct",
-    # wave 2 (round-7 session): cap sampling, grouped OLS, Benford,
-    # l-diversity, exact KS
-    "domain_cap_sample",
-    "group_ols",
-    "benford_audit",
-    "l_diversity",
-    "ks_doclen",
-    # wave 3: a-priori round two, the measured-FPR bloom, PQ recall
-    "itemset_triples",
-    "bloom_fpr_eval",
-    "pq_recall",
-    "stream_dedup_data",
-    # wave 4: synchronous label propagation over the near-dup graph
-    "label_prop",
-    "split_leakage",
-    "mix_temperature",
-    # wave 4d: the manifest small-files / compaction report
-    "compaction_plan",
-    "hot_key_churn",
+    "triangle_count_capped",
+    "label_prop_capped",
+    "triangle_cap_agreement",
+    "lpa_cap_agreement",
 ]
 
 

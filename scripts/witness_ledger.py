@@ -79,12 +79,19 @@ def staleness_key(entry: dict, qid: str) -> tuple:
         tier = 1  # oracle upgraded since last witness
     else:
         tier = 2
-    # Within a cohort, UNATTESTED ids rotate first: they cannot use the
-    # relaxed latest-2 bound, so leaving one out of the window while an
-    # attested sibling takes the slot risks starving it red — an
-    # alphabetical tie-break alone could defer an edited id indefinitely.
-    attested = 1 if entry.get("fp_attested") else 0
-    return (tier, entry["last_round"] or 0, attested, qid)
+    # Within a cohort, ids that CANNOT use the relaxed latest-2 bound
+    # rotate first: unattested fingerprints, and attested fingerprints
+    # that no longer match the current source (the operator was edited
+    # after its witness — fp_current_match false). Leaving either out of
+    # the window while a genuinely-untouched sibling takes the slot
+    # starves it red — an alphabetical tie-break alone could defer an
+    # edited id indefinitely (found round 8: two r05 ids whose shared
+    # helpers were edited in r06/r07 ranked as untouched and fell
+    # outside the window the moment 19 new ids entered).
+    relaxed_ok = 1 if (
+        entry.get("fp_attested") and entry.get("fp_current_match", True)
+    ) else 0
+    return (tier, entry["last_round"] or 0, relaxed_ok, qid)
 
 
 def build_ledger() -> dict:
@@ -106,6 +113,7 @@ def build_ledger() -> dict:
             if qid in rounds[r]:
                 last_round, result = r, classify(rounds[r][qid])
         old = old_ids.get(qid, {})
+        current_fp = registry.source_fingerprint(spec)
         if old.get("fp") is not None and old.get("fp_round") == last_round:
             # no new witness since last recorded — keep fp AND attestation
             fp = old["fp"]
@@ -114,7 +122,7 @@ def build_ledger() -> dict:
             # a NEW witness landed (or the id is new): rotate.py runs
             # immediately after the artifact, before edits, so the
             # current source IS what the driver just witnessed
-            fp = registry.source_fingerprint(spec)
+            fp = current_fp
             attested = last_round is not None
         ledger[qid] = {
             "last_round": last_round,
@@ -124,6 +132,11 @@ def build_ledger() -> dict:
             "fp": fp,
             "fp_round": last_round,
             "fp_attested": attested,
+            # does the witnessed fingerprint still describe HEAD? False
+            # means the operator was edited after its witness: the
+            # staleness bound tightens to latest-1 and the rotation must
+            # prioritize it (staleness_key ranks these with unattested)
+            "fp_current_match": fp == current_fp,
         }
 
     suggested = sorted(ledger, key=lambda q: staleness_key(ledger[q], q))[:WINDOW]

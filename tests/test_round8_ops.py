@@ -767,3 +767,87 @@ def test_hot_key_churn_plan_shape(spark):
     # the one whitelisted 1-row stats scalar; its subtree duplicates into
     # the before/after branches (the bloom pruning-split effect)
     assert p.count("BroadcastNestedLoopJoin") <= 2 and "CartesianProduct" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# round-8 hub-mitigation tier (VERDICT r07 #6): degree-capped triangle /
+# LPA beside the exact registered tiers, agreement measured not assumed
+# ---------------------------------------------------------------------------
+
+
+def test_degree_cap_bounds_every_vertex(spark):
+    """Mutual capping must bound EVERY post-cap degree by the cap and
+    only ever drop edges (subset law)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        degree_cap_edges,
+        q_dedup_embed,
+    )
+
+    edges = q_dedup_embed(spark, SF_ORACLE).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    capped = degree_cap_edges(edges, cap=4)
+    deg = (
+        capped.select(F.col("va").alias("v"))
+        .union(capped.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .count()
+    )
+    assert deg.agg(F.max("count")).collect()[0][0] <= 4
+    assert capped.exceptAll(edges).count() == 0
+    # determinism: two builds pick the same edges
+    again = degree_cap_edges(edges, cap=4)
+    assert capped.exceptAll(again).count() == 0
+    assert again.exceptAll(capped).count() == 0
+
+
+def test_triangle_capped_is_per_vertex_lower_bound(spark):
+    """Dropping edges can only drop triangles: capped n_tri <= exact
+    n_tri for every vertex, and no vertex appears only in the capped
+    tier."""
+    from hadoop_distexec_spark.operators.llmops import (
+        q_triangle_count,
+        triangle_count_capped,
+    )
+
+    exact = {
+        r["vec_id"]: r["n_tri"]
+        for r in q_triangle_count(spark, SF_ORACLE).collect()
+    }
+    for r in triangle_count_capped(spark, SF_ORACLE).collect():
+        assert r["vec_id"] in exact
+        assert r["n_tri"] <= exact[r["vec_id"]]
+
+
+def test_triangle_cap_agreement_shape_and_bounds(spark):
+    from hadoop_distexec_spark.operators.llmops import triangle_cap_agreement
+
+    rows = triangle_cap_agreement(spark, SF_ORACLE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r["tri_capped"] <= r["tri_exact"]
+    assert 0 < r["tri_recall_ppm"] <= 1_000_000
+    assert 0 <= r["top20_overlap_ppm"] <= 1_000_000
+    assert 0 < r["n_vertices_capped"] <= r["n_vertices_exact"]
+
+
+def test_label_prop_capped_and_agreement(spark):
+    """The capped LPA tier keeps label_prop's output contract (spectrum
+    sums to |V|, shares to <=1e6) and the agreement harness reports a
+    sane pair-level agreement over the exact edges."""
+    from hadoop_distexec_spark.operators.pipeline import (
+        label_prop_capped,
+        lpa_cap_agreement,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    n_nodes = table(spark, SF_ORACLE, "embeddings").count()
+    spec = label_prop_capped(spark, SF_ORACLE).collect()
+    assert sum(r["n_members"] for r in spec) == n_nodes
+    assert all(0 < r["share_ppm"] <= 1_000_000 for r in spec)
+
+    r = lpa_cap_agreement(spark, SF_ORACLE).collect()[0]
+    assert 0 < r["n_pairs"]
+    assert 0 <= r["n_agree"] <= r["n_pairs"]
+    assert 0 <= r["pair_agreement_ppm"] <= 1_000_000
+    assert r["n_comm_exact"] > 0 and r["n_comm_capped"] > 0
