@@ -3020,9 +3020,103 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 DEGREE_CAP = 16  # max edges kept per vertex in the capped tier
 
 
+def embed_edges_capped(
+    spark: SparkSession, sf_dir: str, cap: int = DEGREE_CAP
+) -> DataFrame:
+    """Candidate-capped near-dup edge builder — the tier that actually
+    moves the 10x wall time, because on hub-heavy graphs the COST LIVES
+    IN PAIR ENUMERATION, not downstream: q_dedup_embed evaluates a
+    double-cosine prefilter on every within-cell pair (sum_cell m^2/2 —
+    ~20M 64-dim dots on the 10x fixture), so capping edges AFTER that
+    build saves nothing (measured: triangle_count_capped over
+    degree_cap_edges ran 119s vs 120s exact — the first draft of this
+    tier, kept in SCALE.md as the negative result).
+
+    Here each label cell is ORDERED by a fixed 1-D projection (the
+    all-ones direction — deterministic, no rand(), cosine-correlated for
+    near-dup vectors) and each member generates candidates only against
+    its `cap` rank-successors — the classic sorted-sliding-window join:
+    exactly <= m*cap candidate pairs per cell (explode(sequence) to the
+    successor ranks + ONE equi-join on (label, rank); no m^2 anything,
+    per-vertex degree <= 2*cap by construction). Survivors pass the SAME
+    double prefilter + exact-decimal threshold as q_dedup_embed, so the
+    output is a strict SUBSET of the registered edge set (pytest law).
+    Recall vs the exact tier is MEASURED (triangle_cap_agreement /
+    lpa_cap_agreement), never assumed.
+
+    Shape at 100 TB: one repartition by label, one per-cell rank window,
+    one fixed cap-way explode, one equi-join — volume is cap*|V| rows
+    whatever the cell-size skew, the property the exact tier cannot
+    have."""
+    dp = spark.sparkContext.defaultParallelism
+    e = table(spark, sf_dir, "embeddings").repartition(dp, "label").select(
+        "vec_id",
+        "label",
+        "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    proj = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    ranked = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "norm2",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy(proj, "vec_id"))
+        .alias("rn"),
+    )
+    cand = ranked.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("n2_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(cap))
+        ).alias("rn_b"),
+    )
+    b = ranked.select(
+        "label",
+        F.col("rn").alias("rn_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("n2_b"),
+    )
+    dbl_dot = F.aggregate(
+        F.zip_with(
+            F.col("emb_a"),
+            F.col("emb_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dbl_cos = dbl_dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    cosine = _spark_dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(
+        F.col("n2_a") * F.col("n2_b")
+    )
+    return (
+        cand.join(b, ["label", "rn_b"])  # inner join drops overshoot ranks
+        .filter(dbl_cos >= EMBED_COS_THRESHOLD - 1e-6)  # q_dedup_embed's prefilter
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= EMBED_COS_THRESHOLD)
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
 def degree_cap_edges(edges: DataFrame, cap: int = DEGREE_CAP) -> DataFrame:
     """Deterministic MUTUAL degree cap over an undirected (va, vb) edge
-    frame (va < vb, no duplicates): an edge survives only if it ranks
+    frame (va < vb, no duplicates). NOTE: for graphs whose edges come
+    from q_dedup_embed this is the WRONG tier to reach for — the cost
+    lives in pair enumeration, so cap there (embed_edges_capped;
+    measured 119s-vs-120s null result in SCALE.md). This helper is for
+    graphs whose edge list already exists cheaply but whose downstream
+    per-vertex work is quadratic. An edge survives only if it ranks
     within BOTH endpoints' `cap` highest-priority incident edges
     (priority = md5 of the "va:vb" pair string — fixed, retry-stable,
     no rand()). Mutual (intersection) capping bounds EVERY vertex's
@@ -3063,19 +3157,22 @@ def degree_cap_edges(edges: DataFrame, cap: int = DEGREE_CAP) -> DataFrame:
 
 def triangle_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_triangle_count's cheap tier: the same degree-oriented counting
-    over the degree-capped edge set. Removing edges only removes
-    triangles, so every per-vertex count is a LOWER BOUND of the exact
-    tier's (pytest-gated law); the audit question the count answers —
-    "is this vertex inside a dense paraphrase core?" — survives the cap
-    because a vertex capped at {DEGREE_CAP} neighbors still closes up to
-    {DEGREE_CAP}*({DEGREE_CAP}-1)/2 triangles. Agreement vs exact is
-    MEASURED (triangle_cap_agreement), not assumed."""
+    over the candidate-capped edge set (embed_edges_capped — capping
+    must happen at pair ENUMERATION; see its docstring for the measured
+    negative result of capping after the build). Candidate restriction
+    only removes edges, and removing edges only removes triangles, so
+    every per-vertex count is a LOWER BOUND of the exact tier's
+    (pytest-gated law); the audit question the count answers — "is this
+    vertex inside a dense paraphrase core?" — survives the cap because a
+    vertex capped at ~2x{DEGREE_CAP} neighbors still closes hundreds of
+    triangles. Agreement vs exact is MEASURED (triangle_cap_agreement),
+    not assumed."""
     edges = (
-        q_dedup_embed(spark, sf_dir)
+        embed_edges_capped(spark, sf_dir)
         .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
         .localCheckpoint(eager=True)
     )
-    return triangle_counts(degree_cap_edges(edges))
+    return triangle_counts(edges)
 
 
 TRI_AGREE_TOPK = 20
@@ -3086,15 +3183,21 @@ def triangle_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-off audit cost, the q_recall_eval pattern): global triangle
     recall of the capped tier in exact ppm, plus overlap@{TRI_AGREE_TOPK}
     between the tiers' most-triangled vertices — the rank signal an
-    auditor actually consumes. One shared pinned edge build feeds both
-    tiers; the comparison joins are on the bounded per-vertex outputs."""
+    auditor actually consumes. Each tier builds its own edge set (the
+    capped tier's whole point is a different, bounded build); the
+    comparison joins are on the bounded per-vertex outputs."""
     edges = (
         q_dedup_embed(spark, sf_dir)
         .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
         .localCheckpoint(eager=True)
     )
+    capped_edges = (
+        embed_edges_capped(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .localCheckpoint(eager=True)
+    )
     exact = triangle_counts(edges).localCheckpoint(eager=True)
-    capped = triangle_counts(degree_cap_edges(edges)).localCheckpoint(eager=True)
+    capped = triangle_counts(capped_edges).localCheckpoint(eager=True)
     both = exact.select(
         "vec_id", F.col("n_tri").alias("n_exact")
     ).join(

@@ -1027,28 +1027,24 @@ def _lpa_spectrum(labels: DataFrame) -> DataFrame:
 def label_prop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """label_prop's hub-mitigation tier (VERDICT r07 #6, UNREGISTERED —
     surface frozen at 194 ids): the same {LPA_ROUNDS}-round synchronous
-    LPA over the degree-capped edge set (llmops.degree_cap_edges, mutual
-    md5-priority cap at llmops.DEGREE_CAP edges/vertex), so per-round message
-    volume is <= cap*|V| no matter how dense the near-dup graph gets —
-    the 10x fixture's shared-label replication makes |E| ~100x while
-    this tier stays linear in |V|. Partition agreement vs the exact tier
-    is MEASURED by lpa_cap_agreement, never assumed."""
-    from hadoop_distexec_spark.operators.llmops import (
-        degree_cap_edges,
-        q_dedup_embed,
-    )
+    LPA over the candidate-capped edge set (llmops.embed_edges_capped —
+    the cap must sit at pair ENUMERATION, where the 10x cost actually
+    lives; see that docstring's measured negative result for capping
+    after the build). Edge volume is <= cap*|V| no matter how dense the
+    near-dup graph gets — the 10x fixture's shared-label replication
+    makes the exact |E| ~100x while this tier stays linear in |V|.
+    Partition agreement vs the exact tier is MEASURED by
+    lpa_cap_agreement, never assumed."""
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
 
     nodes = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("v")
     )
-    edges = (
-        q_dedup_embed(spark, sf_dir)
+    capped = (
+        embed_edges_capped(spark, sf_dir)
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
-    capped = degree_cap_edges(
-        edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-    ).select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"))
     return _lpa_spectrum(_lpa_labels(nodes, capped))
 
 
@@ -1058,10 +1054,11 @@ def lpa_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_recall_eval pattern): over the exact edge set, the share of edges
     whose two endpoints are co-members in BOTH tiers or in NEITHER
     (pair-level Rand-style agreement on the pairs that matter — the
-    linked ones), plus each tier's community count. One pinned edge
-    build feeds both tiers and the probe pairs."""
+    linked ones), plus each tier's community count. The exact edge build
+    feeds the exact tier and the probe pairs; the capped tier builds its
+    own bounded edge set (that is its point)."""
     from hadoop_distexec_spark.operators.llmops import (
-        degree_cap_edges,
+        embed_edges_capped,
         q_dedup_embed,
     )
 
@@ -1073,9 +1070,11 @@ def lpa_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
-    capped = degree_cap_edges(
-        edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-    ).select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"))
+    capped = (
+        embed_edges_capped(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
     lab_e = _lpa_labels(nodes, edges)
     lab_c = _lpa_labels(nodes, capped)
     probe = (

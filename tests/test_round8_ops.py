@@ -851,3 +851,29 @@ def test_label_prop_capped_and_agreement(spark):
     assert 0 <= r["n_agree"] <= r["n_pairs"]
     assert 0 <= r["pair_agreement_ppm"] <= 1_000_000
     assert r["n_comm_exact"] > 0 and r["n_comm_capped"] > 0
+
+
+def test_embed_edges_capped_subset_and_bounded(spark):
+    """The candidate-capped edge set must be a strict SUBSET of
+    q_dedup_embed's registered edges (same threshold, restricted
+    candidates), deterministic across builds, with per-vertex degree
+    bounded by 2*cap."""
+    from hadoop_distexec_spark.operators.llmops import (
+        embed_edges_capped,
+        q_dedup_embed,
+    )
+
+    exact = q_dedup_embed(spark, SF_ORACLE).select("vec_a", "vec_b")
+    capped = embed_edges_capped(spark, SF_ORACLE, cap=4).select("vec_a", "vec_b")
+    assert capped.exceptAll(exact).count() == 0
+    assert capped.count() > 0
+    deg = (
+        capped.select(F.col("vec_a").alias("v"))
+        .union(capped.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .count()
+    )
+    assert deg.agg(F.max("count")).collect()[0][0] <= 8
+    again = embed_edges_capped(spark, SF_ORACLE, cap=4).select("vec_a", "vec_b")
+    assert capped.exceptAll(again).count() == 0
+    assert again.exceptAll(capped).count() == 0
