@@ -58,6 +58,7 @@ from typing import Iterable, Iterator
 from urllib.parse import urlsplit
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -455,14 +456,6 @@ def _exec_one_fd(
     return ("FAIL", rc, bytes_in, bytes_out, bytes_err, msg)
 
 
-def _sum_count(rows: Iterable) -> tuple[int, int]:
-    s = c = 0
-    for r in rows:
-        s += r["size"]
-        c += 1
-    return s, c
-
-
 def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin, final_pin=None):
     """Range-order the file manifest by src_path and collect per-partition
     (byte total, row count) in one pass — the shared phase-1 of
@@ -491,12 +484,19 @@ def _plan_ordered_stats(files: DataFrame, n_parts: int, dp: int, pin, final_pin=
     Returns (ordered, part_stats, n_parts)."""
 
     def collect_stats(o: DataFrame) -> dict:
-        return {
-            i: (s, c)
-            for i, s, c in o.rdd.mapPartitionsWithIndex(
-                lambda i, rows: [(i, *_sum_count(rows))]
-            ).collect()
-        }
+        # JVM-side per-partition stats: spark_partition_id + hash agg
+        # stays in codegen, where the former rdd.mapPartitionsWithIndex
+        # serialized every metadata row through Python workers — a
+        # visible slice of the fixed cost at toy size and a real
+        # bottleneck at 10^8-file manifests (VERDICT r07 #8). Empty
+        # partitions produce no group row; every consumer defaults
+        # missing ids to (0, 0).
+        rows = (
+            o.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.sum("size").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["pid"]: (r["s"] or 0, r["c"]) for r in rows}
 
     def one(nparts: int, m):
         o = m(
@@ -592,16 +592,40 @@ def plan_partitions(
         offsets[i] = acc
         acc += part_sums.get(i, 0)
 
-    # phase 2: local bin assignment from the partition's global offset
-    def assign(i: int, rows: Iterator[Row]) -> Iterator[Row]:
-        cum = offsets.get(i, 0)
-        for r in rows:
-            yield Row(**{**r.asDict(), "bin": int(min(cum // target, n_tasks - 1))})
-            cum += r["size"]
-
-    schema = T.StructType([*ordered.schema.fields, T.StructField("bin", T.IntegerType(), False)])
-    planned = ordered.sparkSession.createDataFrame(
-        ordered.rdd.mapPartitionsWithIndex(assign), schema
+    # phase 2: bin assignment from the partition's global offset, fully
+    # JVM-side (VERDICT r07 #8 — the former mapPartitionsWithIndex pushed
+    # every manifest row through Python workers a second time before the
+    # run's own unavoidable crossing): spark_partition_id is projected
+    # BEFORE the window's pid exchange, so each row carries the physical
+    # partition it was materialized in; the offset map is a bounded
+    # (<= defaultParallelism-entry) literal; the running byte sum is a
+    # window over (pid, src_path) — same unique order assign() iterated —
+    # and the bin is exact bigint division, never IEEE.
+    if offsets:
+        off_map = F.create_map(
+            *[x for i, v in offsets.items() for x in (F.lit(i), F.lit(v))]
+        )
+        off_expr = F.coalesce(
+            F.element_at(off_map, F.col("_plan_pid")), F.lit(0)
+        )
+    else:  # empty manifest: no partitions materialized any rows
+        off_expr = F.lit(0)
+    run_w = (
+        W.partitionBy("_plan_pid")
+        .orderBy("src_path")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = off_expr + F.coalesce(F.sum("size").over(run_w), F.lit(0))
+    planned = (
+        ordered.withColumn("_plan_pid", F.spark_partition_id())
+        .withColumn("_plan_cum", cum.cast("long"))
+        .withColumn(
+            "bin",
+            F.least(
+                F.expr(f"_plan_cum div {int(target)}"), F.lit(n_tasks - 1)
+            ).cast("int"),
+        )
+        .drop("_plan_pid", "_plan_cum")
     )
     return planned, n_tasks, ordered
 
@@ -753,7 +777,12 @@ def distexec(
     # contents-into-dst root rule applies regardless of dst existence
     # (DistCp -update semantics).
     manifest = build_manifest(spark, srcs, dst, contents_into_dst=update, fs=fs)
+    # directory rel_dsts the walk already collected driver-side (None when
+    # over the attach cap); invalidated by manifest-narrowing transforms
+    dir_rels = getattr(manifest, "_distexec_dir_rels", None)
     manifest = limit_manifest(manifest, filelimit, sizelimit)
+    if filelimit is not None or sizelimit is not None:
+        dir_rels = None  # the limited manifest may have dropped dir rows
     # One cache for the whole orchestration: the dup check, dir pass and
     # split planning each action this frame, and without the pin every
     # action re-converts the walk's Python RDD rows through the Python
@@ -801,14 +830,21 @@ def distexec(
             if rel and rel != ".":
                 dst_fs.mkdirs(dst_fs.join(dst, rel))
 
-        dir_rows = manifest.filter(F.col("is_dir")).select("rel_dst")
-        if executor_mutation_safe(spark, dst_fs):
-            dir_rows.foreachPartition(
-                lambda rows: [_mk_one(r["rel_dst"]) for r in rows]
-            )
+        if dir_rels is not None:
+            # the walk already brought every dir name to the driver — no
+            # Spark job needed for the dir pass (VERDICT r07 #8); bounded
+            # by the attach cap, so this is never a 10^7-RPC loop
+            for rel in dir_rels:
+                _mk_one(rel)
         else:
-            for r in dir_rows.toLocalIterator():
-                _mk_one(r["rel_dst"])
+            dir_rows = manifest.filter(F.col("is_dir")).select("rel_dst")
+            if executor_mutation_safe(spark, dst_fs):
+                dir_rows.foreachPartition(
+                    lambda rows: [_mk_one(r["rel_dst"]) for r in rows]
+                )
+            else:
+                for r in dir_rows.toLocalIterator():
+                    _mk_one(r["rel_dst"])
 
         tmp_dir = dst_fs.join(dst, "_distexec_tmp")  # tmp placement: DistExec.java:633-636
         dst_fs.mkdirs(tmp_dir)

@@ -34,6 +34,12 @@ MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# max directory rel_dsts carried on the manifest DataFrame as driver-side
+# metadata (_distexec_dir_rels); beyond this the walk stops accumulating
+# and consumers run the distributed dir pass instead. Sized so the list
+# stays trivially small next to the frontier the BFS already collects.
+_DIR_REL_ATTACH_CAP = 4096
+
 
 def make_relative(root: str, path: str) -> str | None:
     """Strip ``root`` from ``path`` (reference makeRelative,
@@ -146,11 +152,21 @@ def build_manifest(
 
     rows: list[tuple] = []  # (src_path, size, is_dir, mtime, mtime_epoch, is_link, root)
     rdds = []
+    # The BFS already brings every directory NAME to the driver (the
+    # frontier), so the rel_dst dir list is free to carry along — the
+    # executor consumes it to create destination dirs WITHOUT a Spark
+    # job over the manifest (one fixed-cost job per run, VERDICT r07
+    # #8). Bounded: past the cap the attribute drops to None and the
+    # consumer falls back to the distributed dir pass, which is the
+    # right tool for 10^7-directory trees anyway.
+    dir_rels: list[str] | None = []
     for src, src_fs in zip(srcs, src_fss):
         root = src if special else (src_fs.dirname(src) or "/")
         entry = _stat_entry(src, src_fs)
         rows.append((*entry, root))
         if entry[2]:  # directory: BFS fan-out on executors
+            if dir_rels is not None and not special:
+                dir_rels.append(make_relative(root, src))  # the root row itself
             frontier = [src]
             while frontier:
                 listing = sc.parallelize(frontier, max(1, min(len(frontier), 256))).flatMap(
@@ -158,10 +174,18 @@ def build_manifest(
                 )
                 listing = listing.map(lambda e, _root=root: (*e, _root))
                 listing.persist()
-                # only directory *names* come back to the driver. Symlinked
-                # dirs are recorded but never expanded — a `ln -s . loop`
-                # cycle would otherwise walk forever.
-                frontier = [e[0] for e in listing.filter(lambda e: e[2] and not e[5]).collect()]
+                # only directory *names* come back to the driver (path +
+                # link flag). Symlinked dirs are recorded but never
+                # expanded — a `ln -s . loop` cycle would otherwise walk
+                # forever.
+                dirs = [
+                    (e[0], e[5]) for e in listing.filter(lambda e: e[2]).collect()
+                ]
+                frontier = [p for p, is_link in dirs if not is_link]
+                if dir_rels is not None:
+                    dir_rels.extend(make_relative(root, p) for p, _ in dirs)
+                    if len(dir_rels) > _DIR_REL_ATTACH_CAP:
+                        dir_rels = None
                 rdds.append(listing)
 
     base = sc.parallelize(rows, 1)
@@ -178,7 +202,7 @@ def build_manifest(
         ]
     )
     df = spark.createDataFrame(base, schema)
-    return df.select(
+    out = df.select(
         "src_path",
         _rel_expr().alias("rel_dst"),
         "size",
@@ -186,6 +210,12 @@ def build_manifest(
         "mtime",
         "mtime_epoch",
     )
+    # rel_dst of every DIRECTORY row (root rows excluded when they map to
+    # "."), known driver-side from the walk; None when over the attach
+    # cap. Consumers must drop it after any manifest-narrowing transform
+    # (limit_manifest) — the attribute describes THIS frame only.
+    out._distexec_dir_rels = dir_rels
+    return out
 
 
 def _rel_expr():
