@@ -449,7 +449,9 @@ def main() -> None:
     print(json.dumps(_compact_contract_line(out), separators=(",", ":")))
 
 
-_TAIL_BUDGET = 1950  # driver keeps the last 2000 bytes of stdout
+# The driver keeps the last 2000 bytes of stdout; the final line plus its
+# newline must fit inside that window whole, so budget 1985.
+_TAIL_BUDGET = 1985
 
 
 def _sig(v: float, digits: int) -> float:
@@ -469,6 +471,13 @@ def _compact_contract_line(out: dict) -> dict:
     the driver's 2000-byte stdout tail. Degrades precision, then drops
     the fastest queries (with an explicit queries_omitted count) before
     ever emitting an oversized line."""
+    # errors must survive onto the contract line (BENCH_r02 precedent: a
+    # silent artifact is worse than a short one) — bounded to 5 entries
+    # of 60 chars so they can never crowd out the queries dict
+    errs = {
+        k: v[:60] for k, v in sorted(out.get("errors", {}).items())[:5]
+    }
+    n_errs_omitted = max(0, len(out.get("errors", {})) - len(errs))
     for digits in (2, 1):
         qs = {k: _sig(v, digits) for k, v in out["queries"].items()}
         compact = {
@@ -478,6 +487,10 @@ def _compact_contract_line(out: dict) -> dict:
             "sf": out["sf"],
             "queries": qs,
         }
+        if errs:
+            compact["errors"] = errs
+        if n_errs_omitted:
+            compact["errors_omitted"] = n_errs_omitted
         if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
             return compact
     # last resort: keep the slowest queries that fit; never a long line

@@ -57,7 +57,7 @@ def test_bench_contract_line_fits_driver_tail():
         }
         compact = bench._compact_contract_line(out)
         line = json.dumps(compact, separators=(",", ":"))
-        assert len(line) <= 2000 - 30, (n, len(line))
+        assert len(line) <= 2000 - 5, (n, len(line))
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total"
         assert parsed["unit"] == "sec"
