@@ -415,3 +415,34 @@ def test_tokenizer_and_exit_policy():
     assert not exit_ok(["grep", "x"], 2)
     assert not exit_ok(["cat"], 1)
     assert exit_ok(["cat"], 0)
+
+
+def test_split_plan_bins_contiguous_and_deterministic(spark, tmp_path):
+    """The prefix-sum rule implies bin ids are NONDECREASING in global
+    src_path order (each bin is a contiguous byte range of the ordered
+    manifest) — pins the JVM-side window/offset-map assignment (round 8)
+    to the exact semantics the Python mapPartitionsWithIndex pass had,
+    and that two plans of the same manifest agree row-for-row."""
+    import random
+
+    from hadoop_distexec_spark.pipe.executor import plan_partitions
+    from hadoop_distexec_spark.sources.manifest import build_manifest
+
+    src = tmp_path / "contig"
+    src.mkdir()
+    rng = random.Random(11)
+    for i in range(150):
+        (src / f"f{i:03d}.bin").write_bytes(b"x" * rng.randrange(1, 2048))
+    manifest = build_manifest(spark, str(src))
+    planned, n_tasks, cached = plan_partitions(manifest, n_tasks=8)
+    rows = sorted(planned.collect(), key=lambda r: r["src_path"])
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins), "bins must be contiguous in src_path order"
+    assert bins[0] == 0 and max(bins) <= 7
+    planned2, _, cached2 = plan_partitions(manifest, n_tasks=8)
+    rows2 = sorted(planned2.collect(), key=lambda r: r["src_path"])
+    assert [(r["src_path"], r["bin"]) for r in rows] == [
+        (r["src_path"], r["bin"]) for r in rows2
+    ]
+    cached.unpersist()
+    cached2.unpersist()
