@@ -3044,31 +3044,42 @@ def embed_edges_capped(
     Recall vs the exact tier is MEASURED (triangle_cap_agreement /
     lpa_cap_agreement), never assumed.
 
-    Shape at 100 TB: one repartition by label, one per-cell rank window,
+    Shape at 100 TB: one repartition by cell, one per-cell rank window,
     one fixed cap-way explode, one equi-join — volume is cap*|V| rows
     whatever the cell-size skew, the property the exact tier cannot
     have."""
     dp = spark.sparkContext.defaultParallelism
     e = table(spark, sf_dir, "embeddings").repartition(dp, "label").select(
         "vec_id",
-        "label",
+        F.col("label").alias("cell"),
         "embedding",
         _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
+    return _window_capped_pairs(e, cap)
+
+
+def _window_capped_pairs(cells: DataFrame, cap: int) -> DataFrame:
+    """The sorted-sliding-window candidate core shared by the blocking
+    policies (label cells: embed_edges_capped; IVF cells:
+    embed_edges_capped_ivf): `cells` is (cell, vec_id, embedding,
+    norm2); within each cell, members ordered by the fixed all-ones
+    projection meet only their `cap` rank-successors, and survivors
+    pass q_dedup_embed's double prefilter + exact-decimal threshold.
+    Returns (vec_a < vec_b, cosine)."""
     proj = F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
     )
-    ranked = e.select(
+    ranked = cells.select(
         "vec_id",
-        "label",
+        "cell",
         "embedding",
         "norm2",
         F.row_number()
-        .over(W.partitionBy("label").orderBy(proj, "vec_id"))
+        .over(W.partitionBy("cell").orderBy(proj, "vec_id"))
         .alias("rn"),
     )
     cand = ranked.select(
-        "label",
+        "cell",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm2").alias("n2_a"),
@@ -3077,7 +3088,7 @@ def embed_edges_capped(
         ).alias("rn_b"),
     )
     b = ranked.select(
-        "label",
+        "cell",
         F.col("rn").alias("rn_b"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
@@ -3097,7 +3108,7 @@ def embed_edges_capped(
         F.col("n2_a") * F.col("n2_b")
     )
     return (
-        cand.join(b, ["label", "rn_b"])  # inner join drops overshoot ranks
+        cand.join(b, ["cell", "rn_b"])  # inner join drops overshoot ranks
         .filter(dbl_cos >= EMBED_COS_THRESHOLD - 1e-6)  # q_dedup_embed's prefilter
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= EMBED_COS_THRESHOLD)
@@ -3106,6 +3117,108 @@ def embed_edges_capped(
             F.greatest("id_a", "id_b").alias("vec_b"),
             "cosine",
         )
+    )
+
+
+IVF_CAP_NLIST = 64  # centroid count for the label-free blocking tier
+
+
+def embed_edges_capped_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_CAP_NLIST,
+    cap: int = DEGREE_CAP,
+) -> DataFrame:
+    """The LABEL-FREE variant of embed_edges_capped — the blocking a
+    production corpus actually has available: a 100 TB embedding table
+    has no curated `label` column, so cells come from IVF assignment
+    against {IVF_CAP_NLIST} deterministic md5-ranked seed centroids (the
+    pq_recall/kmeans seeding idiom — retry-stable, no rand()), then the
+    same sorted-sliding-window candidate core runs within each cell.
+    Pairs still pass q_dedup_embed's exact-decimal threshold, but the
+    CANDIDATE POLICY differs from label blocking, so the result is NOT a
+    subset of the registered edge set — the two policies' overlap is a
+    measured quantity (ivf_cap_overlap), not an assumption.
+
+    Assignment is a broadcast of nlist 64-dim centroids against the
+    scan (double cosine, ties to the smaller centroid id) — nlist*|V|
+    dots, embarrassingly parallel, no shuffle beyond the cell
+    repartition the window needs. At 100 TB nlist grows to keep cells
+    ~executor-sized; the seeds would come from a kmeans fit (q_kmeans_vec)
+    rather than raw vectors, which only changes this function's first
+    line."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    seeds = (
+        e.orderBy(
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), "vec_id"
+        )
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("norm2").alias("cn2"),
+        )
+    )
+    c_cos = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cemb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.sqrt(F.col("norm2") * F.col("cn2"))
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("c_cos", c_cos)
+        .withColumn(
+            "a_rank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+            ),
+        )
+        .filter(F.col("a_rank") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding", "norm2")
+    )
+    dp = spark.sparkContext.defaultParallelism
+    return _window_capped_pairs(assigned.repartition(dp, "cell"), cap)
+
+
+def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured overlap between the two candidate policies (runs both —
+    one-off audit): label-blocked capped edges vs IVF-blocked capped
+    edges, as counts + Jaccard in exact ppm, plus how many IVF edges the
+    REGISTERED label-blocked exact tier could never see (cross-label
+    pairs — the recall the curated blocking gives up when labels and
+    geometry disagree)."""
+    lab = embed_edges_capped(spark, sf_dir).select("vec_a", "vec_b")
+    ivf = embed_edges_capped_ivf(spark, sf_dir).select("vec_a", "vec_b")
+    lab = lab.localCheckpoint(eager=True)
+    ivf = ivf.localCheckpoint(eager=True)
+    n_lab = lab.count()
+    n_ivf = ivf.count()
+    n_common = lab.join(ivf, ["vec_a", "vec_b"]).count()
+    exact = q_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
+    n_ivf_outside_label_blocking = ivf.join(
+        exact, ["vec_a", "vec_b"], "left_anti"
+    ).count()
+    union = n_lab + n_ivf - n_common
+    return spark.createDataFrame(
+        [
+            (
+                n_lab,
+                n_ivf,
+                n_common,
+                (n_common * 1_000_000 // union) if union else 0,
+                n_ivf_outside_label_blocking,
+            )
+        ],
+        "n_label_capped long, n_ivf_capped long, n_common long, "
+        "jaccard_ppm long, n_ivf_cross_label long",
     )
 
 

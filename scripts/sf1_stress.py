@@ -83,6 +83,9 @@ PREP_APIS: list[str] = [
     "label_prop_capped",
     "triangle_cap_agreement",
     "lpa_cap_agreement",
+    # label-free IVF-blocked candidate policy + its policy-overlap audit
+    "embed_edges_capped_ivf",
+    "ivf_cap_overlap",
 ]
 
 

@@ -877,3 +877,52 @@ def test_embed_edges_capped_subset_and_bounded(spark):
     again = embed_edges_capped(spark, SF_ORACLE, cap=4).select("vec_a", "vec_b")
     assert capped.exceptAll(again).count() == 0
     assert again.exceptAll(capped).count() == 0
+
+
+def test_embed_edges_capped_ivf_laws(spark):
+    """The label-free IVF-blocked tier: deterministic, degree-bounded by
+    2*cap, and every returned pair genuinely passes the exact-decimal
+    cosine threshold (recomputed independently from the raw vectors)."""
+    from decimal import Decimal
+
+    from hadoop_distexec_spark.operators.llmops import (
+        EMBED_COS_THRESHOLD,
+        embed_edges_capped_ivf,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    capped = embed_edges_capped_ivf(spark, SF_ORACLE, cap=4)
+    rows = capped.collect()
+    assert rows, "ivf tier found no edges on the fixture"
+    deg: dict = {}
+    for r in rows:
+        deg[r["vec_a"]] = deg.get(r["vec_a"], 0) + 1
+        deg[r["vec_b"]] = deg.get(r["vec_b"], 0) + 1
+    assert max(deg.values()) <= 8
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    for r in rows[:50]:
+        a, b = emb[r["vec_a"]], emb[r["vec_b"]]
+        dot = sum(
+            Decimal(str(float(x))) * Decimal(str(float(y))) for x, y in zip(a, b)
+        )
+        na = sum(Decimal(str(float(x))) ** 2 for x in a)
+        nb = sum(Decimal(str(float(x))) ** 2 for x in b)
+        cos = float(dot) / (float(na) * float(nb)) ** 0.5
+        assert cos >= EMBED_COS_THRESHOLD - 1e-9, (r, cos)
+    again = embed_edges_capped_ivf(spark, SF_ORACLE, cap=4)
+    assert capped.select("vec_a", "vec_b").exceptAll(
+        again.select("vec_a", "vec_b")
+    ).count() == 0
+
+
+def test_ivf_cap_overlap_shape(spark):
+    from hadoop_distexec_spark.operators.llmops import ivf_cap_overlap
+
+    r = ivf_cap_overlap(spark, SF_ORACLE).collect()[0]
+    assert r["n_label_capped"] > 0 and r["n_ivf_capped"] > 0
+    assert 0 <= r["n_common"] <= min(r["n_label_capped"], r["n_ivf_capped"])
+    assert 0 <= r["jaccard_ppm"] <= 1_000_000
+    assert 0 <= r["n_ivf_cross_label"] <= r["n_ivf_capped"]
