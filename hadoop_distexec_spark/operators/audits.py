@@ -1,7 +1,7 @@
 """Round-8 prep waves: sketch-accuracy, drift, privacy, co-occurrence,
 windowed-cardinality, sampling, regression and join-filter audits (the
 hand-off pattern: implemented + pytest-gated with TESTED draft DuckDB
-oracle twins now; registration queued for the round-8 rotation window —
+oracle twins; REGISTERED in round 8 under q_-prefixed ids —
 the r07 window is fully allocated at 22 first-witness + 28 stale slots).
 
 Wave 1 — five operators a training-data / analytics pipeline runs
@@ -632,7 +632,7 @@ SLIDING_DISTINCT_ORACLE = f"""
 # Round-8 prep, wave 2: per-source cap sampling, per-group OLS, Benford
 # first-digit audit, l-diversity, and an unbinned exact KS drift statistic.
 # Same hand-off pattern as wave 1: implemented + pytest-gated with TESTED
-# draft DuckDB twins (tests/test_round8_ops.py), registration queued for
+# draft DuckDB twins (tests/test_round8_ops.py); REGISTERED in round 8 per
 # the round-8 rotation window.
 # ===========================================================================
 
@@ -1099,7 +1099,7 @@ KS_DOCLEN_ORACLE = f"""
 
 # ===========================================================================
 # Round-8 prep, wave 3: a-priori round two and a measured-FPR bloom join
-# filter (same hand-off pattern; registration queued for the r08 window).
+# filter (same hand-off pattern; REGISTERED r08).
 # ===========================================================================
 
 # ---------------------------------------------------------------------------
@@ -1395,7 +1395,7 @@ BLOOM_FPR_EVAL_ORACLE = f"""
 
 # ---------------------------------------------------------------------------
 # hot_key_churn — heavy-hitter churn between stream halves (round-8 prep,
-# registration queued for the r08 rotation window)
+# REGISTERED r08 as q_hot_key_churn)
 # ---------------------------------------------------------------------------
 
 CHURN_TOPK = 20

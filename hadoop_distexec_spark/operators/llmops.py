@@ -5905,7 +5905,7 @@ embed_whiten._fingerprint_extras = (_embed_pca_core,)
 
 # ---------------------------------------------------------------------------
 # pq_recall — product-quantization ADC recall harness (round-8 prep,
-# registration queued for the r08 rotation window)
+# REGISTERED r08 as q_pq_recall)
 # ---------------------------------------------------------------------------
 
 PQ_SUBS = 8  # subspaces
@@ -6206,7 +6206,7 @@ PQ_RECALL_ORACLE = f"""
 
 # ---------------------------------------------------------------------------
 # mix_temperature — temperature-scaled source sampling weights (round-8
-# prep, registration queued for the r08 rotation window)
+# prep; REGISTERED r08 as q_mix_temperature)
 # ---------------------------------------------------------------------------
 
 

@@ -787,7 +787,7 @@ register("q_pii_source_audit", oracle=_pii_source_audit_oracle())(pii_source_aud
 
 # ---------------------------------------------------------------------------
 # round-8 prep (implemented + pytest-gated with TESTED draft oracle twins;
-# registration queued for the next rotation window).
+# REGISTERED r08 as q_label_prop).
 # ---------------------------------------------------------------------------
 
 
@@ -927,7 +927,7 @@ dedup_cluster_stats._fingerprint_extras = (q_dedup_groups,)
 
 # ---------------------------------------------------------------------------
 # label_prop — synchronous label propagation (round-8 prep, registration
-# queued for the r08 rotation window)
+# REGISTERED r08 as q_split_leakage)
 # ---------------------------------------------------------------------------
 
 LPA_ROUNDS = 3  # fixed synchronous rounds; unrolled identically in the oracle
@@ -1162,7 +1162,7 @@ LABEL_PROP_ORACLE = _lpa_oracle()
 
 # ---------------------------------------------------------------------------
 # split_leakage — near-dup contamination across the train/test boundary
-# (round-8 prep, registration queued for the r08 rotation window)
+# (round-8 prep; REGISTERED r08)
 # ---------------------------------------------------------------------------
 
 

@@ -199,7 +199,7 @@ def q_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # compaction_plan — the small-files report over the manifest (round-8
-# prep, registration queued for the r08 rotation window)
+# prep; REGISTERED r08 as q_compaction_plan)
 # ---------------------------------------------------------------------------
 
 COMPACT_SMALL = 256  # a file below this many bytes is "small"

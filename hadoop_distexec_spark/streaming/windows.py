@@ -909,7 +909,7 @@ stream_stateful_totals._fingerprint_extras = (streaming_user_totals_exact,)
 
 # ---------------------------------------------------------------------------
 # round-8 prep: replay dedup with DATA through the real runtime
-# (registration queued for the r08 rotation window)
+# (REGISTERED r08 as q_stream_dedup_data)
 # ---------------------------------------------------------------------------
 
 

@@ -186,7 +186,7 @@ def test_bpe_apply_conserves_characters(spark):
     assert j.count() == 0
 
 
-# --- round-6 prep APIs (implemented now, registration queued) ---------------
+# --- round-6 prep APIs (registered r06) --------------------------------------
 
 
 def test_uniform_sample_k_is_deterministic_uniform_prefix(spark):

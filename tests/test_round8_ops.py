@@ -1,5 +1,5 @@
 """Round-8 prep wave invariants (implemented + draft-oracle
-parity-tested in round 7, registration queued for the round-8 rotation
+parity-tested in round 7, REGISTERED in round 8 under q_-prefixed ids
 window). Wave 1: count-min-sketch accuracy harness, first/second-half
 distribution drift in exact ppm, k-anonymity group-size spectrum,
 support-pruned market-basket pairs, sliding-window distinct with a
