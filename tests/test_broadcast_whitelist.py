@@ -39,6 +39,11 @@ WHITELIST = {
     ("operators/llmops.py", "q_sim_topk"): (1, "fixed 5-vector query set"),
     ("operators/llmops.py", "sim_quantized_recall"): (1, "fixed 5-vector quantized query set"),
     ("operators/llmops.py", "q_sim_ivf"): (1, "k centroid cells"),
+    ("operators/llmops.py", "embed_edges_capped_ivf"): (
+        1,
+        "IVF_CAP_NLIST (64) seed centroids, 64 floats each — KBs by the "
+        "nlist constant at any corpus size",
+    ),
     ("operators/llmops.py", "lsh_candidates"): (1, "query set x probe masks, bounded"),
     ("operators/llmops.py", "q_tfidf"): (1, "1-row n_docs scalar (dfreq de-hinted r06)"),
     ("operators/llmops.py", "_tfidf_pairs_build"): (1, "1-row n_docs scalar (norms/dfreq de-hinted r06, plan-gated)"),
