@@ -52,7 +52,12 @@ PICKS += [
     ("q_mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
 ]
 
-PREP_PICKS: list[tuple[str, str]] = []
+# unregistered round-8 library tiers (module-resolved): the plan
+# evidence the SCALE.md capped-tier story rests on
+PREP_PICKS: list[tuple[str, str]] = [
+    ("embed_edges_capped", "per-cell rank window + explode(sequence) + ONE equi-join on (cell, rank); no m^2 pair join"),
+    ("embed_edges_capped_ivf", "bounded 64-row centroid broadcast for assignment, then the same window core; no unbounded nested loop"),
+]
 
 
 def _prep_fn(name: str):
