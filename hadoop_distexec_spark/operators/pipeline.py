@@ -1048,6 +1048,99 @@ def label_prop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lpa_spectrum(_lpa_labels(nodes, capped))
 
 
+def semantic_dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_dedup_groups' hub-mitigation tier (UNREGISTERED —
+    surface frozen at 194 ids): the same min-label connected components
+    over the candidate-capped edge set (llmops.embed_edges_capped).
+    Because the capped edges are a strict SUBSET of the registered edge
+    set, every capped cluster sits wholly inside one exact cluster — the
+    capped partition REFINES the exact one (pytest law), so a keep-list
+    built from it never merges documents the exact tier would keep
+    apart; it can only split clusters whose connectivity ran through
+    dropped candidates. Co-membership precision is therefore 1 by
+    construction and only RECALL is a measured quantity
+    (cc_cap_agreement)."""
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
+
+    nodes = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    edges = embed_edges_capped(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), "component"
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy("component")).cast("long"),
+    )
+
+
+def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured co-membership recall of the capped dedup clusters vs the
+    exact registered tier (runs BOTH — one-off audit): over the exact
+    edge set, the share of linked pairs the capped tier still places in
+    one cluster (precision is 1 by the refinement law), plus each
+    tier's cluster count and the size of the largest cluster each tier
+    produces — the number a dedup keep-list actually turns on."""
+    from hadoop_distexec_spark.operators.llmops import (
+        embed_edges_capped,
+        q_dedup_embed,
+    )
+
+    nodes = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    exact_edges = (
+        q_dedup_embed(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    capped_edges = embed_edges_capped(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    lab_e = connected_components(nodes, exact_edges).withColumnRenamed(
+        "component", "comp_e"
+    )
+    lab_c = connected_components(nodes, capped_edges).withColumnRenamed(
+        "component", "comp_c"
+    )
+    probe = (
+        exact_edges.join(
+            lab_c.select(F.col("doc_id").alias("doc_a"), F.col("comp_c").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            lab_c.select(F.col("doc_id").alias("doc_b"), F.col("comp_c").alias("cb")),
+            "doc_b",
+        )
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias(
+            "n_comember_capped"
+        ),
+    )
+    stats_e = lab_e.groupBy("comp_e").count().agg(
+        F.count(F.lit(1)).alias("nc_e"), F.max("count").alias("mx_e")
+    ).collect()[0]
+    stats_c = lab_c.groupBy("comp_c").count().agg(
+        F.count(F.lit(1)).alias("nc_c"), F.max("count").alias("mx_c")
+    ).collect()[0]
+    return agg.select(
+        "n_exact_pairs",
+        "n_comember_capped",
+        F.expr("n_comember_capped * 1000000 div n_exact_pairs")
+        .cast("long")
+        .alias("comember_recall_ppm"),
+        F.lit(stats_e["nc_e"]).cast("long").alias("n_clusters_exact"),
+        F.lit(stats_c["nc_c"]).cast("long").alias("n_clusters_capped"),
+        F.lit(stats_e["mx_e"]).cast("long").alias("max_cluster_exact"),
+        F.lit(stats_c["mx_c"]).cast("long").alias("max_cluster_capped"),
+    )
+
+
 def lpa_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured partition agreement between label_prop's exact and
     degree-capped tiers (runs BOTH — one-off audit cost, the

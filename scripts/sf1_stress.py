@@ -86,6 +86,9 @@ PREP_APIS: list[str] = [
     # label-free IVF-blocked candidate policy + its policy-overlap audit
     "embed_edges_capped_ivf",
     "ivf_cap_overlap",
+    # capped dedup clusters (refinement law => precision 1; recall measured)
+    "semantic_dedup_groups_capped",
+    "cc_cap_agreement",
 ]
 
 

@@ -926,3 +926,40 @@ def test_ivf_cap_overlap_shape(spark):
     assert 0 <= r["n_common"] <= min(r["n_label_capped"], r["n_ivf_capped"])
     assert 0 <= r["jaccard_ppm"] <= 1_000_000
     assert 0 <= r["n_ivf_cross_label"] <= r["n_ivf_capped"]
+
+
+def test_capped_cc_refines_exact_partition(spark):
+    """The refinement LAW: capped edges are a subset of exact edges, so
+    every capped cluster must sit wholly inside one exact cluster (a
+    capped keep-list never merges docs the exact tier keeps apart) —
+    checked per capped component, plus output-contract sanity."""
+    from hadoop_distexec_spark.operators.llmops import q_semantic_dedup_groups
+    from hadoop_distexec_spark.operators.pipeline import (
+        semantic_dedup_groups_capped,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    exact = {
+        r["vec_id"]: r["component"]
+        for r in q_semantic_dedup_groups(spark, SF_ORACLE).collect()
+    }
+    rows = semantic_dedup_groups_capped(spark, SF_ORACLE).collect()
+    assert len(rows) == table(spark, SF_ORACLE, "embeddings").count()
+    by_capped: dict = {}
+    for r in rows:
+        by_capped.setdefault(r["component"], set()).add(exact[r["vec_id"]])
+    assert all(len(v) == 1 for v in by_capped.values()), (
+        "a capped cluster spans multiple exact clusters"
+    )
+
+
+def test_cc_cap_agreement_shape(spark):
+    from hadoop_distexec_spark.operators.pipeline import cc_cap_agreement
+
+    r = cc_cap_agreement(spark, SF_ORACLE).collect()[0]
+    assert r["n_exact_pairs"] > 0
+    assert 0 <= r["n_comember_capped"] <= r["n_exact_pairs"]
+    assert 0 <= r["comember_recall_ppm"] <= 1_000_000
+    # refinement: capped can only split, never merge
+    assert r["n_clusters_capped"] >= r["n_clusters_exact"]
+    assert r["max_cluster_capped"] <= r["max_cluster_exact"]
