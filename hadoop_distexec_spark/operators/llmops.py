@@ -876,45 +876,90 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical.
 
     Perf: the exact-decimal dot is ~10x the cost of a plain double dot
-    (interpreted decimal(30,16) arithmetic per element), so candidates are
-    prefiltered with a double-precision cosine at threshold-1e-6 and the
-    exact decimal cosine is evaluated only for survivors (projection after
-    filter => Catalyst never computes it for rejected pairs). The 1e-6
-    margin is >>1000x the worst-case double-vs-decimal rounding gap for
-    64-dim unit-scale vectors, so the final decimal filter is unchanged."""
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "label"
-    )
+    (interpreted decimal(30,16) arithmetic per element), so candidates
+    are prefiltered with a double-precision cosine at threshold-1e-6 and
+    the exact decimal cosine is evaluated only for survivors. Since
+    round 8 the prefilter itself is VECTORIZED: the within-cell m^2/2
+    pair space goes through one chunked float64 X @ X.T per label cell
+    (applyInPandas — Arrow batches, BLAS matmul) instead of ~1.3
+    BILLION interpreted zip_with element ops at the 10x lane, which
+    stage-profiling showed dominated every exact-graph consumer
+    (triangle/LPA/CC/agreement harnesses all sat at 110-142s paying
+    this one build). The 1e-6 margin is >>1000x BOTH the double-vs-
+    decimal rounding gap AND the matmul-vs-sequential summation-order
+    gap for 64-dim unit-scale vectors, so the survivor set after the
+    unchanged exact-decimal filter is bit-identical — oracle untouched.
+    A cell's pair space is quadratic by definition of the blocking
+    (same as the join it replaces); the matmul runs in fixed-size row
+    chunks so peak memory is chunk x cell, not cell x cell."""
+    dp = spark.sparkContext.defaultParallelism
+    e = table(spark, sf_dir, "embeddings").repartition(dp, "label")
     e = e.select(
         "vec_id",
         "label",
         "embedding",
         _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
+    cand = e.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        _embed_cand_cell, "vec_a long, vec_b long"
+    )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), "label",
-        F.col("embedding").alias("emb_a"), F.col("norm2").alias("n2_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("n2_a"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), "label",
-        F.col("embedding").alias("emb_b"), F.col("norm2").alias("n2_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("n2_b"),
     )
-    dbl_dot = F.aggregate(
-        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dbl_cos = dbl_dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     cosine = _spark_dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        # cheap prefilter; see docstring
-        .filter(dbl_cos >= EMBED_COS_THRESHOLD - 1e-6)
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= EMBED_COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def _embed_cand_cell(pdf):
+    """Per-label-cell candidate pairs for q_dedup_embed: chunked float64
+    X @ X.T cosine prefilter at EMBED_COS_THRESHOLD - 1e-6, emitting
+    (vec_a < vec_b) id pairs. The margin makes the survivor set immune
+    to summation-order differences between the matmul and the exact
+    decimal confirm that follows JVM-side (see q_dedup_embed). Zero-norm
+    vectors are excluded up front — their exact cosine is NULL and the
+    registered filter drops them anyway."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n2 = (x * x).sum(axis=1)
+    keep = n2 > 0.0
+    ids, x, n2 = ids[keep], x[keep], n2[keep]
+    n = len(ids)
+    thr = EMBED_COS_THRESHOLD - 1e-6
+    inv = 1.0 / np.sqrt(n2)
+    xn = x * inv[:, None]  # unit rows: cosine == xn @ xn.T
+    out_a, out_b = [], []
+    chunk = 1024
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        s = xn[i0:i1] @ xn.T  # (i1-i0, n)
+        ii, jj = np.nonzero(s >= thr)
+        gi = ii + i0
+        m = jj > gi  # upper triangle in vec_id order => vec_a < vec_b
+        out_a.append(ids[gi[m]])
+        out_b.append(ids[jj[m]])
+    if out_a:
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+    return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                         "vec_b": pd.Series([], dtype="int64")})
 
 
 # decimal dot variants for the IVF oracle: element casts fix the exact
