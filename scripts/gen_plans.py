@@ -46,7 +46,7 @@ PICKS += [
     ("q_group_ols", "ONE bigint-lane aggregate; int128 reconstruction on |groups| rows only"),
     ("q_itemset_triples", "three LeftSemi closure prunes BEFORE the counting shuffle; TakeOrdered head"),
     ("q_bloom_fpr_eval", "distinct bit-set agg + bucket equi-join; only 1-row scalar nested loops"),
-    ("q_pq_recall", "bounded codebook/LUT equi-joins; assignment window collapses the fan-out"),
+    ("q_pq_recall", "bounded codebook/LUT equi-joins; assignment is an Arrow int64 matmul (FlatMapGroupsInPandas absent - mapInPandas), no fan-out window"),
     ("q_ks_doclen", "conditional agg to distinct-length cells; windows over cells only"),
     ("q_split_leakage", "split flags as pure expressions on the shared pair build; 1-row scalar broadcasts"),
     ("q_mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
