@@ -6,10 +6,13 @@ round with a driver-witnessed row, what that row said, whether the id
 currently carries a DuckDB oracle, and the SOURCE FINGERPRINT the id held
 at its last witness. The fingerprint powers the change-aware staleness
 bound (tests/test_round2_ops.py::test_witness_staleness_bounded): ids
-whose registered semantics (function source + oracle SQL) are untouched
-since their last witness may age to latest-2; any code change resets them
-to the tight latest-1 bound. That lifts the registry's witness-bandwidth
-ceiling from 150 to ~200 ids at 50 witnesses/round (VERDICT r05 #2).
+whose registered semantics (function source + oracle SQL) are ATTESTED
+untouched since their last hash-green witness may age to latest-3
+(the r09+ policy proposed in SURVEY §2.10 and APPROVED by VERDICT r08
+next-round #2); any code change, missing attestation, or rows-only
+last witness keeps the tight latest-1 bound. That lifts the registry's
+witness-bandwidth ceiling to ~5 cohorts x 50 = ~250 ids at 50
+witnesses/round, restoring registration + edit-churn headroom at 194+.
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py
@@ -30,9 +33,11 @@ It also computes ``suggested_window`` — the 50 ids the next rotation
 should lead with. Staleness policy (stable sort, no self-referential
 tie-breaks):
   1. never witnessed (new ids),
-  2. witnessed rows-only but an oracle now exists (upgraded oracles whose
-     hash check the driver has never seen),
-  3. oldest ``last_round`` first, ties broken by qid.
+  2. witnessed rows-only — both oracle upgrades the driver has never
+     hash-checked AND the contractually rows-only pipe ids (weaker
+     witnesses keep tier-1 priority per the approved r09+ policy),
+  3. earliest DEADLINE first (last witness + 3 for attested-unchanged
+     hash-green ids, + 1 otherwise), then oldest ``last_round``, then qid.
 
 Run ``python scripts/rotate.py`` (regenerates rotation + ledger + parity
 in one run); this module alone only rewrites the ledger.
@@ -75,23 +80,32 @@ def classify(row: dict) -> str:
 def staleness_key(entry: dict, qid: str) -> tuple:
     if entry["last_round"] is None:
         tier = 0  # never witnessed
-    elif entry["result"] == "rows_only" and entry["has_oracle"]:
-        tier = 1  # oracle upgraded since last witness
+    elif entry["result"] == "rows_only":
+        # rows-only witnesses (both the oracle-upgraded case and the two
+        # contractually rows-only pipe ids) keep tier-1 priority per the
+        # APPROVED r09+ policy (SURVEY §2.10, VERDICT r08 #2): a rows-only
+        # witness is weaker evidence, so it never ages on the relaxed bound
+        tier = 1
     else:
         tier = 2
-    # Within a cohort, ids that CANNOT use the relaxed latest-2 bound
-    # rotate first: unattested fingerprints, and attested fingerprints
-    # that no longer match the current source (the operator was edited
-    # after its witness — fp_current_match false). Leaving either out of
-    # the window while a genuinely-untouched sibling takes the slot
-    # starves it red — an alphabetical tie-break alone could defer an
-    # edited id indefinitely (found round 8: two r05 ids whose shared
-    # helpers were edited in r06/r07 ranked as untouched and fell
-    # outside the window the moment 19 new ids entered).
-    relaxed_ok = 1 if (
-        entry.get("fp_attested") and entry.get("fp_current_match", True)
-    ) else 0
-    return (tier, entry["last_round"] or 0, relaxed_ok, qid)
+    # APPROVED r09+ policy (VERDICT r08 next-round #2): within tier 2,
+    # rank by DEADLINE — the latest driver round at which the id is still
+    # within its staleness bound. An id whose fingerprint is ATTESTED
+    # unchanged since its last hash-green witness may age to latest-3;
+    # unattested or post-witness-edited ids (fp_current_match false) stay
+    # at the tight latest-1 bound, so their deadline is two rounds
+    # earlier and they rotate first. This replaces the r08-era
+    # (last_round, relaxed_ok) sort, which let soon-to-expire unattested
+    # ids rank BEHIND older attested ids that still had bound headroom
+    # (the exact pigeonhole that left 5 r06-unattested stream ids outside
+    # a window full of r05-attested ids at the r08→r09 boundary).
+    relaxed_ok = bool(
+        entry.get("fp_attested")
+        and entry.get("fp_current_match", True)
+        and entry.get("result") == "hash_green"
+    )
+    deadline = (entry["last_round"] or 0) + (3 if relaxed_ok else 1)
+    return (tier, deadline, entry["last_round"] or 0, qid)
 
 
 def build_ledger() -> dict:
