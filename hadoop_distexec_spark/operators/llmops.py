@@ -791,6 +791,29 @@ def _spark_dot(a, b):
     ).cast("double")
 
 
+# exact-decimal all-ones projection (sum of elements): the 1-D ordering
+# key of the sorted-sliding-window capped tiers. Decimal addition is
+# order-insensitive, so Spark's left fold and DuckDB's LIST_SUM agree
+# bit-for-bit — a double fold would expose summation-order differences
+# at rank near-ties (same rationale as _spark_dot/_DEC_DOT).
+_PROJ_SQL = (
+    "LIST_SUM(LIST_TRANSFORM({e}, "
+    "x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8))))"
+)
+
+
+def _spark_proj(a):
+    """Exact-decimal element sum twin of _PROJ_SQL (ordering key only —
+    never converted to double, compared as the exact decimal)."""
+    return F.aggregate(
+        a,
+        F.lit(0).cast("decimal(20,8)"),
+        lambda acc, v: (acc + v.cast("double").cast("decimal(12,8)")).cast(
+            "decimal(20,8)"
+        ),
+    )
+
+
 # exact brute-force cosine top-k as composable CTEs (final relation: r),
 # shared by the q_sim_topk oracle and the q_recall_eval oracle so the two
 # cannot drift
@@ -3110,10 +3133,15 @@ def _window_capped_pairs(cells: DataFrame, cap: int) -> DataFrame:
     norm2); within each cell, members ordered by the fixed all-ones
     projection meet only their `cap` rank-successors, and survivors
     pass q_dedup_embed's double prefilter + exact-decimal threshold.
-    Returns (vec_a < vec_b, cosine)."""
-    proj = F.aggregate(
-        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
-    )
+    Returns (vec_a < vec_b, cosine).
+
+    The projection is an EXACT-DECIMAL element sum (registration
+    upgrade, r09): the r08 library draft used a double fold, whose
+    summation order DuckDB does not contractually reproduce — ranks at
+    near-ties could diverge between the engines. Decimal addition is
+    order-insensitive, so the (proj, vec_id) rank order is
+    bit-reproducible by the oracle's LIST_SUM twin (_PROJ_SQL)."""
+    proj = _spark_proj(F.col("embedding"))
     ranked = cells.select(
         "vec_id",
         "cell",
@@ -3208,15 +3236,15 @@ def embed_edges_capped_ivf(
             F.col("norm2").alias("cn2"),
         )
     )
-    c_cos = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cemb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.sqrt(F.col("norm2") * F.col("cn2"))
+    # exact-decimal assignment cosine (registration upgrade, r09): the
+    # assignment is an ARGMAX over centroids, so a double fold could
+    # flip the winning cell at a near-tie between two centroids — the
+    # one place the dedup family's 1e-6-margin prefilter trick cannot
+    # apply (there is no threshold to pad). nlist decimal dots per
+    # vector, still nlist*|V| total work and broadcast-only.
+    c_cos = _spark_dot(F.col("embedding"), F.col("cemb")) / F.sqrt(
+        F.col("norm2") * F.col("cn2")
+    )
     assigned = (
         e.crossJoin(F.broadcast(seeds))
         .withColumn("c_cos", c_cos)
@@ -3388,6 +3416,180 @@ def triangle_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"top{TRI_AGREE_TOPK}_overlap_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r09 registration of the capped tiers (VERDICT r08 next-round #3, under
+# the approved attested-latest-3 witness policy's headroom): the two
+# candidate-capped edge builders a 100 TB user actually runs for
+# embedding dedup, plus their measured-error companions (the pq_recall
+# pattern — agreement is a driver-witnessed number, never an assumption).
+# The oracle twins below reproduce the sorted-sliding-window candidate
+# policy exactly: same exact-decimal projection rank, same rank-successor
+# cap, same exact-decimal cosine threshold.
+# ---------------------------------------------------------------------------
+
+
+def _capped_window_sql(cells: str, p: str) -> str:
+    """DuckDB twin of _window_capped_pairs over the CTE named `cells`
+    (vec_id, cell, embedding, norm2): emits `{p}ranked` and `{p}capped`
+    (vec_a < vec_b, cosine). The prefix keeps two policies' CTEs
+    composable in one statement (q_ivf_cap_overlap runs both)."""
+    dot = _DEC_DOT.format(a="a.embedding", b="b.embedding")
+    return f"""{p}ranked AS (
+      SELECT vec_id, cell, embedding, norm2,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY {_PROJ_SQL.format(e='embedding')}, vec_id) AS rn
+      FROM {cells}),
+    {p}capped AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+             GREATEST(a.vec_id, b.vec_id) AS vec_b,
+             {dot} / SQRT(a.norm2 * b.norm2) AS cosine
+      FROM {p}ranked a JOIN {p}ranked b
+        ON a.cell = b.cell
+       AND b.rn > a.rn AND b.rn <= a.rn + {DEGREE_CAP}
+      WHERE {dot} / SQRT(a.norm2 * b.norm2) >= {EMBED_COS_THRESHOLD})"""
+
+
+# label-blocked cells (the curated-blocking policy)
+_CAPPED_CELLS_LABEL_SQL = f"""lcells AS (
+      SELECT vec_id, label AS cell, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings)"""
+
+# IVF cells (the label-free policy): md5-ranked seed centroids, exact-
+# decimal assignment cosine, ties to the smaller centroid id
+_CAPPED_CELLS_IVF_SQL = f"""ie AS (
+      SELECT vec_id, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings),
+    iseeds AS (
+      SELECT vec_id AS cid, embedding AS cemb, norm2 AS cn2
+      FROM ie ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {IVF_CAP_NLIST}),
+    iscored AS (
+      SELECT ie.vec_id, ie.embedding, ie.norm2, s.cid,
+             ROW_NUMBER() OVER (PARTITION BY ie.vec_id
+                 ORDER BY {_DEC_DOT.format(a='ie.embedding', b='s.cemb')}
+                            / SQRT(ie.norm2 * s.cn2) DESC, s.cid) AS a_rank
+      FROM ie CROSS JOIN iseeds s),
+    icells AS (
+      SELECT vec_id, cid AS cell, embedding, norm2
+      FROM iscored WHERE a_rank = 1)"""
+
+
+@register(
+    "q_dedup_embed_capped",
+    oracle=f"""
+    WITH {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'l')}
+    SELECT vec_a, vec_b, cosine FROM lcapped
+    """,
+)
+def q_dedup_embed_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of embed_edges_capped (see its docstring for the
+    full design + the measured cap-after-build negative result): the
+    candidate-capped near-dup edge builder over label cells — <= m*cap
+    candidates per cell via one rank window + explode(sequence) + one
+    equi-join, per-vertex degree <= 2*cap by construction, edge volume
+    linear in |V| whatever the cell-size skew. Survivors pass
+    q_dedup_embed's exact threshold, so the output is a strict SUBSET
+    of the registered exact edge set (pytest law); recall vs exact is
+    measured by q_cc_cap_agreement, not assumed."""
+    return embed_edges_capped(spark, sf_dir)
+
+
+q_dedup_embed_capped._fingerprint_extras = (
+    embed_edges_capped,
+    _window_capped_pairs,
+    _spark_proj,
+)
+
+
+@register(
+    "q_dedup_embed_capped_ivf",
+    oracle=f"""
+    WITH {_CAPPED_CELLS_IVF_SQL},
+    {_capped_window_sql('icells', 'i')}
+    SELECT vec_a, vec_b, cosine FROM icapped
+    """,
+)
+def q_dedup_embed_capped_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of embed_edges_capped_ivf: the LABEL-FREE capped
+    edge builder — cells come from IVF assignment against
+    {IVF_CAP_NLIST} deterministic md5-ranked seed centroids (broadcast;
+    exact-decimal assignment cosine so the argmax cell is
+    oracle-reproducible), then the same sorted-sliding-window core.
+    This is the policy a production corpus actually has available (a
+    100 TB embedding table has no curated label column). NOT a subset
+    of the label-blocked edge set — the two policies' overlap is the
+    measured quantity q_ivf_cap_overlap reports."""
+    return embed_edges_capped_ivf(spark, sf_dir)
+
+
+q_dedup_embed_capped_ivf._fingerprint_extras = (
+    embed_edges_capped_ivf,
+    _window_capped_pairs,
+    _spark_proj,
+)
+
+
+@register(
+    "q_ivf_cap_overlap",
+    oracle=f"""
+    WITH {_EMBED_EDGES_SQL},
+    {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'l')},
+    {_CAPPED_CELLS_IVF_SQL},
+    {_capped_window_sql('icells', 'i')},
+    lab AS (SELECT vec_a, vec_b FROM lcapped),
+    ivf AS (SELECT vec_a, vec_b FROM icapped),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM lab) AS n_lab,
+             (SELECT COUNT(*) FROM ivf) AS n_ivf,
+             (SELECT COUNT(*) FROM lab JOIN ivf USING (vec_a, vec_b))
+               AS n_common,
+             (SELECT COUNT(*) FROM ivf
+              WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                WHERE e.vec_a = ivf.vec_a
+                                  AND e.vec_b = ivf.vec_b))
+               AS n_cross)
+    SELECT CAST(n_lab AS BIGINT) AS n_label_capped,
+           CAST(n_ivf AS BIGINT) AS n_ivf_capped,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_lab + n_ivf - n_common = 0 THEN 0
+                     ELSE n_common * 1000000 // (n_lab + n_ivf - n_common)
+                END AS BIGINT) AS jaccard_ppm,
+           CAST(n_cross AS BIGINT) AS n_ivf_cross_label
+    FROM counts
+    """,
+)
+def q_ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of ivf_cap_overlap — the measured-error companion
+    of q_dedup_embed_capped_ivf (the pq_recall pattern): edge counts of
+    the label-blocked and IVF-blocked capped policies, their exact-ppm
+    Jaccard overlap, and how many IVF edges the registered label-blocked
+    EXACT tier could never see (cross-label pairs — the recall curated
+    blocking gives up when labels and geometry disagree). Runs both
+    capped builds plus the exact build — a one-off audit by design."""
+    return ivf_cap_overlap(spark, sf_dir)
+
+
+q_ivf_cap_overlap._fingerprint_extras = (
+    ivf_cap_overlap,
+    embed_edges_capped,
+    embed_edges_capped_ivf,
+    _window_capped_pairs,
+    _spark_proj,
+)
+
+
+# q_cc_cap_agreement (the q_dedup_embed_capped measured-error companion)
+# is registered from pipeline.py, where cc_cap_agreement lives: its
+# oracle interpolates THIS module's SQL fragments, which pipeline can
+# import at build time because pipeline -> llmops is already the module-
+# level direction of the import cycle (same reasoning, mirrored, as the
+# q_pii_source_audit placement note in pipeline.py).
 
 
 HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion

@@ -1141,6 +1141,89 @@ def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_cc_cap_agreement() -> None:
+    """Register q_cc_cap_agreement (VERDICT r08 next-round #3). Runs at
+    pipeline module build, AFTER cc_cap_agreement is defined; the oracle
+    interpolates llmops' capped-tier SQL fragments, importable here at
+    build time because pipeline -> llmops is already the module-level
+    direction of the import cycle (mirror of the q_pii_source_audit
+    placement note below). Wrapped in a function so the fragment names
+    don't leak into this module's namespace."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _CAPPED_CELLS_LABEL_SQL,
+        _EMBED_EDGES_SQL,
+        _capped_window_sql,
+        _spark_proj,
+        _window_capped_pairs,
+        embed_edges_capped,
+    )
+
+    @register(
+        "q_cc_cap_agreement",
+        oracle=f"""
+        WITH RECURSIVE {_EMBED_EDGES_SQL},
+        {_CAPPED_CELLS_LABEL_SQL},
+        {_capped_window_sql('lcells', 'l')},
+        ue AS (SELECT vec_a AS a, vec_b AS b FROM edges
+               UNION ALL SELECT vec_b AS a, vec_a AS b FROM edges),
+        uc AS (SELECT vec_a AS a, vec_b AS b FROM lcapped
+               UNION ALL SELECT vec_b AS a, vec_a AS b FROM lcapped),
+        reach_e(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT ue.a, reach_e.r FROM ue JOIN reach_e ON ue.b = reach_e.id),
+        reach_c(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT uc.a, reach_c.r FROM uc JOIN reach_c ON uc.b = reach_c.id),
+        comp_e AS (SELECT id, MIN(r) AS c FROM reach_e GROUP BY id),
+        comp_c AS (SELECT id, MIN(r) AS c FROM reach_c GROUP BY id),
+        probe AS (
+          SELECT COUNT(*) AS n_pairs,
+                 SUM(CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END) AS n_co
+          FROM edges e
+          JOIN comp_c ca ON e.vec_a = ca.id
+          JOIN comp_c cb ON e.vec_b = cb.id),
+        stats_e AS (SELECT COUNT(*) AS nc, MAX(n) AS mx
+                    FROM (SELECT c, COUNT(*) AS n FROM comp_e GROUP BY c)),
+        stats_c AS (SELECT COUNT(*) AS nc, MAX(n) AS mx
+                    FROM (SELECT c, COUNT(*) AS n FROM comp_c GROUP BY c))
+        SELECT CAST(probe.n_pairs AS BIGINT) AS n_exact_pairs,
+               CAST(probe.n_co AS BIGINT) AS n_comember_capped,
+               CAST(CASE WHEN probe.n_pairs = 0 THEN NULL
+                         ELSE probe.n_co * 1000000 // probe.n_pairs
+                    END AS BIGINT) AS comember_recall_ppm,
+               CAST(stats_e.nc AS BIGINT) AS n_clusters_exact,
+               CAST(stats_c.nc AS BIGINT) AS n_clusters_capped,
+               CAST(stats_e.mx AS BIGINT) AS max_cluster_exact,
+               CAST(stats_c.mx AS BIGINT) AS max_cluster_capped
+        FROM probe, stats_e, stats_c
+        """,
+    )
+    def q_cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Registered face of cc_cap_agreement — the measured-error
+        companion of q_dedup_embed_capped (the pq_recall pattern):
+        co-membership recall of the capped dedup clusters against the
+        exact registered tier over the exact edge set (precision is 1 by
+        the refinement law — capped edges are a subset of exact, so
+        capped clusters never merge what exact separates), plus each
+        tier's cluster count and largest cluster. Oracle: both edge sets
+        + two recursive-CTE transitive closures — a fully hash-checked
+        iterative agreement harness."""
+        return cc_cap_agreement(spark, sf_dir)
+
+    q_cc_cap_agreement._fingerprint_extras = (
+        cc_cap_agreement,
+        connected_components,
+        embed_edges_capped,
+        _window_capped_pairs,
+        _spark_proj,
+    )
+
+
+_register_cc_cap_agreement()
+
+
 def lpa_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured partition agreement between label_prop's exact and
     degree-capped tiers (runs BOTH — one-off audit cost, the

@@ -70,12 +70,17 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_benford_audit", "q_l_diversity", "q_ks_doclen",
            "q_itemset_triples", "q_bloom_fpr_eval", "q_pq_recall",
            "q_stream_dedup_data", "q_label_prop", "q_split_leakage",
-           "q_mix_temperature", "q_compaction_plan", "q_hot_key_churn"]
+           "q_mix_temperature", "q_compaction_plan", "q_hot_key_churn",
+           # round-9 registrations (the r08 capped graph tiers, funded by
+           # the approved attested-latest-3 witness policy): both capped
+           # edge builders plus their measured-agreement companions
+           "q_dedup_embed_capped", "q_dedup_embed_capped_ivf",
+           "q_ivf_cap_overlap", "q_cc_cap_agreement"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
-# extend the stress lane to prep APIs). After the round-8 registration
-# this carries only the UNREGISTERED hub-mitigation library tiers
-# (VERDICT r07 #6; surface frozen at 194 ids) — the capped tiers time
+# extend the stress lane to prep APIs). After the round-9 registration
+# of the capped edge builders + cc/ivf agreement harnesses, this carries
+# the still-unregistered capped graph consumers — the capped tiers time
 # the cheap path, the *_agreement harnesses time the one-off audit that
 # runs BOTH tiers and reports measured agreement.
 PREP_APIS: list[str] = [
@@ -83,12 +88,8 @@ PREP_APIS: list[str] = [
     "label_prop_capped",
     "triangle_cap_agreement",
     "lpa_cap_agreement",
-    # label-free IVF-blocked candidate policy + its policy-overlap audit
-    "embed_edges_capped_ivf",
-    "ivf_cap_overlap",
     # capped dedup clusters (refinement law => precision 1; recall measured)
     "semantic_dedup_groups_capped",
-    "cc_cap_agreement",
 ]
 
 
