@@ -3214,12 +3214,51 @@ def embed_edges_capped_ivf(
     measured quantity (ivf_cap_overlap), not an assumption.
 
     Assignment is a broadcast of nlist 64-dim centroids against the
-    scan (double cosine, ties to the smaller centroid id) — nlist*|V|
-    dots, embarrassingly parallel, no shuffle beyond the cell
-    repartition the window needs. At 100 TB nlist grows to keep cells
-    ~executor-sized; the seeds would come from a kmeans fit (q_kmeans_vec)
-    rather than raw vectors, which only changes this function's first
-    line."""
+    scan (exact-decimal cosine, ties to the smaller centroid id) —
+    nlist*|V| dots, embarrassingly parallel, no shuffle beyond the cell
+    repartition the window needs. The assigned cells are CHECKPOINTED
+    before the window core: the window join references the cell frame
+    on BOTH sides, and without the pin Catalyst duplicates the whole
+    assignment subtree into each branch — 2x the nlist*|V| dots (found
+    by the r09 plan gate, which counted two BroadcastNestedLoopJoin
+    nodes where the design has one). At 100 TB nlist grows to keep
+    cells ~executor-sized; the seeds would come from a kmeans fit
+    (q_kmeans_vec) rather than raw vectors, which only changes this
+    function's first line."""
+    dp = spark.sparkContext.defaultParallelism
+    assigned = (
+        _ivf_assign_cells(spark, sf_dir, nlist)
+        .repartition(dp, "cell")
+        .localCheckpoint(eager=True)
+    )
+    return _window_capped_pairs(assigned, cap)
+
+
+def _ivf_assign_cells(
+    spark: SparkSession, sf_dir: str, nlist: int = IVF_CAP_NLIST
+) -> DataFrame:
+    """The IVF cell assignment of embed_edges_capped_ivf, factored so the
+    plan gate can inspect the un-checkpointed shape (exactly one bounded
+    BroadcastNestedLoopJoin — the scan x broadcast(nlist seed rows)
+    scalar-broadcast idiom — and no CartesianProduct).
+
+    The assignment is an ARGMAX over centroids in the ORACLE'S
+    exact-decimal cosine — the one place a plain double fold could
+    diverge from DuckDB (a near-tie flips the winning cell, and there is
+    no threshold to pad the way the dedup prefilter does). Scoring all
+    nlist candidates in decimal is ~10x the double cost (measured 2.9s
+    of a 3.4s sf0.01 build), so this uses the margin-BAND form of the
+    family's prefilter idiom instead: all nlist double cosines on a
+    SLIM (vec_id, cid, d_cos) projection, keep the candidates within
+    1e-6 of each vector's double max (one skinny window shuffle), and
+    evaluate the exact-decimal cosine only inside that band (~1 row per
+    vector). The band provably contains the decimal argmax — the
+    double-vs-decimal gap for 64-dim unit-scale vectors is <<1e-6/4
+    (the q_dedup_embed bound), and any excluded candidate's decimal
+    cosine sits strictly below the winner's — so the (decimal DESC,
+    cid) rank inside the band equals the oracle's rank over all nlist.
+    Spark-side doubles never need to match DuckDB here: the band is a
+    superset filter, only the decimal rank decides."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -3236,29 +3275,40 @@ def embed_edges_capped_ivf(
             F.col("norm2").alias("cn2"),
         )
     )
-    # exact-decimal assignment cosine (registration upgrade, r09): the
-    # assignment is an ARGMAX over centroids, so a double fold could
-    # flip the winning cell at a near-tie between two centroids — the
-    # one place the dedup family's 1e-6-margin prefilter trick cannot
-    # apply (there is no threshold to pad). nlist decimal dots per
-    # vector, still nlist*|V| total work and broadcast-only.
-    c_cos = _spark_dot(F.col("embedding"), F.col("cemb")) / F.sqrt(
+    d_cos = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cemb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.sqrt(F.col("norm2") * F.col("cn2"))
+    slim = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", d_cos.alias("d_cos")
+    )
+    band = (
+        slim.withColumn(
+            "_dmax", F.max("d_cos").over(W.partitionBy("vec_id"))
+        )
+        .filter(F.col("d_cos") >= F.col("_dmax") - 1e-6)
+        .select("vec_id", "cid")
+    )
+    dec_cos = _spark_dot(F.col("embedding"), F.col("cemb")) / F.sqrt(
         F.col("norm2") * F.col("cn2")
     )
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("c_cos", c_cos)
+    return (
+        band.join(e, "vec_id")
+        .join(F.broadcast(seeds), "cid")
         .withColumn(
             "a_rank",
             F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cid")
+                W.partitionBy("vec_id").orderBy(dec_cos.desc(), "cid")
             ),
         )
         .filter(F.col("a_rank") == 1)
         .select("vec_id", F.col("cid").alias("cell"), "embedding", "norm2")
     )
-    dp = spark.sparkContext.defaultParallelism
-    return _window_capped_pairs(assigned.repartition(dp, "cell"), cap)
 
 
 def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3529,6 +3579,7 @@ def q_dedup_embed_capped_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_dedup_embed_capped_ivf._fingerprint_extras = (
     embed_edges_capped_ivf,
+    _ivf_assign_cells,
     _window_capped_pairs,
     _spark_proj,
 )
@@ -3579,6 +3630,7 @@ q_ivf_cap_overlap._fingerprint_extras = (
     ivf_cap_overlap,
     embed_edges_capped,
     embed_edges_capped_ivf,
+    _ivf_assign_cells,
     _window_capped_pairs,
     _spark_proj,
 )

@@ -187,6 +187,40 @@ def _join_counts(plan):
     }
 
 
+def test_dedup_embed_capped_window_join_is_equi(spark):
+    """q_dedup_embed_capped (r09 registration): the sorted-sliding-window
+    candidate join must stay a hash/sort-merge equi-join on (cell, rank)
+    — a BroadcastNestedLoopJoin or CartesianProduct here means the rank
+    keys fell out of the join condition and the m*cap bound is gone."""
+    plan = _plan(spark, "q_dedup_embed_capped")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_embed_capped_ivf_broadcasts_seeds_only(spark):
+    """q_dedup_embed_capped_ivf: the assignment's only nested-loop join
+    is the scan's crossJoin against the broadcast 64-row seed-centroid
+    table (the q_sim_ivf scalar-broadcast idiom), EXACTLY ONCE — the
+    first draft fed the un-pinned assignment to both sides of the
+    window join and Catalyst duplicated the whole nlist*|V| subtree
+    (this gate counted 2 BNLJ nodes; the fix checkpoints the cells).
+    The registered query's own executed plan (above the checkpoint)
+    must keep the window join equi."""
+    from hadoop_distexec_spark.operators.llmops import _ivf_assign_cells
+
+    assign_plan = (
+        _ivf_assign_cells(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in assign_plan, assign_plan
+    assert assign_plan.count("BroadcastNestedLoopJoin") == 1, assign_plan
+    plan = _plan(spark, "q_dedup_embed_capped_ivf")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_minhash_band_join_stays_equi_join(spark):
     """VERDICT r03 #5: every minhash join — the band/bucket candidate
     join and the exact-verify joins — must be an equi-join (hash or
