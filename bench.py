@@ -110,6 +110,13 @@ HEADLINE = [
     "q_join_card_est",
     "q_retrieval_agreement",
     "q_embed_whiten",
+    # round-9 registrations (the r08 capped graph tiers — new ids, absent
+    # from BENCH_r01..r08; the two agreement harnesses deliberately run
+    # the exact build they audit, so they sit at the slow end by design)
+    "q_dedup_embed_capped",
+    "q_dedup_embed_capped_ivf",
+    "q_ivf_cap_overlap",
+    "q_cc_cap_agreement",
     # round-8 registrations (the r07 prep waves — new ids, absent from
     # BENCH_r01..r07)
     "q_cms_topk",
@@ -138,6 +145,31 @@ HEADLINE_TRIALS = 3
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _lane_probe(spark) -> float:
+    """Fixed-size lane-calibration probe (VERDICT r08 next-round #5): a
+    constant 1M-row generated aggregation — zero data dependence, zero
+    I/O — timed best-of-3 and carried on the contract line as
+    `lane_probe_sec`. Round-over-round driver-lane comparisons divide
+    per-query times by the probe ratio first: the r07->r08 driver
+    artifact showed a uniform ~3x swing on identical code (lane-state
+    variance, confirmed by matched local best-of-3) and cost a full
+    re-adjudication; with the probe on the line the artifact is
+    self-diagnosing. Normalization recipe in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _noop(
+            spark.range(1 << 20)
+            .select((F.col("id") % 97).alias("k"), "id")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _release_blocks(spark) -> None:
@@ -379,6 +411,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # lane-calibration probe, timed at the same moment the headline
+    # queries are (right after warmup): the scalar that separates "the
+    # code got slower" from "the lane got slower" in driver artifacts
+    lane_probe = None
+    try:
+        lane_probe = _lane_probe(spark)
+    except Exception as exc:
+        errors["lane_probe"] = f"{type(exc).__name__}: {exc}"[:500]
     for qid in HEADLINE:
         trials: list[float] = []
         for _ in range(HEADLINE_TRIALS):
@@ -435,6 +475,8 @@ def main() -> None:
         "tiers": tiers,
         "sf": sf,
     }
+    if lane_probe is not None:
+        out["lane_probe_sec"] = lane_probe
     out.update(pipe)
     if warnings:
         out["warnings"] = warnings
@@ -466,11 +508,22 @@ def _sig(v: float, digits: int) -> float:
 
 
 def _compact_contract_line(out: dict) -> dict:
-    """The driver-facing JSON line: metric/value/unit/sf plus EVERY
-    headline query at reduced precision, guaranteed to serialize under
-    the driver's 2000-byte stdout tail. Degrades precision, then drops
-    the fastest queries (with an explicit queries_omitted count) before
-    ever emitting an oversized line."""
+    """The driver-facing JSON line: metric/value/unit/sf, the lane
+    probe, the COMPLETE pipe decomposition (VERDICT r08 next-round #4:
+    pipe_sec/pipe_bare_sec/pipe_fixed_sec/pipe_marginal_mbps were lost
+    to the 2000-byte tail clip in r07/r08 — they are contract numbers,
+    so they ride the contract line), and the headline queries at
+    2-significant-digit precision, guaranteed to serialize under the
+    driver's 2000-byte stdout tail.
+
+    When everything no longer fits, the FASTEST queries are dropped
+    (with explicit queries_omitted / queries_omitted_sec accounting)
+    rather than degrading every value to 1 significant digit: the
+    sub-0.1s rows are exactly where lane noise exceeds signal (the
+    r07->r08 "6x regression on q_topk" was 0.032s vs 0.2s of pure lane
+    state), while the slow rows — the ones that diagnose a real plan
+    regression — keep their precision. The full per-query map always
+    survives on the preceding detail line (BENCH_LOCAL_r{N}.json)."""
     # errors must survive onto the contract line (BENCH_r02 precedent: a
     # silent artifact is worse than a short one) — bounded to 5 entries
     # of 60 chars so they can never crowd out the queries dict
@@ -478,31 +531,47 @@ def _compact_contract_line(out: dict) -> dict:
         k: v[:60] for k, v in sorted(out.get("errors", {}).items())[:5]
     }
     n_errs_omitted = max(0, len(out.get("errors", {})) - len(errs))
-    for digits in (2, 1):
-        qs = {k: _sig(v, digits) for k, v in out["queries"].items()}
-        compact = {
-            "metric": out["metric"],
-            "value": _sig(out["value"], 3),
-            "unit": out["unit"],
-            "sf": out["sf"],
-            "queries": qs,
-        }
-        if errs:
-            compact["errors"] = errs
-        if n_errs_omitted:
-            compact["errors_omitted"] = n_errs_omitted
-        if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
-            return compact
-    # last resort: keep the slowest queries that fit; never a long line
-    ranked = sorted(qs.items(), key=lambda kv: -kv[1])
+    compact = {
+        "metric": out["metric"],
+        "value": _sig(out["value"], 3),
+        "unit": out["unit"],
+        "sf": out["sf"],
+    }
+    if out.get("lane_probe_sec") is not None:
+        compact["lane_probe_sec"] = _sig(out["lane_probe_sec"], 3)
+    for k in (
+        "pipe_sec",
+        "pipe_bare_sec",
+        "pipe_fixed_sec",
+        "pipe_marginal_mbps",
+        "pipe_overhead_ms_per_file",
+    ):
+        if out.get(k) is not None:
+            compact[k] = _sig(out[k], 3)
+    qs = {k: _sig(v, 2) for k, v in out["queries"].items()}
+    compact["queries"] = qs
+    if errs:
+        compact["errors"] = errs
+    if n_errs_omitted:
+        compact["errors_omitted"] = n_errs_omitted
+    if len(json.dumps(compact, separators=(",", ":"))) <= _TAIL_BUDGET:
+        return compact
+    # drop the fastest queries until the line fits; account for them
+    ranked = sorted(qs.items(), key=lambda kv: (-kv[1], kv[0]))
     kept: dict[str, float] = {}
     compact["queries"] = kept
+    compact["queries_omitted"] = 0  # reserve key space before measuring
+    compact["queries_omitted_sec"] = 0.0
     for k, v in ranked:
         kept[k] = v
-        if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET - 30:
+        if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
             del kept[k]
             break
-    compact["queries_omitted"] = len(ranked) - len(kept)
+    omitted = [k for k in qs if k not in kept]
+    compact["queries_omitted"] = len(omitted)
+    compact["queries_omitted_sec"] = _sig(
+        sum(out["queries"][k] for k in omitted), 2
+    )
     return compact
 
 
