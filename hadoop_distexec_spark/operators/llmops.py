@@ -3643,6 +3643,25 @@ q_ivf_cap_overlap._fingerprint_extras = (
 # level direction of the import cycle (same reasoning, mirrored, as the
 # q_pii_source_audit placement note in pipeline.py).
 
+# r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
+# registration deliberately deferred): triangle_count_capped's DuckDB
+# twin — the same ordered id-triple enumeration as q_triangle_count's
+# oracle, over the capped edge set. NOT registered in r09: the registry
+# sits at 198 ids against the enacted policy's 4-round x 50-witness =
+# ~200-id steady-state capacity, so the next wave needs either a larger
+# driver window or the next policy notch first (SURVEY §2.10 r09 rows).
+TRIANGLE_COUNT_CAPPED_ORACLE = f"""
+    WITH {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'l')},
+    tri AS (
+      SELECT p1.vec_a AS x, p1.vec_b AS y, p2.vec_b AS z
+      FROM lcapped p1
+      JOIN lcapped p2 ON p2.vec_a = p1.vec_b
+      JOIN lcapped p3 ON p3.vec_a = p1.vec_a AND p3.vec_b = p2.vec_b),
+    verts AS (SELECT UNNEST([x, y, z]) AS vec_id FROM tri)
+    SELECT vec_id, COUNT(*) AS n_tri FROM verts GROUP BY vec_id
+    """
+
 
 HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion
 HYBRID_RRF_K = 60  # standard reciprocal-rank-fusion damping constant

@@ -1336,6 +1336,42 @@ def _lpa_oracle() -> str:
 LABEL_PROP_ORACLE = _lpa_oracle()
 
 
+def _lpa_capped_oracle() -> str:
+    """r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
+    registration deliberately deferred — the registry sits at 198 ids
+    against the enacted policy's ~200-id steady-state capacity, see
+    SURVEY §2.10): label_prop_capped's DuckDB twin — the identical
+    unrolled {LPA_ROUNDS}-round CTE chain, with the neighbor list built
+    from the CAPPED edge set (llmops' shared capped-window fragments)
+    instead of the exact one."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _CAPPED_CELLS_LABEL_SQL,
+        _capped_window_sql,
+    )
+
+    rounds = ",\n    ".join(
+        _lpa_round_sql(f"l{i}", str(i + 1)) for i in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'lc')},
+    nbr AS (
+      SELECT vec_a AS v, vec_b AS u FROM lccapped
+      UNION ALL
+      SELECT vec_b AS v, vec_a AS u FROM lccapped),
+    l0 AS (SELECT vec_id AS v, vec_id AS lab FROM embeddings),
+    {rounds}
+    SELECT lab AS community, COUNT(*) AS n_members,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+             AS share_ppm
+    FROM l{LPA_ROUNDS} GROUP BY lab
+    ORDER BY n_members DESC, community
+    """
+
+
+LABEL_PROP_CAPPED_ORACLE = _lpa_capped_oracle()
+
+
 # ---------------------------------------------------------------------------
 # split_leakage — near-dup contamination across the train/test boundary
 # (round-8 prep; REGISTERED r08)

@@ -52,12 +52,16 @@ PICKS += [
     ("q_mix_temperature", "one map-side agg; integer-quantized sqrt weights over |sources| rows"),
 ]
 
-# unregistered round-8 library tiers (module-resolved): the plan
-# evidence the SCALE.md capped-tier story rests on
-PREP_PICKS: list[tuple[str, str]] = [
-    ("embed_edges_capped", "per-cell rank window + explode(sequence) + ONE equi-join on (cell, rank); no m^2 pair join"),
-    ("embed_edges_capped_ivf", "bounded 64-row centroid broadcast for assignment, then the same window core; no unbounded nested loop"),
+# registered in round 9 (the capped edge builders, now registry-resolved)
+PICKS += [
+    ("q_dedup_embed_capped", "per-cell rank window + explode(sequence) + ONE equi-join on (cell, rank); no m^2 pair join"),
+    ("q_dedup_embed_capped_ivf", "assignment: ONE bounded 64-row centroid BNLJ on a slim projection + 1e-6 band, decimal rank inside the band only; cells checkpointed so the subtree plans once; window core above the checkpoint is equi-join only"),
 ]
+
+# unregistered library tiers (module-resolved): the plan evidence the
+# SCALE.md capped-tier story rests on; PREP_PICKS stays as the hook for
+# future waves
+PREP_PICKS: list[tuple[str, str]] = []
 
 
 def _prep_fn(name: str):
