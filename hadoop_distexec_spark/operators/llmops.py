@@ -3248,17 +3248,32 @@ def _ivf_assign_cells(
     no threshold to pad the way the dedup prefilter does). Scoring all
     nlist candidates in decimal is ~10x the double cost (measured 2.9s
     of a 3.4s sf0.01 build), so this uses the margin-BAND form of the
-    family's prefilter idiom instead: all nlist double cosines on a
-    SLIM (vec_id, cid, d_cos) projection, keep the candidates within
-    1e-6 of each vector's double max (one skinny window shuffle), and
-    evaluate the exact-decimal cosine only inside that band (~1 row per
-    vector). The band provably contains the decimal argmax — the
-    double-vs-decimal gap for 64-dim unit-scale vectors is <<1e-6/4
-    (the q_dedup_embed bound), and any excluded candidate's decimal
-    cosine sits strictly below the winner's — so the (decimal DESC,
-    cid) rank inside the band equals the oracle's rank over all nlist.
-    Spark-side doubles never need to match DuckDB here: the band is a
-    superset filter, only the decimal rank decides."""
+    family's prefilter idiom: keep the candidates within 1e-6 of each
+    vector's double-cosine max, and evaluate the exact-decimal cosine
+    only inside that band (~1 row per vector). The band provably
+    contains the decimal argmax — the float64-vs-decimal gap for 64-dim
+    unit-scale vectors is <<1e-6/4 (the q_dedup_embed bound, which also
+    swallows the matmul-vs-sequential summation-order gap), and any
+    excluded candidate's decimal cosine sits strictly below the
+    winner's — so the (decimal DESC, cid) rank inside the band equals
+    the oracle's rank over all nlist. Spark-side doubles never need to
+    match DuckDB here: the band is a superset filter, only the decimal
+    rank decides.
+
+    The double scoring itself is VECTORIZED (second r09 iteration): the
+    first band draft scored the nlist candidates with an interpreted
+    zip_with fold on a crossJoin — and Catalyst's project-collapse
+    inlined the DECIMAL norm folds into the per-candidate expression,
+    re-evaluating them nlist times per vector (measured 20s of the 30s
+    10x build; the r08 vectorization lesson, re-learned on a new
+    operator). Now the nlist seed rows — bounded planning metadata, the
+    <=512-row codebook-collect idiom — ship in a pandas_udf closure and
+    each Arrow batch scores against all seeds in ONE BLAS matmul,
+    returning each vector's band as an array<bigint> (exploded, ~1 row
+    per vector, then the broadcast-seeds equi-join + decimal rank)."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -3275,31 +3290,35 @@ def _ivf_assign_cells(
             F.col("norm2").alias("cn2"),
         )
     )
-    d_cos = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cemb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.sqrt(F.col("norm2") * F.col("cn2"))
-    slim = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cid", d_cos.alias("d_cos")
-    )
-    band = (
-        slim.withColumn(
-            "_dmax", F.max("d_cos").over(W.partitionBy("vec_id"))
+    srows = sorted(seeds.collect(), key=lambda r: r["cid"])  # <= nlist rows
+    C = np.array([r["cemb"] for r in srows], dtype=np.float64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
+    cids = np.array([r["cid"] for r in srows], dtype=np.int64)
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's eval-type inference can't
+    # resolve for a local closure (the _assign_pandas precedent)
+    @F.pandas_udf("array<bigint>")
+    def _band(emb):
+        X = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        x2 = (X * X).sum(axis=1)  # (n,)
+        cos = (X @ C.T) / np.sqrt(np.outer(x2, c2))
+        mx = cos.max(axis=1)
+        return pd.Series(
+            [cids[cos[i] >= mx[i] - 1e-6].tolist() for i in range(len(mx))]
         )
-        .filter(F.col("d_cos") >= F.col("_dmax") - 1e-6)
-        .select("vec_id", "cid")
+
+    band = e.select(
+        "vec_id",
+        "embedding",
+        "norm2",
+        F.explode(_band("embedding")).alias("cid"),
     )
     dec_cos = _spark_dot(F.col("embedding"), F.col("cemb")) / F.sqrt(
         F.col("norm2") * F.col("cn2")
     )
     return (
-        band.join(e, "vec_id")
-        .join(F.broadcast(seeds), "cid")
+        band.join(F.broadcast(seeds), "cid")
         .withColumn(
             "a_rank",
             F.row_number().over(

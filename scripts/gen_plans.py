@@ -55,7 +55,7 @@ PICKS += [
 # registered in round 9 (the capped edge builders, now registry-resolved)
 PICKS += [
     ("q_dedup_embed_capped", "per-cell rank window + explode(sequence) + ONE equi-join on (cell, rank); no m^2 pair join"),
-    ("q_dedup_embed_capped_ivf", "assignment: ONE bounded 64-row centroid BNLJ on a slim projection + 1e-6 band, decimal rank inside the band only; cells checkpointed so the subtree plans once; window core above the checkpoint is equi-join only"),
+    ("q_dedup_embed_capped_ivf", "assignment: Arrow/BLAS band scoring (ArrowEvalPython) + broadcast-seeds equi-join, decimal rank inside the 1e-6 band only; cells checkpointed so the subtree plans once; window core above the checkpoint is equi-join only"),
 ]
 
 # unregistered library tiers (module-resolved): the plan evidence the

@@ -128,8 +128,16 @@ def build_ledger() -> dict:
                 last_round, result = r, classify(rounds[r][qid])
         old = old_ids.get(qid, {})
         current_fp = registry.source_fingerprint(spec)
-        if old.get("fp") is not None and old.get("fp_round") == last_round:
-            # no new witness since last recorded — keep fp AND attestation
+        if (
+            old.get("fp") is not None
+            and old.get("fp_round") == last_round
+            and last_round is not None
+        ):
+            # no new witness since last recorded — keep fp AND attestation.
+            # NEVER-witnessed ids are excluded: there is no historical
+            # witness to stay faithful to, so their fp tracks HEAD
+            # (pre-fix, an edit between registration and first witness
+            # left a stale fp and a misleading fp_current_match=false)
             fp = old["fp"]
             attested = bool(old.get("fp_attested", False))
         else:

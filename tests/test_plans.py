@@ -197,15 +197,16 @@ def test_dedup_embed_capped_window_join_is_equi(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_dedup_embed_capped_ivf_broadcasts_seeds_only(spark):
-    """q_dedup_embed_capped_ivf: the assignment's only nested-loop join
-    is the scan's crossJoin against the broadcast 64-row seed-centroid
-    table (the q_sim_ivf scalar-broadcast idiom), EXACTLY ONCE — the
-    first draft fed the un-pinned assignment to both sides of the
-    window join and Catalyst duplicated the whole nlist*|V| subtree
-    (this gate counted 2 BNLJ nodes; the fix checkpoints the cells).
-    The registered query's own executed plan (above the checkpoint)
-    must keep the window join equi."""
+def test_dedup_embed_capped_ivf_assignment_is_arrow_banded(spark):
+    """q_dedup_embed_capped_ivf's assignment: the double scoring runs in
+    the Arrow/BLAS pandas_udf band (ArrowEvalPython in the plan), the
+    band meets the seeds in a broadcast EQUI-join on cid, and there is
+    no nested-loop join at all — the first draft's crossJoin form let
+    project-collapse re-evaluate the decimal norm folds nlist times per
+    vector (20s of a 30s 10x build), and its un-pinned cells were
+    additionally duplicated into both window-join branches (2 BNLJ
+    nodes; the checkpoint pins it). The registered query's own executed
+    plan (above the checkpoint) must keep the window join equi."""
     from hadoop_distexec_spark.operators.llmops import _ivf_assign_cells
 
     assign_plan = (
@@ -215,7 +216,9 @@ def test_dedup_embed_capped_ivf_broadcasts_seeds_only(spark):
         .toString()
     )
     assert "CartesianProduct" not in assign_plan, assign_plan
-    assert assign_plan.count("BroadcastNestedLoopJoin") == 1, assign_plan
+    assert "BroadcastNestedLoopJoin" not in assign_plan, assign_plan
+    assert "ArrowEvalPython" in assign_plan, assign_plan
+    assert "BroadcastHashJoin" in assign_plan, assign_plan
     plan = _plan(spark, "q_dedup_embed_capped_ivf")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
