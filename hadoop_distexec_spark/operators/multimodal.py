@@ -411,3 +411,128 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bucket"),
         "n_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# audio window features (round-9 library tier; the audio leg of the
+# image/audio/video plumbing contract). UNREGISTERED: the registry sits
+# at its witness-bandwidth capacity (SURVEY §2.10 r09 rows) — this ships
+# with a TESTED draft oracle (tests/test_round9_ops.py), registration-
+# ready like the other r10 candidates.
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 256  # samples per analysis window (512 bytes of 16-bit PCM)
+AUDIO_SCHEMA = (
+    "doc_id long, win int, n_samples int, sum_abs long, peak_abs int, n_cross int"
+)
+
+
+def audio_window_features(df: DataFrame, window: int = AUDIO_WIN) -> DataFrame:
+    """Windowed audio feature extraction over a binary `content` column —
+    the fixed-rate framing + per-frame energy/zero-crossing pass every
+    audio pipeline starts with (VAD, silence trimming, loudness
+    normalization, clip detection).
+
+    DECODE is the deterministic fake the module contract prescribes: the
+    payload is interpreted as little-endian signed 16-bit PCM (trailing
+    odd byte dropped) — a real decoder (soundfile/ffmpeg via
+    ``decode_audio``) replaces exactly that line on a cluster with
+    codecs; the framing, feature arithmetic, Arrow batching and schema
+    stay as tested. Per window of ``window`` samples (last window
+    ragged): sample count, the EXACT integer sum of absolute amplitudes
+    (the mean-energy numerator, kept as a bigint so the oracle is
+    bit-exact — no float RMS), peak absolute amplitude, and the strict
+    sign-change count (s_k * s_{k-1} < 0 with both samples inside the
+    window — the zero-crossing rate's numerator). All-integer features
+    make the DuckDB twin exact; a real float pipeline would follow the
+    decimal-grid idioms of functions/numeric.py instead.
+
+    Shape at 100 TB: one Arrow pass, ~len/2/window output rows per blob,
+    no shuffle, no python-per-row — numpy reduceat per batch."""
+    import numpy as np
+
+    def win_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win": [], "n_samples": [],
+                "sum_abs": [], "peak_abs": [], "n_cross": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                n = len(blob) // 2 * 2
+                s = np.frombuffer(blob[:n], dtype="<i2").astype(np.int64)
+                if s.size == 0:
+                    continue
+                starts = np.arange(0, s.size, window)
+                sums = np.add.reduceat(np.abs(s), starts)
+                peaks = np.maximum.reduceat(np.abs(s), starts)
+                counts = np.diff(np.append(starts, s.size))
+                # pair (k-1, k) is a crossing of k's window only when k is
+                # not that window's first sample — LAG-within-partition
+                # semantics, so the oracle needs no cross-window state
+                cross = (s[1:] * s[:-1] < 0).astype(np.int64)
+                k = np.arange(1, s.size)
+                cross[k % window == 0] = 0
+                cwin = np.zeros(len(starts), dtype=np.int64)
+                if cross.size:
+                    np.add.at(cwin, k[cross == 1] // window, 1)
+                for w in range(len(starts)):
+                    out["doc_id"].append(int(doc_id))
+                    out["win"].append(w)
+                    out["n_samples"].append(int(counts[w]))
+                    out["sum_abs"].append(int(sums[w]))
+                    out["peak_abs"].append(int(peaks[w]))
+                    out["n_cross"].append(int(cwin[w]))
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64", "win": "int32", "n_samples": "int32",
+                    "sum_abs": "int64", "peak_abs": "int32", "n_cross": "int32",
+                }
+            )
+
+    return df.mapInPandas(win_batches, AUDIO_SCHEMA)
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end on real data (the r10-candidate query
+    face): document UTF-8 bytes as the fake PCM16 payload through the
+    Arrow mapInPandas framing, one row per (doc, window). Docs shorter
+    than one sample (under 2 bytes) are out of contract on both sides."""
+    docs = _content_df(spark, sf_dir).where(F.octet_length("content") >= 2)
+    return audio_window_features(docs)
+
+
+# BYTE-based draft oracle (the q_multimodal_resize hex-image idiom):
+# sample k (1-based) is little-endian signed 16-bit from bytes
+# (2k-1, 2k) of the UTF-8 payload, addressed as hex pairs; windows of
+# AUDIO_WIN samples; the crossing count LAGs within (doc, win) so the
+# window-boundary pair is excluded exactly like the Spark side.
+MULTIMODAL_AUDIO_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS n_samp
+      FROM documents
+      WHERE octet_length(encode(text)) >= 2),
+    samp AS (
+      SELECT doc_id,
+             k,
+             CAST((k - 1) // {AUDIO_WIN} AS INT) AS win,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      FROM (
+        SELECT doc_id, UNNEST(range(1, n_samp + 1)) AS k, h FROM b),
+        LATERAL (
+          SELECT CAST('0x' || substr(h, CAST(4 * k - 3 AS INT), 2) AS INT)
+               + 256 * CAST('0x' || substr(h, CAST(4 * k - 1 AS INT), 2) AS INT)
+                 AS v)),
+    lagged AS (
+      SELECT doc_id, win, s,
+             LAG(s) OVER (PARTITION BY doc_id, win ORDER BY k) AS prev
+      FROM samp)
+    SELECT doc_id,
+           win,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(s)) AS INT) AS peak_abs,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_cross
+    FROM lagged GROUP BY doc_id, win
+    """

@@ -90,13 +90,15 @@ PREP_APIS: list[str] = [
     "lpa_cap_agreement",
     # capped dedup clusters (refinement law => precision 1; recall measured)
     "semantic_dedup_groups_capped",
+    # round-9 audio leg of the multimodal plumbing (tested draft oracle)
+    "multimodal_audio",
 ]
 
 
 def prep_fn(name: str):
     """Resolve an unregistered prep API by name — the ONE resolver shared
     with scripts/gen_plans.py (round-7 review: two diverging copies)."""
-    from hadoop_distexec_spark.operators import audits, llmops, pipeline
+    from hadoop_distexec_spark.operators import audits, llmops, multimodal, pipeline
     from hadoop_distexec_spark.plans import manifest_plan
     from hadoop_distexec_spark.streaming import windows
 
@@ -104,6 +106,7 @@ def prep_fn(name: str):
         getattr(audits, name, None)
         or getattr(llmops, name, None)
         or getattr(pipeline, name, None)
+        or getattr(multimodal, name, None)
         or getattr(manifest_plan, name, None)
         or getattr(windows, name)
     )

@@ -50,3 +50,66 @@ def test_capped_drafts_reuse_registered_fragments():
     registry._load_modules()
     spec_oracle = registry.specs()["q_dedup_embed_capped"].oracle
     assert cells in spec_oracle
+
+
+def test_multimodal_audio_draft_oracle_parity(spark):
+    """The audio window-feature tier (the audio leg of the multimodal
+    plumbing contract) is bit-exact against its hex-image DuckDB twin at
+    sf0.01 — all-integer features, the q_multimodal_resize idiom."""
+    from hadoop_distexec_spark.operators import multimodal
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(SF_ORACLE)
+    compare(
+        multimodal.multimodal_audio(spark, SF_ORACLE).toPandas(),
+        con.execute(multimodal.MULTIMODAL_AUDIO_ORACLE).fetchdf(),
+        "multimodal_audio",
+    )
+    con.close()
+
+
+def test_audio_window_features_brute_force(spark):
+    """audio_window_features against a pure-Python PCM16 reference on
+    adversarial blobs: odd byte length (trailing byte dropped), an exact
+    window boundary (the boundary pair must NOT count as a crossing of
+    the next window), zeros (strict inequality: 0 never crosses), sign
+    wobble, and a sub-sample blob (excluded entirely)."""
+    import struct
+
+    win = 4  # tiny window so boundaries are exercised
+
+    def ref(blob):
+        n = len(blob) // 2 * 2
+        s = list(struct.unpack(f"<{n // 2}h", blob[:n]))
+        rows = {}
+        for k, v in enumerate(s):
+            w = k // win
+            r = rows.setdefault(w, [0, 0, 0, 0])  # n, sum, peak, cross
+            r[0] += 1
+            r[1] += abs(v)
+            r[2] = max(r[2], abs(v))
+            if k % win != 0 and k > 0 and s[k - 1] * v < 0:
+                r[3] += 1
+        return {
+            (1, w): tuple(r) for w, r in rows.items()
+        }
+
+    blobs = [
+        struct.pack("<7h", 5, -3, 0, 2, -2, 2, -2) + b"\x01",  # odd tail
+        struct.pack("<8h", 1, -1, 1, -1, 1, -1, 1, -1),  # boundary at k=4
+        struct.pack("<4h", 0, 0, -1, 0),  # zeros never cross
+        b"\x00",  # sub-sample: dropped
+    ]
+    from hadoop_distexec_spark.operators.multimodal import audio_window_features
+
+    for blob in blobs:
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "doc_id long, content binary"
+        )
+        got = {
+            (r["doc_id"], r["win"]): (
+                r["n_samples"], r["sum_abs"], r["peak_abs"], r["n_cross"]
+            )
+            for r in audio_window_features(df, window=win).collect()
+        }
+        assert got == ref(blob), (blob, got, ref(blob))
