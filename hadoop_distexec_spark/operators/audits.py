@@ -54,7 +54,7 @@ unique tiebreaker.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hadoop_distexec_spark.registry import register
@@ -1543,3 +1543,247 @@ register("q_l_diversity", oracle=L_DIVERSITY_ORACLE)(l_diversity)
 register("q_ks_doclen", oracle=KS_DOCLEN_ORACLE)(ks_doclen)
 register("q_bloom_fpr_eval", oracle=BLOOM_FPR_EVAL_ORACLE)(bloom_fpr_eval)
 register("q_hot_key_churn", oracle=HOT_KEY_CHURN_ORACLE)(hot_key_churn)
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap — k-minimum-values (theta-sketch) distinct-set intersection
+# estimates with measured error (round-9 library tier; completes the
+# sketch ladder: HLL distinct / CMS heavy hitters / Bloom membership /
+# KMV set INTERSECTION). UNREGISTERED: the registry sits at its
+# witness-bandwidth capacity (SURVEY §2.10 r09 rows); ships with a
+# TESTED draft oracle (tests/test_round9_ops.py) like the other r10
+# candidates.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size (minimum hash values kept per set)
+_KMV_SPACE = 1 << 48  # md5-prefix hash space: 12 hex chars = 48 bits
+
+
+def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """Distinct-user OVERLAP between every pair of event types, estimated
+    from k-minimum-values sketches and SHIPPED WITH the exact answer and
+    the measured error (the repo's standing estimator rule — cms_topk /
+    bloom_fpr_eval / pq_recall pattern).
+
+    The question ("how many users both clicked AND purchased?") is the
+    audience-overlap / funnel-reach primitive; exactly answering it for
+    every pair needs a distinct-set self-join per pair, while the KMV
+    answer ships k rows per set — mergeable, unionable, and at 100 TB
+    the only thing a per-source streaming ingest can afford to keep.
+    Estimator (standard theta-sketch algebra, all EXACT integer
+    arithmetic on the 48-bit md5-prefix hash so the oracle is
+    bit-identical): per set, the k smallest distinct h(user); distinct
+    estimate (k-1) * 2^48 // h_(k) when the set saturates the sketch,
+    the plain count when it doesn't (the sketch IS the set).
+    Intersection: K = the k smallest of the UNION of the two sketches
+    (dedup by hash — a shared user hashes identically in both), theta =
+    K's max; est = |{x in K : x in A's sketch AND x in B's sketch}| *
+    2^48 // theta, again the exact count below saturation.
+
+    Shape at 100 TB: ONE distinct shuffle over (event_type, user_id) +
+    one per-type rank window; everything after runs on <=|types|*k rows
+    (broadcast-sized frames), and the EXACT arm — the one-off audit
+    truth — is the only pair-wise distinct join in the plan."""
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit("kmv:"), F.col("user_id").cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = du.select("event_type", "user_id", h.alias("h"))
+    wk = W.partitionBy("event_type").orderBy("h", "user_id")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)  # <=|types|*k rows; reused 3x below
+    )
+    # per-type distinct estimate (exact count below sketch saturation)
+    per_type = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    exact_type = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est_type = per_type.join(exact_type, "event_type").select(
+        "event_type",
+        F.when(F.col("n_sk") < k, F.col("n_sk"))
+        .otherwise(F.expr(f"({k} - 1) * {_KMV_SPACE} div kth"))
+        .cast("long")
+        .alias("est_distinct"),
+        "exact_distinct",
+    )
+    # unordered type pairs from the data (both sides bounded by |types|)
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # union sketch per pair: each pair pulls both types' sketch rows,
+    # dedup by hash (one row may come from both arms), rank, keep k
+    arm_a = pairs.join(
+        sk, sk["event_type"] == pairs["type_a"]
+    ).select("type_a", "type_b", "h")
+    arm_b = pairs.join(
+        sk, sk["event_type"] == pairs["type_b"]
+    ).select("type_a", "type_b", "h")
+    u = (
+        arm_a.unionByName(arm_b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.count(F.lit(1)).alias("n_arms"))
+    )
+    wu = W.partitionBy("type_a", "type_b").orderBy("h")
+    uk = u.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    inter_est = uk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_union_sk"),
+        F.max("h").alias("theta"),
+        F.sum(F.when(F.col("n_arms") == 2, 1).otherwise(0)).alias("m_inter"),
+    )
+    # the exact arm: one distinct-set self-join, every pair at once
+    exact_inter = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = F.when(F.col("n_union_sk") < k, F.col("m_inter")).otherwise(
+        F.expr(f"m_inter * {_KMV_SPACE} div theta")
+    ).cast("long")
+    return (
+        inter_est.join(exact_inter, ["type_a", "type_b"])
+        .join(
+            F.broadcast(
+                est_type.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("est_distinct").alias("est_a"),
+                    F.col("exact_distinct").alias("exact_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                est_type.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("est_distinct").alias("est_b"),
+                    F.col("exact_distinct").alias("exact_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(k).cast("int").alias("k"),
+            "est_a",
+            "exact_a",
+            "est_b",
+            "exact_b",
+            F.col("m_inter").cast("long").alias("m_inter"),
+            est.alias("est_inter"),
+            "exact_inter",
+            (F.abs(est - F.col("exact_inter")) * 1_000_000)
+            .cast("long")
+            .alias("abs_err_x1m"),
+        )
+        .withColumn(
+            "err_inter_ppm",
+            F.expr("abs_err_x1m div exact_inter").cast("long"),
+        )
+        .drop("abs_err_x1m")
+    )
+
+
+KMV_OVERLAP_ORACLE = f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type, user_id,
+             CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM du),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rn
+        FROM hashed) WHERE rn <= {KMV_K}),
+    per_type AS (
+      SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY 1),
+    exact_type AS (
+      SELECT event_type, COUNT(*) AS exact_distinct FROM du GROUP BY 1),
+    est_type AS (
+      SELECT p.event_type,
+             CAST(CASE WHEN p.n_sk < {KMV_K} THEN p.n_sk
+                       ELSE ({KMV_K} - 1) * {_KMV_SPACE} // p.kth
+                  END AS BIGINT) AS est_distinct,
+             e.exact_distinct
+      FROM per_type p JOIN exact_type e USING (event_type)),
+    types AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    u AS (
+      SELECT type_a, type_b, h, COUNT(*) AS n_arms FROM (
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b)
+      GROUP BY 1, 2, 3),
+    uk AS (
+      SELECT * FROM (
+        SELECT type_a, type_b, h, n_arms,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                  ORDER BY h) AS rn
+        FROM u) WHERE rn <= {KMV_K}),
+    inter_est AS (
+      SELECT type_a, type_b, COUNT(*) AS n_union_sk, MAX(h) AS theta,
+             SUM(CASE WHEN n_arms = 2 THEN 1 ELSE 0 END) AS m_inter
+      FROM uk GROUP BY 1, 2),
+    exact_inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_inter
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    est AS (
+      SELECT i.type_a, i.type_b,
+             CAST(CASE WHEN i.n_union_sk < {KMV_K} THEN i.m_inter
+                       ELSE i.m_inter * {_KMV_SPACE} // i.theta
+                  END AS BIGINT) AS est_inter,
+             i.m_inter, x.exact_inter
+      FROM inter_est i JOIN exact_inter x USING (type_a, type_b))
+    SELECT e.type_a, e.type_b,
+           CAST({KMV_K} AS INT) AS k,
+           ta.est_distinct AS est_a, ta.exact_distinct AS exact_a,
+           tb.est_distinct AS est_b, tb.exact_distinct AS exact_b,
+           CAST(e.m_inter AS BIGINT) AS m_inter,
+           e.est_inter,
+           CAST(e.exact_inter AS BIGINT) AS exact_inter,
+           CAST(ABS(e.est_inter - e.exact_inter) * 1000000 // e.exact_inter
+                AS BIGINT) AS err_inter_ppm
+    FROM est e
+    JOIN est_type ta ON ta.event_type = e.type_a
+    JOIN est_type tb ON tb.event_type = e.type_b
+    """

@@ -92,6 +92,8 @@ PREP_APIS: list[str] = [
     "semantic_dedup_groups_capped",
     # round-9 audio leg of the multimodal plumbing (tested draft oracle)
     "multimodal_audio",
+    # round-9 KMV theta-sketch intersection audit (tested draft oracle)
+    "kmv_overlap",
 ]
 
 
