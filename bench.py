@@ -560,8 +560,12 @@ def _compact_contract_line(out: dict) -> dict:
     ranked = sorted(qs.items(), key=lambda kv: (-kv[1], kv[0]))
     kept: dict[str, float] = {}
     compact["queries"] = kept
-    compact["queries_omitted"] = 0  # reserve key space before measuring
-    compact["queries_omitted_sec"] = 0.0
+    # reserve WIDE placeholders before measuring: the real values replace
+    # them after the fill loop, so they must never be longer than the
+    # reservation (a 1-digit reserve overflowed the budget by 1 byte when
+    # 11 queries were omitted — caught on the first sf0.1 run)
+    compact["queries_omitted"] = 999
+    compact["queries_omitted_sec"] = 99999.9
     for k, v in ranked:
         kept[k] = v
         if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
