@@ -39,10 +39,12 @@ WHITELIST = {
     ("operators/llmops.py", "q_sim_topk"): (1, "fixed 5-vector query set"),
     ("operators/llmops.py", "sim_quantized_recall"): (1, "fixed 5-vector quantized query set"),
     ("operators/llmops.py", "q_sim_ivf"): (1, "k centroid cells"),
-    ("operators/llmops.py", "embed_edges_capped_ivf"): (
+    ("operators/llmops.py", "_ivf_assign_cells"): (
         1,
         "IVF_CAP_NLIST (64) seed centroids, 64 floats each — KBs by the "
-        "nlist constant at any corpus size",
+        "nlist constant at any corpus size (moved here from "
+        "embed_edges_capped_ivf in the r09 Arrow-band refactor; the band "
+        "side joins the broadcast seeds by cid)",
     ),
     ("operators/llmops.py", "lsh_candidates"): (1, "query set x probe masks, bounded"),
     ("operators/llmops.py", "q_tfidf"): (1, "1-row n_docs scalar (dfreq de-hinted r06)"),
@@ -67,6 +69,13 @@ WHITELIST = {
     ("operators/audits.py", "bloom_fpr_eval"): (6, "six 1-row scalar aggregates (max shipdate, build count+slice size x3 uses, neg count, false-pos count)"),
     ("operators/pipeline.py", "split_leakage"): (2, "two 1-row scalar aggregates (contaminated-test count, test-split count)"),
     ("operators/audits.py", "hot_key_churn"): (1, "1-row min/max epoch scalar aggregate (the drift_tvd split contract)"),
+    ("operators/audits.py", "kmv_overlap"): (
+        3,
+        "all three sides bounded by the event-type DOMAIN, not the data: "
+        "the pair-enumeration type list (|types| rows) and two per-type "
+        "estimate frames (|types| rows each; the sketches themselves are "
+        "|types|*k rows and never hinted)",
+    ),
 }
 
 
