@@ -1604,9 +1604,24 @@ def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
         10,
     ).cast("long")
     hashed = du.select("event_type", "user_id", h.alias("h"))
+    # two-level k-min (the map-side-combine shape): a single window
+    # partitioned by event_type would funnel each type's ENTIRE distinct
+    # population through one task — the bounded-key window trap, fatal at
+    # 100 TB where |types| is small and rows/type is not. Level 1 keeps
+    # the k smallest within every (type, input-partition) slice — the
+    # global k smallest are necessarily a subset of the union of
+    # per-slice k smallest — so level 2's per-type window sorts at most
+    # #partitions * k rows per type.
     wk = W.partitionBy("event_type").orderBy("h", "user_id")
+    w1 = W.partitionBy("event_type", "_pid").orderBy("h", "user_id")
+    local = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "_pid")
+    )
     sk = (
-        hashed.withColumn("rn", F.row_number().over(wk))
+        local.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .select("event_type", "h")
         .localCheckpoint(eager=True)  # <=|types|*k rows; reused 3x below
