@@ -3906,12 +3906,13 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches, not just its size).
 
     Shape: one source Exchange shared by the row_number window and both
-    aggregates. At 100 TB the window-over-giant-source-partition is the
-    hazard; the fix is the two-phase per-partition prefix-count pattern
-    already implemented in q_pack_sequences_dist (rank only within
-    hash-partition, then offset by the partition prefix sum) — the
-    semantics here are identical, so the quota cut needs no global
-    sort."""
+    aggregates. The window-over-giant-source-partition hazard this
+    docstring used to note is CLOSED (r09): the quota cut is two-level —
+    level 1 keeps the MIX_PER_SOURCE smallest mix keys within every
+    (source, input-partition) slice (the global smallest are a subset of
+    the union of per-slice smallest), so the per-source window sorts at
+    most partitions*quota rows however hot the source. Output and oracle
+    unchanged."""
     docs = table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
@@ -3921,7 +3922,14 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mix_key"),
     )
     w = W.partitionBy("source").orderBy("mix_key", "doc_id")
-    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    w1 = W.partitionBy("source", "_pid").orderBy("mix_key", "doc_id")
+    local = (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= MIX_PER_SOURCE)
+        .drop("rn", "_pid")
+    )
+    ranked = local.withColumn("rn", F.row_number().over(w))
     taken = ranked.where(F.col("rn") <= MIX_PER_SOURCE)
     avail = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_available"))
     got = taken.groupBy("source").agg(
@@ -4561,17 +4569,27 @@ def source_top_tokens(spark: SparkSession, sf_dir: str, n: int = SOURCE_TOP_TOKE
     Determinism: exact counts; rank ties break on token asc.
 
     Shape: explode -> map-side-combined hash agg on (source, token) ->
-    rank window on the source Exchange (per-source top-n, never a global
-    sort). At 100 TB the token agg is the only full-volume shuffle and
-    the alphabet-bounded combine does most of it map-side."""
+    TWO-LEVEL rank (r09): level 1 keeps the top n within every
+    (source, input-partition) slice of the counted pairs, so the
+    per-source window sorts at most partitions*n rows even when one
+    source's vocabulary is corpus-sized (the bounded-key window trap);
+    never a global sort. At 100 TB the token agg is the only full-volume
+    shuffle and the alphabet-bounded combine does most of it map-side."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    w1 = W.partitionBy("source", "_pid").orderBy(F.col("cnt").desc(), "tok")
+    local = (
+        cnt.withColumn("_pid", F.spark_partition_id())
+        .withColumn("rnk", F.row_number().over(w1))
+        .where(F.col("rnk") <= n)
+        .drop("rnk", "_pid")
+    )
     return (
-        cnt.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= n)
         .select("source", F.col("rnk").cast("int").alias("rnk"), "tok", "cnt")
     )
