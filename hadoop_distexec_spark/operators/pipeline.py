@@ -1372,6 +1372,38 @@ def _lpa_capped_oracle() -> str:
 LABEL_PROP_CAPPED_ORACLE = _lpa_capped_oracle()
 
 
+def _semantic_dedup_groups_capped_oracle() -> str:
+    """r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
+    registration deferred with the rest of the r10 candidates):
+    semantic_dedup_groups_capped's DuckDB twin — the same recursive-CTE
+    min-label transitive closure as q_semantic_dedup_groups, over the
+    CAPPED edge set (llmops' shared capped-window fragments, embedded
+    byte-for-byte so the candidate policy cannot drift)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _CAPPED_CELLS_LABEL_SQL,
+        _capped_window_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'sc')},
+    cedges AS (
+      SELECT vec_a AS a, vec_b AS b FROM sccapped
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM sccapped),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT cedges.a, reach.r FROM cedges JOIN reach ON cedges.b = reach.id)
+    SELECT id AS vec_id, MIN(r) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY id
+    """
+
+
+SEMANTIC_DEDUP_GROUPS_CAPPED_ORACLE = _semantic_dedup_groups_capped_oracle()
+
+
 # ---------------------------------------------------------------------------
 # split_leakage — near-dup contamination across the train/test boundary
 # (round-8 prep; REGISTERED r08)

@@ -31,6 +31,11 @@ def test_r10_capped_draft_oracles_parity(spark):
             pipeline.label_prop_capped,
             pipeline.LABEL_PROP_CAPPED_ORACLE,
         ),
+        (
+            "semantic_dedup_groups_capped",
+            pipeline.semantic_dedup_groups_capped,
+            pipeline.SEMANTIC_DEDUP_GROUPS_CAPPED_ORACLE,
+        ),
     ]:
         compare(fn(spark, SF_ORACLE).toPandas(), con.execute(oracle).fetchdf(), name)
     con.close()
@@ -44,6 +49,7 @@ def test_capped_drafts_reuse_registered_fragments():
     cells = llmops._CAPPED_CELLS_LABEL_SQL
     assert cells in llmops.TRIANGLE_COUNT_CAPPED_ORACLE
     assert cells in pipeline.LABEL_PROP_CAPPED_ORACLE
+    assert cells in pipeline.SEMANTIC_DEDUP_GROUPS_CAPPED_ORACLE
     spec_oracle = None
     from hadoop_distexec_spark import registry
 
