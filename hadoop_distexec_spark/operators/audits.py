@@ -1549,10 +1549,11 @@ register("q_hot_key_churn", oracle=HOT_KEY_CHURN_ORACLE)(hot_key_churn)
 # kmv_overlap — k-minimum-values (theta-sketch) distinct-set intersection
 # estimates with measured error (round-9 library tier; completes the
 # sketch ladder: HLL distinct / CMS heavy hitters / Bloom membership /
-# KMV set INTERSECTION). UNREGISTERED: the registry sits at its
-# witness-bandwidth capacity (SURVEY §2.10 r09 rows); ships with a
-# TESTED draft oracle (tests/test_round9_ops.py) like the other r10
-# candidates.
+# KMV set INTERSECTION). REGISTERED r10 under the attested-latest-4
+# witness step (VERDICT r09 next-round #2/#3), with the r09 ADVICE
+# fixes folded in pre-first-witness: per-arm hash dedup (theta
+# semantics) and LEFT-join so zero-true-intersection pairs stay in the
+# audit output.
 # ---------------------------------------------------------------------------
 
 KMV_K = 64  # sketch size (minimum hash values kept per set)
@@ -1603,7 +1604,14 @@ def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
         16,
         10,
     ).cast("long")
-    hashed = du.select("event_type", "user_id", h.alias("h"))
+    # theta-sketch semantics keep the k smallest DISTINCT hash values:
+    # two users in ONE arm colliding on the 48-bit prefix must contribute
+    # one sketch entry, or the intra-arm duplicate masquerades as a
+    # shared hash downstream (n_arms == 2) and kth is not the k-th
+    # distinct minimum (ADVICE r09 #2) — so dedup h within each per-type
+    # sketch before the k-min rank. h is distinct per type after this,
+    # making the rank ORDER BY h alone deterministic.
+    hashed = du.select("event_type", h.alias("h")).distinct()
     # two-level k-min (the map-side-combine shape): a single window
     # partitioned by event_type would funnel each type's ENTIRE distinct
     # population through one task — the bounded-key window trap, fatal at
@@ -1612,8 +1620,8 @@ def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     # global k smallest are necessarily a subset of the union of
     # per-slice k smallest — so level 2's per-type window sorts at most
     # #partitions * k rows per type.
-    wk = W.partitionBy("event_type").orderBy("h", "user_id")
-    w1 = W.partitionBy("event_type", "_pid").orderBy("h", "user_id")
+    wk = W.partitionBy("event_type").orderBy("h")
+    w1 = W.partitionBy("event_type", "_pid").orderBy("h")
     local = (
         hashed.withColumn("_pid", F.spark_partition_id())
         .withColumn("rn", F.row_number().over(w1))
@@ -1685,7 +1693,14 @@ def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
         F.expr(f"m_inter * {_KMV_SPACE} div theta")
     ).cast("long")
     return (
-        inter_est.join(exact_inter, ["type_a", "type_b"])
+        # LEFT join from the sketch side: a pair whose TRUE intersection
+        # is zero is exactly where a sketch-error audit is most
+        # informative (a false positive), so it must not drop out of the
+        # output just because the exact arm has no row (ADVICE r09 #1)
+        inter_est.join(exact_inter, ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_inter", F.coalesce("exact_inter", F.lit(0)).cast("long")
+        )
         .join(
             F.broadcast(
                 est_type.select(
@@ -1722,8 +1737,14 @@ def kmv_overlap(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
             .alias("abs_err_x1m"),
         )
         .withColumn(
+            # NULL when the true intersection is empty: relative error is
+            # undefined there, and the absolute estimate (est_inter vs 0)
+            # is the number the audit reads instead
             "err_inter_ppm",
-            F.expr("abs_err_x1m div exact_inter").cast("long"),
+            F.when(
+                F.col("exact_inter") > 0,
+                F.expr("abs_err_x1m div exact_inter"),
+            ).cast("long"),
         )
         .drop("abs_err_x1m")
     )
@@ -1733,7 +1754,7 @@ KMV_OVERLAP_ORACLE = f"""
     WITH du AS (
       SELECT DISTINCT event_type, user_id FROM events),
     hashed AS (
-      SELECT event_type, user_id,
+      SELECT DISTINCT event_type,
              CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)
                   AS BIGINT) AS h
       FROM du),
@@ -1741,7 +1762,7 @@ KMV_OVERLAP_ORACLE = f"""
       SELECT event_type, h FROM (
         SELECT event_type, h,
                ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY h, user_id) AS rn
+                                  ORDER BY h) AS rn
         FROM hashed) WHERE rn <= {KMV_K}),
     per_type AS (
       SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY 1),
@@ -1787,8 +1808,8 @@ KMV_OVERLAP_ORACLE = f"""
              CAST(CASE WHEN i.n_union_sk < {KMV_K} THEN i.m_inter
                        ELSE i.m_inter * {_KMV_SPACE} // i.theta
                   END AS BIGINT) AS est_inter,
-             i.m_inter, x.exact_inter
-      FROM inter_est i JOIN exact_inter x USING (type_a, type_b))
+             i.m_inter, COALESCE(x.exact_inter, 0) AS exact_inter
+      FROM inter_est i LEFT JOIN exact_inter x USING (type_a, type_b))
     SELECT e.type_a, e.type_b,
            CAST({KMV_K} AS INT) AS k,
            ta.est_distinct AS est_a, ta.exact_distinct AS exact_a,
@@ -1796,9 +1817,13 @@ KMV_OVERLAP_ORACLE = f"""
            CAST(e.m_inter AS BIGINT) AS m_inter,
            e.est_inter,
            CAST(e.exact_inter AS BIGINT) AS exact_inter,
-           CAST(ABS(e.est_inter - e.exact_inter) * 1000000 // e.exact_inter
-                AS BIGINT) AS err_inter_ppm
+           CAST(CASE WHEN e.exact_inter = 0 THEN NULL
+                     ELSE ABS(e.est_inter - e.exact_inter) * 1000000
+                          // e.exact_inter
+                END AS BIGINT) AS err_inter_ppm
     FROM est e
     JOIN est_type ta ON ta.event_type = e.type_a
     JOIN est_type tb ON tb.event_type = e.type_b
     """
+
+register("q_kmv_overlap", oracle=KMV_OVERLAP_ORACLE)(kmv_overlap)

@@ -3662,13 +3662,11 @@ q_ivf_cap_overlap._fingerprint_extras = (
 # level direction of the import cycle (same reasoning, mirrored, as the
 # q_pii_source_audit placement note in pipeline.py).
 
-# r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
-# registration deliberately deferred): triangle_count_capped's DuckDB
-# twin — the same ordered id-triple enumeration as q_triangle_count's
-# oracle, over the capped edge set. NOT registered in r09: the registry
-# sits at 198 ids against the enacted policy's 4-round x 50-witness =
-# ~200-id steady-state capacity, so the next wave needs either a larger
-# driver window or the next policy notch first (SURVEY §2.10 r09 rows).
+# triangle_count_capped's DuckDB twin — the same ordered id-triple
+# enumeration as q_triangle_count's oracle, over the capped edge set.
+# Drafted + parity-tested r09 (tests/test_round9_ops.py), REGISTERED r10
+# under the attested-latest-4 witness step (VERDICT r09 next-round
+# #2/#3).
 TRIANGLE_COUNT_CAPPED_ORACLE = f"""
     WITH {_CAPPED_CELLS_LABEL_SQL},
     {_capped_window_sql('lcells', 'l')},
@@ -3680,6 +3678,16 @@ TRIANGLE_COUNT_CAPPED_ORACLE = f"""
     verts AS (SELECT UNNEST([x, y, z]) AS vec_id FROM tri)
     SELECT vec_id, COUNT(*) AS n_tri FROM verts GROUP BY vec_id
     """
+
+register("q_triangle_count_capped", oracle=TRIANGLE_COUNT_CAPPED_ORACLE)(
+    triangle_count_capped
+)
+triangle_count_capped._fingerprint_extras = (
+    embed_edges_capped,
+    _window_capped_pairs,
+    _spark_proj,
+    triangle_counts,
+)
 
 
 HYBRID_DEPTH = 100  # per-modality candidate-list depth fed into the fusion

@@ -493,8 +493,9 @@ def audio_window_features(df: DataFrame, window: int = AUDIO_WIN) -> DataFrame:
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio plumbing end-to-end on real data (the r10-candidate query
-    face): document UTF-8 bytes as the fake PCM16 payload through the
+    """Audio plumbing end-to-end on real data (drafted r09, REGISTERED
+    r10 under the attested-latest-4 witness step, VERDICT r09 #2/#3):
+    document UTF-8 bytes as the fake PCM16 payload through the
     Arrow mapInPandas framing, one row per (doc, window). Docs shorter
     than one sample (under 2 bytes) are out of contract on both sides."""
     docs = _content_df(spark, sf_dir).where(F.octet_length("content") >= 2)
@@ -536,3 +537,6 @@ MULTIMODAL_AUDIO_ORACLE = f"""
              AS n_cross
     FROM lagged GROUP BY doc_id, win
     """
+
+register("q_multimodal_audio", oracle=MULTIMODAL_AUDIO_ORACLE)(multimodal_audio)
+multimodal_audio._fingerprint_extras = (audio_window_features,)

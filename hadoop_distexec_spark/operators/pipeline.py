@@ -1025,8 +1025,9 @@ def _lpa_spectrum(labels: DataFrame) -> DataFrame:
 
 
 def label_prop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """label_prop's hub-mitigation tier (VERDICT r07 #6, UNREGISTERED —
-    surface frozen at 194 ids): the same {LPA_ROUNDS}-round synchronous
+    """label_prop's hub-mitigation tier (VERDICT r07 #6; drafted r09,
+    REGISTERED r10 under the attested-latest-4 witness step, VERDICT r09
+    #2/#3): the same {LPA_ROUNDS}-round synchronous
     LPA over the candidate-capped edge set (llmops.embed_edges_capped —
     the cap must sit at pair ENUMERATION, where the 10x cost actually
     lives; see that docstring's measured negative result for capping
@@ -1049,8 +1050,9 @@ def label_prop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_semantic_dedup_groups' hub-mitigation tier (UNREGISTERED —
-    surface frozen at 194 ids): the same min-label connected components
+    """q_semantic_dedup_groups' hub-mitigation tier (drafted r09,
+    REGISTERED r10 under the attested-latest-4 witness step, VERDICT r09
+    #2/#3): the same min-label connected components
     over the candidate-capped edge set (llmops.embed_edges_capped).
     Because the capped edges are a strict SUBSET of the registered edge
     set, every capped cluster sits wholly inside one exact cluster — the
@@ -1337,10 +1339,8 @@ LABEL_PROP_ORACLE = _lpa_oracle()
 
 
 def _lpa_capped_oracle() -> str:
-    """r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
-    registration deliberately deferred — the registry sits at 198 ids
-    against the enacted policy's ~200-id steady-state capacity, see
-    SURVEY §2.10): label_prop_capped's DuckDB twin — the identical
+    """label_prop_capped's DuckDB twin (drafted + parity-tested r09,
+    REGISTERED r10 under the attested-latest-4 step) — the identical
     unrolled {LPA_ROUNDS}-round CTE chain, with the neighbor list built
     from the CAPPED edge set (llmops' shared capped-window fragments)
     instead of the exact one."""
@@ -1373,9 +1373,9 @@ LABEL_PROP_CAPPED_ORACLE = _lpa_capped_oracle()
 
 
 def _semantic_dedup_groups_capped_oracle() -> str:
-    """r10 DRAFT oracle (TESTED at sf0.01, tests/test_round9_ops.py;
-    registration deferred with the rest of the r10 candidates):
-    semantic_dedup_groups_capped's DuckDB twin — the same recursive-CTE
+    """semantic_dedup_groups_capped's DuckDB twin (drafted +
+    parity-tested r09, REGISTERED r10 under the attested-latest-4
+    step) — the same recursive-CTE
     min-label transitive closure as q_semantic_dedup_groups, over the
     CAPPED edge set (llmops' shared capped-window fragments, embedded
     byte-for-byte so the candidate policy cannot drift)."""
@@ -1402,6 +1402,37 @@ def _semantic_dedup_groups_capped_oracle() -> str:
 
 
 SEMANTIC_DEDUP_GROUPS_CAPPED_ORACLE = _semantic_dedup_groups_capped_oracle()
+
+register("q_label_prop_capped", oracle=LABEL_PROP_CAPPED_ORACLE)(
+    label_prop_capped
+)
+register(
+    "q_semantic_dedup_groups_capped",
+    oracle=SEMANTIC_DEDUP_GROUPS_CAPPED_ORACLE,
+)(semantic_dedup_groups_capped)
+
+
+def _capped_graph_extras() -> tuple:
+    # the capped graph tiers delegate their edge policy to llmops'
+    # shared capped-window builder; hash its source in so an edit to the
+    # candidate policy resets their staleness clocks too (the same
+    # reasoning as the registered capped edge ids' extras in llmops)
+    from hadoop_distexec_spark.operators.llmops import (
+        _spark_proj,
+        _window_capped_pairs,
+        embed_edges_capped,
+    )
+
+    return (embed_edges_capped, _window_capped_pairs, _spark_proj)
+
+
+label_prop_capped._fingerprint_extras = _capped_graph_extras() + (
+    _lpa_labels,
+    _lpa_spectrum,
+)
+semantic_dedup_groups_capped._fingerprint_extras = _capped_graph_extras() + (
+    connected_components,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1,12 +1,12 @@
-"""Round-9 invariants: the r10-candidate draft oracles for the two
-still-unregistered capped graph consumers (triangle_count_capped,
-label_prop_capped) are bit-exact against their Spark tiers at sf0.01 —
-the same pre-registration gate every prior wave passed — plus the laws
-that tie them to the r09-registered capped edge builders. Registration
-is deliberately deferred: the registry sits at 198 ids against the
-enacted attested-latest-3 policy's ~4x50 = 200-id steady-state witness
-capacity (SURVEY §2.10 r09 rows), so the next wave needs either a larger
-driver window or the next policy notch first."""
+"""Round-9 invariants: the capped graph consumers' oracles
+(triangle_count_capped, label_prop_capped, semantic_dedup_groups_capped)
+plus the audio and KMV tiers are bit-exact against their Spark builds at
+sf0.01 — the pre-registration gate every wave passes — plus the laws
+that tie them to the r09-registered capped edge builders. All five were
+drafted here in r09 and REGISTERED in r10 once VERDICT r09 #2 enacted
+the attested-latest-4 witness step (the sf0.01 parity duplicates the
+registered oracle gate now, but stays as the direct-call form that
+exercises the library functions without the registry)."""
 
 from hadoop_distexec_spark.operators import llmops, pipeline
 from tests.conftest import SF_ORACLE
@@ -150,7 +150,10 @@ def test_kmv_saturation_law(spark):
         assert r["est_a"] == r["exact_a"], r
         assert r["est_b"] == r["exact_b"], r
         assert r["est_inter"] == r["exact_inter"], r
-        assert r["err_inter_ppm"] == 0, r
+        # relative error is 0 below saturation, except undefined (NULL)
+        # on a pair whose true intersection is empty — the left-join
+        # keeps such pairs in the audit output (ADVICE r09 #1)
+        assert r["err_inter_ppm"] == (0 if r["exact_inter"] else None), r
 
 
 def test_kmv_estimates_bounded(spark):
@@ -163,5 +166,7 @@ def test_kmv_estimates_bounded(spark):
 
     for r in audits.kmv_overlap(spark, SF_ORACLE).collect():
         assert 0 <= r["est_inter"], r
-        assert r["exact_inter"] > 0, r
-        assert r["err_inter_ppm"] <= 500_000, r
+        if r["exact_inter"] == 0:
+            assert r["err_inter_ppm"] is None, r
+        else:
+            assert r["err_inter_ppm"] <= 500_000, r
