@@ -3270,7 +3270,27 @@ def _ivf_assign_cells(
     <=512-row codebook-collect idiom — ship in a pandas_udf closure and
     each Arrow batch scores against all seeds in ONE BLAS matmul,
     returning each vector's band as an array<bigint> (exploded, ~1 row
-    per vector, then the broadcast-seeds equi-join + decimal rank)."""
+    per vector, then the broadcast-seeds equi-join + decimal rank).
+
+    The decimal norm2 is computed exactly ONCE over the corpus (r10: the
+    r09 form selected norm2 BEFORE the seed orderBy/limit, so the seed
+    collect, the broadcast build and the band scan each re-evaluated the
+    interpreted decimal fold over every row — 3x the dominant cost,
+    measured ~6s of the 10x build's ~7s assignment). Seeds now order by
+    md5 first and compute their cn2 on the <= nlist surviving rows; the
+    broadcast side is rebuilt from the collected rows (float32 values
+    round-trip exactly), so the only full-corpus decimal pass is the
+    band scan's, whose norm2 the returned frame carries downstream
+    anyway.
+
+    Zero-norm guard (ADVICE r09): a zero-norm vector makes every numpy
+    cosine NaN, so the max-band filter would return an EMPTY band and
+    explode() would silently drop the vector from assignment while the
+    DuckDB twin still assigns it (parity break + silent data loss). A
+    non-finite band max now returns ALL cids: downstream, both engines
+    see every candidate tie (Spark NaN and DuckDB NaN both sort above
+    any real cosine and equal to each other), so the (rank, cid)
+    tiebreak assigns the smallest centroid id on both sides."""
     import numpy as np
     import pandas as pd
 
@@ -3280,20 +3300,30 @@ def _ivf_assign_cells(
         _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
     seeds = (
-        e.orderBy(
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy(
             F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), "vec_id"
         )
         .limit(nlist)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("cemb"),
-            F.col("norm2").alias("cn2"),
+            _spark_dot(F.col("embedding"), F.col("embedding")).alias("cn2"),
         )
     )
     srows = sorted(seeds.collect(), key=lambda r: r["cid"])  # <= nlist rows
     C = np.array([r["cemb"] for r in srows], dtype=np.float64)  # (k, dim)
     c2 = (C * C).sum(axis=1)  # (k,)
     cids = np.array([r["cid"] for r in srows], dtype=np.int64)
+    all_cids = cids.tolist()
+    # broadcast side from the collected rows: cn2 was computed in Spark
+    # decimal above and the float32 embeddings round-trip exactly, so no
+    # re-evaluation of the seed subtree (and no second decimal pass)
+    seeds_b = spark.createDataFrame(
+        [(r["cid"], r["cemb"], r["cn2"]) for r in srows],
+        "cid long, cemb array<float>, cn2 double",
+    )
 
     # no type hints: the module's `from __future__ import annotations`
     # stringifies them, which pandas_udf's eval-type inference can't
@@ -3305,7 +3335,12 @@ def _ivf_assign_cells(
         cos = (X @ C.T) / np.sqrt(np.outer(x2, c2))
         mx = cos.max(axis=1)
         return pd.Series(
-            [cids[cos[i] >= mx[i] - 1e-6].tolist() for i in range(len(mx))]
+            [
+                cids[cos[i] >= mx[i] - 1e-6].tolist()
+                if np.isfinite(mx[i])
+                else all_cids
+                for i in range(len(mx))
+            ]
         )
 
     band = e.select(
@@ -3318,7 +3353,7 @@ def _ivf_assign_cells(
         F.col("norm2") * F.col("cn2")
     )
     return (
-        band.join(F.broadcast(seeds), "cid")
+        band.join(F.broadcast(seeds_b), "cid")
         .withColumn(
             "a_rank",
             F.row_number().over(
@@ -3331,12 +3366,22 @@ def _ivf_assign_cells(
 
 
 def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured overlap between the two candidate policies (runs both —
-    one-off audit): label-blocked capped edges vs IVF-blocked capped
-    edges, as counts + Jaccard in exact ppm, plus how many IVF edges the
-    REGISTERED label-blocked exact tier could never see (cross-label
-    pairs — the recall the curated blocking gives up when labels and
-    geometry disagree)."""
+    """Measured overlap between the two candidate policies (runs both
+    capped builds — each linear in |V|): label-blocked capped edges vs
+    IVF-blocked capped edges, as counts + Jaccard in exact ppm, plus how
+    many IVF edges the REGISTERED label-blocked exact tier could never
+    see (cross-label pairs — the recall the curated blocking gives up
+    when labels and geometry disagree).
+
+    The cross-label count needs NO exact edge build (VERDICT r09
+    next-round #4 flagged the r09 form, which anti-joined against the
+    full-corpus O(m^2/cell) q_dedup_embed materialization): every IVF
+    edge already passed q_dedup_embed's exact-decimal cosine threshold
+    inside _window_capped_pairs, and the exact tier enumerates ALL
+    same-label pairs over that same threshold — so an IVF edge is
+    outside the exact set IFF its endpoints' labels differ. Two
+    broadcast-sized joins to (vec_id, label) replace the exact arm with
+    bit-identical results."""
     lab = embed_edges_capped(spark, sf_dir).select("vec_a", "vec_b")
     ivf = embed_edges_capped_ivf(spark, sf_dir).select("vec_a", "vec_b")
     lab = lab.localCheckpoint(eager=True)
@@ -3344,10 +3389,23 @@ def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lab = lab.count()
     n_ivf = ivf.count()
     n_common = lab.join(ivf, ["vec_a", "vec_b"]).count()
-    exact = q_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
-    n_ivf_outside_label_blocking = ivf.join(
-        exact, ["vec_a", "vec_b"], "left_anti"
-    ).count()
+    emb_lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n_ivf_outside_label_blocking = (
+        ivf.join(
+            emb_lab.select(
+                F.col("vec_id").alias("vec_a"), F.col("label").alias("lab_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            emb_lab.select(
+                F.col("vec_id").alias("vec_b"), F.col("label").alias("lab_b")
+            ),
+            "vec_b",
+        )
+        .filter(F.col("lab_a") != F.col("lab_b"))
+        .count()
+    )
     union = n_lab + n_ivf - n_common
     return spark.createDataFrame(
         [
@@ -3607,8 +3665,7 @@ q_dedup_embed_capped_ivf._fingerprint_extras = (
 @register(
     "q_ivf_cap_overlap",
     oracle=f"""
-    WITH {_EMBED_EDGES_SQL},
-    {_CAPPED_CELLS_LABEL_SQL},
+    WITH {_CAPPED_CELLS_LABEL_SQL},
     {_capped_window_sql('lcells', 'l')},
     {_CAPPED_CELLS_IVF_SQL},
     {_capped_window_sql('icells', 'i')},
@@ -3620,9 +3677,9 @@ q_dedup_embed_capped_ivf._fingerprint_extras = (
              (SELECT COUNT(*) FROM lab JOIN ivf USING (vec_a, vec_b))
                AS n_common,
              (SELECT COUNT(*) FROM ivf
-              WHERE NOT EXISTS (SELECT 1 FROM edges e
-                                WHERE e.vec_a = ivf.vec_a
-                                  AND e.vec_b = ivf.vec_b))
+              JOIN embeddings ea ON ea.vec_id = ivf.vec_a
+              JOIN embeddings eb ON eb.vec_id = ivf.vec_b
+              WHERE ea.label <> eb.label)
                AS n_cross)
     SELECT CAST(n_lab AS BIGINT) AS n_label_capped,
            CAST(n_ivf AS BIGINT) AS n_ivf_capped,
@@ -3639,9 +3696,10 @@ def q_ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     of q_dedup_embed_capped_ivf (the pq_recall pattern): edge counts of
     the label-blocked and IVF-blocked capped policies, their exact-ppm
     Jaccard overlap, and how many IVF edges the registered label-blocked
-    EXACT tier could never see (cross-label pairs — the recall curated
-    blocking gives up when labels and geometry disagree). Runs both
-    capped builds plus the exact build — a one-off audit by design."""
+    EXACT tier could never see. Runs both capped builds (linear in |V|)
+    and derives the cross-tier count from a label comparison — NO exact
+    edge build (see ivf_cap_overlap: an IVF edge already clears the
+    exact threshold, so exact-set membership IS label equality)."""
     return ivf_cap_overlap(spark, sf_dir)
 
 

@@ -1079,149 +1079,280 @@ def semantic_dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampled-cell agreement constants (VERDICT r09 next-round #4): target
+# number of label cells the agreement audit pays for. The cell MOD is
+# DERIVED from the corpus's cell count with exact integer ceil-division
+# (the _truth_sample_mod idiom applied to blocking cells), so the
+# registered semantics scale without editing a constant.
+AGREE_TARGET_CELLS = 4
+
+
+def _agree_cell_mod(n_cells: int) -> int:
+    """ceil(n_cells / AGREE_TARGET_CELLS), floored at 1 — exact integer
+    arithmetic so Spark (Python) and DuckDB (// floor-division) agree
+    bit-for-bit."""
+    return max(1, -(-n_cells // AGREE_TARGET_CELLS))
+
+
 def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured co-membership recall of the capped dedup clusters vs the
-    exact registered tier (runs BOTH — one-off audit): over the exact
-    edge set, the share of linked pairs the capped tier still places in
-    one cluster (precision is 1 by the refinement law), plus each
-    tier's cluster count and the size of the largest cluster each tier
-    produces — the number a dedup keep-list actually turns on."""
+    exact tier, on a DETERMINISTIC SAMPLE (VERDICT r09 next-round #4 —
+    the r09 form ran the exact O(m^2/cell) edge build over the FULL
+    corpus inside a registered query; this form applies
+    q_dedup_recall_eval's corpus-derived md5-MOD idiom at two levels,
+    so the sample IS the registered semantics, mirrored in the oracle):
+
+    - CELL sample: 1-in-CMOD of label cells, CMOD =
+      ceil(n_cells / AGREE_TARGET_CELLS) — BOTH arms run only inside
+      sampled cells. Label blocking means no component (exact or
+      capped) ever spans cells, so the capped clustering restricted to
+      sampled cells is bit-identical to the full build's restriction:
+      the audit is EXACT on the cells it samples, not an approximation
+      of them.
+    - VERTEX sample for the exact arm: within sampled cells, exact
+      pairs are enumerated only between 1-in-VMOD md5-sampled vectors
+      (VMOD = ceil(corpus / TRUTH_SAMPLE_TARGET_DOCS), the
+      q_dedup_recall_eval constant), so the exact arm touches
+      ~(TARGET/corpus)^2 of pair space — CONSTANT cost as the corpus
+      grows even when the cell COUNT does not (the 10x lane's shape:
+      10 labels, 100x the rows).
+
+    Recall = share of sampled exact pairs the capped clustering keeps
+    co-member; precision is 1 by the refinement law (capped edges are a
+    subset of exact edges, so capped clusters never merge what exact
+    separates — pytest-gated). Cluster stats are the CAPPED tier's over
+    the sampled cells: the exact tier's cluster census is exactly the
+    computation a 100 TB run must never do, and the production capped
+    census at full corpus is q_semantic_dedup_groups_capped's job."""
     from hadoop_distexec_spark.operators.llmops import (
-        embed_edges_capped,
-        q_dedup_embed,
+        DEGREE_CAP,
+        EMBED_COS_THRESHOLD,
+        _spark_dot,
+        _truth_sample_mod,
+        _window_capped_pairs,
     )
 
-    nodes = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id")
-    )
-    exact_edges = (
-        q_dedup_embed(spark, sf_dir)
-        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    emb = table(spark, sf_dir, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    n_vecs = emb.count()
+    cmod = _agree_cell_mod(n_cells)
+    vmod = _truth_sample_mod(n_vecs)
+
+    def in_mod(prefix: str, col, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit(prefix), col.cast("string")),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+            == 0
+        )
+
+    dp = spark.sparkContext.defaultParallelism
+    cells = (
+        emb.filter(in_mod("cca:", F.col("label"), cmod))
+        .select(
+            "vec_id",
+            F.col("label").alias("cell"),
+            "embedding",
+            _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+        )
+        .repartition(dp, "cell")
+        # one materialization shared by the capped arm, the CC nodes and
+        # the vertex sample — without the pin each consumer replays the
+        # decimal norm scan
         .localCheckpoint(eager=True)
     )
-    capped_edges = embed_edges_capped(spark, sf_dir).select(
+    capped = _window_capped_pairs(cells, DEGREE_CAP).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    lab_e = connected_components(nodes, exact_edges).withColumnRenamed(
-        "component", "comp_e"
+    lab_c = connected_components(
+        cells.select(F.col("vec_id").alias("doc_id")), capped
+    ).localCheckpoint(eager=True)
+
+    # the exact arm: ~TRUTH_SAMPLE_TARGET_DOCS vectors whatever the
+    # corpus size, so the within-cell self-join below is constant-sized
+    sv = cells.filter(in_mod("ccv:", F.col("vec_id"), vmod)).localCheckpoint(
+        eager=True
     )
-    lab_c = connected_components(nodes, capped_edges).withColumnRenamed(
-        "component", "comp_c"
+    a = sv.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm2").alias("n2_a"),
     )
-    probe = (
-        exact_edges.join(
-            lab_c.select(F.col("doc_id").alias("doc_a"), F.col("comp_c").alias("ca")),
-            "doc_a",
-        )
-        .join(
-            lab_c.select(F.col("doc_id").alias("doc_b"), F.col("comp_c").alias("cb")),
-            "doc_b",
-        )
+    b = sv.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm2").alias("n2_b"),
+    )
+    dbl_dot = F.aggregate(
+        F.zip_with(
+            F.col("emb_a"),
+            F.col("emb_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dbl_cos = dbl_dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    cosine = _spark_dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(
+        F.col("n2_a") * F.col("n2_b")
+    )
+    truth = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # q_dedup_embed's double prefilter + exact-decimal threshold
+        .filter(dbl_cos >= EMBED_COS_THRESHOLD - 1e-6)
+        .filter(cosine >= EMBED_COS_THRESHOLD)
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+    )
+    probe = truth.join(
+        lab_c.select(
+            F.col("doc_id").alias("vec_a"), F.col("component").alias("ca")
+        ),
+        "vec_a",
+    ).join(
+        lab_c.select(
+            F.col("doc_id").alias("vec_b"), F.col("component").alias("cb")
+        ),
+        "vec_b",
     )
     agg = probe.agg(
-        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.count(F.lit(1)).alias("n_exact_pairs_sampled"),
         F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias(
             "n_comember_capped"
         ),
     )
-    stats_e = lab_e.groupBy("comp_e").count().agg(
-        F.count(F.lit(1)).alias("nc_e"), F.max("count").alias("mx_e")
-    ).collect()[0]
-    stats_c = lab_c.groupBy("comp_c").count().agg(
-        F.count(F.lit(1)).alias("nc_c"), F.max("count").alias("mx_c")
-    ).collect()[0]
+    stats_c = (
+        lab_c.groupBy("component")
+        .count()
+        .agg(F.count(F.lit(1)).alias("nc"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    n_sv = sv.count()
+    n_cells_sampled = cells.select("cell").distinct().count()
     return agg.select(
-        "n_exact_pairs",
-        "n_comember_capped",
-        F.expr("n_comember_capped * 1000000 div n_exact_pairs")
+        F.lit(n_cells_sampled).cast("long").alias("n_cells_sampled"),
+        F.lit(n_sv).cast("long").alias("n_vecs_truth_sampled"),
+        "n_exact_pairs_sampled",
+        F.col("n_comember_capped").cast("long").alias("n_comember_capped"),
+        F.expr("n_comember_capped * 1000000 div n_exact_pairs_sampled")
         .cast("long")
         .alias("comember_recall_ppm"),
-        F.lit(stats_e["nc_e"]).cast("long").alias("n_clusters_exact"),
-        F.lit(stats_c["nc_c"]).cast("long").alias("n_clusters_capped"),
-        F.lit(stats_e["mx_e"]).cast("long").alias("max_cluster_exact"),
-        F.lit(stats_c["mx_c"]).cast("long").alias("max_cluster_capped"),
+        F.lit(stats_c["nc"]).cast("long").alias("n_clusters_capped_sampled"),
+        F.lit(stats_c["mx"]).cast("long").alias("max_cluster_capped_sampled"),
     )
 
 
 def _register_cc_cap_agreement() -> None:
-    """Register q_cc_cap_agreement (VERDICT r08 next-round #3). Runs at
-    pipeline module build, AFTER cc_cap_agreement is defined; the oracle
-    interpolates llmops' capped-tier SQL fragments, importable here at
-    build time because pipeline -> llmops is already the module-level
-    direction of the import cycle (mirror of the q_pii_source_audit
-    placement note below). Wrapped in a function so the fragment names
-    don't leak into this module's namespace."""
+    """Register q_cc_cap_agreement (VERDICT r08 #3; sampled truth arm
+    per VERDICT r09 #4). Runs at pipeline module build, AFTER
+    cc_cap_agreement is defined; the oracle interpolates llmops' capped-
+    tier SQL fragments, importable here at build time because
+    pipeline -> llmops is already the module-level direction of the
+    import cycle. Wrapped in a function so the fragment names don't leak
+    into this module's namespace."""
     from hadoop_distexec_spark.operators.llmops import (
-        _CAPPED_CELLS_LABEL_SQL,
-        _EMBED_EDGES_SQL,
+        _DEC_DOT,
+        EMBED_COS_THRESHOLD,
+        TRUTH_SAMPLE_TARGET_DOCS,
         _capped_window_sql,
+        _spark_dot,
         _spark_proj,
+        _truth_sample_mod,
         _window_capped_pairs,
-        embed_edges_capped,
     )
+
+    tdot = _DEC_DOT.format(a="a.embedding", b="b.embedding")
 
     @register(
         "q_cc_cap_agreement",
         oracle=f"""
-        WITH RECURSIVE {_EMBED_EDGES_SQL},
-        {_CAPPED_CELLS_LABEL_SQL},
+        WITH RECURSIVE
+        scells AS (
+          SELECT label FROM (SELECT DISTINCT label FROM embeddings)
+          WHERE CAST('0x' || substr(md5('cca:' || CAST(label AS VARCHAR)),
+                     1, 15) AS BIGINT)
+                % (SELECT GREATEST(1,
+                       (COUNT(DISTINCT label) + {AGREE_TARGET_CELLS - 1})
+                       // {AGREE_TARGET_CELLS}) FROM embeddings) = 0),
+        lcells AS (
+          SELECT vec_id, label AS cell, embedding,
+                 {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+          FROM embeddings JOIN scells USING (label)),
         {_capped_window_sql('lcells', 'l')},
-        ue AS (SELECT vec_a AS a, vec_b AS b FROM edges
-               UNION ALL SELECT vec_b AS a, vec_a AS b FROM edges),
         uc AS (SELECT vec_a AS a, vec_b AS b FROM lcapped
                UNION ALL SELECT vec_b AS a, vec_a AS b FROM lcapped),
-        reach_e(id, r) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT ue.a, reach_e.r FROM ue JOIN reach_e ON ue.b = reach_e.id),
         reach_c(id, r) AS (
-          SELECT vec_id, vec_id FROM embeddings
+          SELECT vec_id, vec_id FROM lcells
           UNION
           SELECT uc.a, reach_c.r FROM uc JOIN reach_c ON uc.b = reach_c.id),
-        comp_e AS (SELECT id, MIN(r) AS c FROM reach_e GROUP BY id),
         comp_c AS (SELECT id, MIN(r) AS c FROM reach_c GROUP BY id),
+        sv AS (
+          SELECT vec_id, cell, embedding, norm2 FROM lcells
+          WHERE CAST('0x' || substr(md5('ccv:' || CAST(vec_id AS VARCHAR)),
+                     1, 15) AS BIGINT)
+                % (SELECT GREATEST(1,
+                       (COUNT(*) + {TRUTH_SAMPLE_TARGET_DOCS - 1})
+                       // {TRUTH_SAMPLE_TARGET_DOCS}) FROM embeddings) = 0),
+        truth AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM sv a JOIN sv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {tdot} / SQRT(a.norm2 * b.norm2) >= {EMBED_COS_THRESHOLD}),
         probe AS (
           SELECT COUNT(*) AS n_pairs,
                  SUM(CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END) AS n_co
-          FROM edges e
-          JOIN comp_c ca ON e.vec_a = ca.id
-          JOIN comp_c cb ON e.vec_b = cb.id),
-        stats_e AS (SELECT COUNT(*) AS nc, MAX(n) AS mx
-                    FROM (SELECT c, COUNT(*) AS n FROM comp_e GROUP BY c)),
+          FROM truth t JOIN comp_c ca ON t.vec_a = ca.id
+                       JOIN comp_c cb ON t.vec_b = cb.id),
         stats_c AS (SELECT COUNT(*) AS nc, MAX(n) AS mx
                     FROM (SELECT c, COUNT(*) AS n FROM comp_c GROUP BY c))
-        SELECT CAST(probe.n_pairs AS BIGINT) AS n_exact_pairs,
+        SELECT CAST((SELECT COUNT(*) FROM scells) AS BIGINT)
+                 AS n_cells_sampled,
+               CAST((SELECT COUNT(*) FROM sv) AS BIGINT)
+                 AS n_vecs_truth_sampled,
+               CAST(probe.n_pairs AS BIGINT) AS n_exact_pairs_sampled,
                CAST(probe.n_co AS BIGINT) AS n_comember_capped,
                CAST(CASE WHEN probe.n_pairs = 0 THEN NULL
                          ELSE probe.n_co * 1000000 // probe.n_pairs
                     END AS BIGINT) AS comember_recall_ppm,
-               CAST(stats_e.nc AS BIGINT) AS n_clusters_exact,
-               CAST(stats_c.nc AS BIGINT) AS n_clusters_capped,
-               CAST(stats_e.mx AS BIGINT) AS max_cluster_exact,
-               CAST(stats_c.mx AS BIGINT) AS max_cluster_capped
-        FROM probe, stats_e, stats_c
+               CAST(stats_c.nc AS BIGINT) AS n_clusters_capped_sampled,
+               CAST(stats_c.mx AS BIGINT) AS max_cluster_capped_sampled
+        FROM probe, stats_c
         """,
     )
     def q_cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Registered face of cc_cap_agreement — the measured-error
-        companion of q_dedup_embed_capped (the pq_recall pattern):
-        co-membership recall of the capped dedup clusters against the
-        exact registered tier over the exact edge set (precision is 1 by
-        the refinement law — capped edges are a subset of exact, so
-        capped clusters never merge what exact separates), plus each
-        tier's cluster count and largest cluster. Oracle: both edge sets
-        + two recursive-CTE transitive closures — a fully hash-checked
-        iterative agreement harness."""
+        companion of q_dedup_embed_capped, with the exact arm confined
+        to a deterministic md5-MOD sample of label cells and, inside
+        them, a corpus-derived vertex sample (the q_dedup_recall_eval
+        idiom — VERDICT r09 #4 cleared the full-corpus exact arm, the
+        one remaining O(m^2/cell) path in a registered query). Recall
+        stays a measured quantity; precision is 1 by the refinement
+        law. Oracle: the same two-level sample + one recursive-CTE
+        transitive closure of the capped edges."""
         return cc_cap_agreement(spark, sf_dir)
 
     q_cc_cap_agreement._fingerprint_extras = (
         cc_cap_agreement,
+        _agree_cell_mod,
         connected_components,
-        embed_edges_capped,
         _window_capped_pairs,
         _spark_proj,
+        _spark_dot,
+        _truth_sample_mod,
     )
-
 
 _register_cc_cap_agreement()
 

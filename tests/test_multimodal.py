@@ -218,3 +218,85 @@ def test_real_pil_codec_round_trip(spark):
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, content binary")
     out = resize_image(df, width=8, height=4, resize=pil_resize).collect()
     assert len(out) == 1 and len(bytes(out[0]["content"])) == 32
+
+
+def test_real_wave_codec_round_trip(spark):
+    """Injected-codec integration for the AUDIO leg with a REAL container
+    (VERDICT r09 next-round #7, mirroring test_real_pil_codec_round_trip):
+    a stdlib-`wave` decoder slots in front of audio_window_features with
+    no other code changes — the WAV container round-trips the exact PCM16
+    payload, so the windowed features of decode(encode(pcm)) must equal
+    the features of the raw PCM bytes. Runs everywhere (wave is stdlib)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from hadoop_distexec_spark.operators.multimodal import audio_window_features
+
+    def wave_decode(blob: bytes) -> bytes:
+        with wave.open(io.BytesIO(blob)) as w:
+            assert w.getsampwidth() == 2 and w.getnchannels() == 1
+            return w.readframes(w.getnframes())
+
+    # deterministic 700-sample PCM16 signal with sign changes and a peak
+    k = np.arange(700)
+    pcm = ((np.sin(k / 3.0) * 12000).astype("<i2")).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm)
+    wav_bytes = buf.getvalue()
+
+    assert wave_decode(wav_bytes) == pcm  # the container round-trips
+
+    decoded = spark.createDataFrame(
+        [(1, bytearray(wave_decode(wav_bytes)))], "doc_id long, content binary"
+    )
+    raw = spark.createDataFrame(
+        [(1, bytearray(pcm))], "doc_id long, content binary"
+    )
+    got = sorted(
+        (r["win"], r["n_samples"], r["sum_abs"], r["peak_abs"], r["n_cross"])
+        for r in audio_window_features(decoded).collect()
+    )
+    want = sorted(
+        (r["win"], r["n_samples"], r["sum_abs"], r["peak_abs"], r["n_cross"])
+        for r in audio_window_features(raw).collect()
+    )
+    assert got == want and len(got) == 3  # 700 samples / 256 -> 3 windows
+
+
+def test_real_soundfile_codec_round_trip(spark):
+    """Same contract through the soundfile library when available (skips
+    cleanly in this container, like the PIL test does where PIL is
+    absent): decode_audio's production replacement is
+    soundfile.read -> int16 bytes, and the windowed features must match
+    the raw PCM's."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from hadoop_distexec_spark.operators.multimodal import audio_window_features
+
+    def soundfile_decode(blob: bytes) -> bytes:
+        data, _rate = sf.read(io.BytesIO(blob), dtype="int16")
+        return np.asarray(data, dtype="<i2").tobytes()
+
+    k = np.arange(700)
+    pcm16 = (np.sin(k / 3.0) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    sf.write(buf, pcm16, 16000, format="WAV", subtype="PCM_16")
+    decoded = spark.createDataFrame(
+        [(1, bytearray(soundfile_decode(buf.getvalue())))],
+        "doc_id long, content binary",
+    )
+    raw = spark.createDataFrame(
+        [(1, bytearray(pcm16.tobytes()))], "doc_id long, content binary"
+    )
+    assert sorted(map(tuple, audio_window_features(decoded).collect())) == sorted(
+        map(tuple, audio_window_features(raw).collect())
+    )

@@ -954,12 +954,86 @@ def test_capped_cc_refines_exact_partition(spark):
 
 
 def test_cc_cap_agreement_shape(spark):
+    """Sampled-arm form (VERDICT r09 #4): non-degenerate sample on the
+    fixture, recall bounded, and the sampled capped-cluster census
+    consistent with the sampled vertex count."""
     from hadoop_distexec_spark.operators.pipeline import cc_cap_agreement
 
     r = cc_cap_agreement(spark, SF_ORACLE).collect()[0]
-    assert r["n_exact_pairs"] > 0
-    assert 0 <= r["n_comember_capped"] <= r["n_exact_pairs"]
+    assert r["n_cells_sampled"] > 0
+    assert r["n_vecs_truth_sampled"] > 0
+    assert r["n_exact_pairs_sampled"] > 0
+    assert 0 <= r["n_comember_capped"] <= r["n_exact_pairs_sampled"]
     assert 0 <= r["comember_recall_ppm"] <= 1_000_000
-    # refinement: capped can only split, never merge
-    assert r["n_clusters_capped"] >= r["n_clusters_exact"]
-    assert r["max_cluster_capped"] <= r["max_cluster_exact"]
+    assert 1 <= r["max_cluster_capped_sampled"]
+    # each sampled cell holds >= 1 component (no component spans cells)
+    assert r["n_clusters_capped_sampled"] >= r["n_cells_sampled"]
+
+
+def test_cc_cap_agreement_sample_is_restriction(spark):
+    """The cell sample is a RESTRICTION, not an approximation: the capped
+    clustering of the sampled cells must agree exactly with the
+    full-corpus capped clustering restricted to vectors in sampled
+    cells (label blocking means no component spans cells)."""
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
+    from hadoop_distexec_spark.operators.pipeline import (
+        _agree_cell_mod,
+        connected_components,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    cmod = _agree_cell_mod(n_cells)
+    sampled_labels = {
+        r["label"]
+        for r in emb.select("label")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit("cca:"), F.col("label").cast("string")),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .filter(F.col("h") % cmod == 0)
+        .collect()
+    }
+    assert sampled_labels, "fixture must sample at least one cell"
+    # full-corpus capped clustering
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    edges = embed_edges_capped(spark, SF_ORACLE).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    full = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    in_cells = {
+        r["vec_id"]
+        for r in emb.filter(F.col("label").isin(sampled_labels))
+        .select("vec_id")
+        .collect()
+    }
+    # sampled-cells-only capped clustering (what cc_cap_agreement builds)
+    s_emb = emb.filter(F.col("label").isin(sampled_labels))
+    s_nodes = s_emb.select(F.col("vec_id").alias("doc_id"))
+    s_edges = edges.join(
+        s_emb.select(F.col("vec_id").alias("doc_a")), "doc_a"
+    ).select("doc_a", "doc_b")
+    sub = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(s_nodes, s_edges).collect()
+    }
+    assert set(sub) == in_cells
+    assert all(full[v] == c for v, c in sub.items())
