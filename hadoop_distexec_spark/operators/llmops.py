@@ -3088,6 +3088,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 DEGREE_CAP = 16  # max edges kept per vertex in the capped tier
 
 
+def auto_degree_cap(spark: SparkSession, sf_dir: str, floor: int = DEGREE_CAP) -> int:
+    """Data-derived cap for the capped edge builders (VERDICT r09
+    next-round #6, wiring SCALE.md's r09 operating curve into code).
+
+    The cap-sensitivity sweep showed the cap is a COMPUTE lever only
+    below the knee where it reaches the cell sizes: on the natural graph
+    the capped edge set saturates (== exact) once cap covers the typical
+    cell, while pushing cap up to hairball sizes costs ~86% of the exact
+    build for recall the audit harnesses should be measuring instead.
+    Deployment rule: pick cap from the CELL-SIZE DISTRIBUTION, not from
+    a recall target — the next power of two above the p95 label-cell
+    size (bloom_fpr_eval's data-derived sizing idiom), floored at
+    DEGREE_CAP. A member of a cell with m <= cap+1 meets every
+    rank-successor in its cell, so >=95% of cells are enumerated
+    EXACTLY and only the hub tail is capped; candidate volume stays
+    <= m*cap per cell whatever the skew.
+
+    The percentile runs over |cells| rows (one count per label — bounded
+    planning metadata, the <=512-row codebook idiom), so the exact-sort
+    percentile is free at any corpus size; the corpus itself is touched
+    by one map-side count aggregation. Library default for the capped
+    tiers; the REGISTERED q_dedup_embed_capped* ids keep their pinned
+    cap=16 semantics (their oracles embed the constant)."""
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.expr("percentile(m, 0.95)").alias("p95"))
+        .collect()[0]
+    )
+    p95 = int(-(-(row["p95"] or 0.0) // 1))  # ceil without importing math
+    if p95 <= 0:
+        return floor
+    return max(floor, 1 << p95.bit_length())
+
+
 def embed_edges_capped(
     spark: SparkSession, sf_dir: str, cap: int = DEGREE_CAP
 ) -> DataFrame:

@@ -46,14 +46,26 @@ def test_bench_contract_line_fits_driver_tail():
     sys.path.insert(0, ".")
     import bench
 
-    for n in (len(bench.HEADLINE) + 19, 120, 200):
+    # (n, base, step): the 9999-base case makes the real omitted-seconds
+    # total serialize WIDER than the 99999.9 placeholder, exercising the
+    # post-substitution re-measure loop (ADVICE r09 #4)
+    for n, base, step in (
+        (len(bench.HEADLINE) + 19, 0.123, 0.731),
+        (120, 0.123, 0.731),
+        (200, 0.123, 0.731),
+        (300, 9999.0, 73.1),
+    ):
         out = {
             "metric": "headline_queries_total",
             "value": 123.456,
             "unit": "sec",
             "sf": 0.1,
-            "queries": {f"q_plausibly_long_name_{i:03d}": 0.123 + i * 0.731
+            "queries": {f"q_plausibly_long_name_{i:03d}": base + i * step
                         for i in range(n)},
+            # regression summary rides the line too (VERDICT r09 #8)
+            "norm_vs": "r09",
+            "norm_ratio": {f"q_plausibly_long_name_{i:03d}": 1.0 + i * 0.01
+                           for i in range(n)},
         }
         compact = bench._compact_contract_line(out)
         line = json.dumps(compact, separators=(",", ":"))
@@ -61,6 +73,35 @@ def test_bench_contract_line_fits_driver_tail():
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total"
         assert parsed["unit"] == "sec"
+        assert parsed["norm_vs"] == "r09"
+        assert parsed["norm_regressions"] == sum(
+            1 for v in out["norm_ratio"].values() if v > 1.25
+        )
         # every query named unless the line explicitly says it dropped some
         if "queries_omitted" not in parsed:
             assert len(parsed["queries"]) == n
+        else:
+            assert parsed["queries_omitted"] == n - len(parsed["queries"])
+
+
+def test_bench_norm_ratios_lane_normalized():
+    """norm_ratio divides out the lane-probe swing: a uniform slowdown
+    with a matching probe move reads 1.0; errored qids are excluded."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    prev = json.load(open("BENCH_LOCAL_r09.json"))
+    probe_prev = prev.get("lane_probe_sec") or 0.3
+    out = {
+        "queries": {k: v * 1.7 for k, v in prev["queries"].items()},
+        "lane_probe_sec": probe_prev * 1.7,
+        "errors": {next(iter(prev["queries"])): "boom"},
+    }
+    r = bench._norm_ratios(out)
+    assert r["norm_vs"].startswith("r")
+    assert next(iter(prev["queries"])) not in r["norm_ratio"]
+    vals = list(r["norm_ratio"].values())
+    assert vals and all(abs(v - 1.0) < 0.01 for v in vals)
