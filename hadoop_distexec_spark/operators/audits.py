@@ -1827,3 +1827,112 @@ KMV_OVERLAP_ORACLE = f"""
     """
 
 register("q_kmv_overlap", oracle=KMV_OVERLAP_ORACLE)(kmv_overlap)
+
+
+# ---------------------------------------------------------------------------
+# quantile_sample_eval — sampled quantiles SHIPPED WITH their measured
+# error vs the exact full-corpus quantiles (round-10 wave; the standing
+# estimator rule: cms_topk/bloom_fpr_eval/pq_recall/kmv_overlap each ship
+# beside their ground truth). The production claim under audit: at 100 TB
+# you never sort the corpus for a length profile — a deterministic
+# ~QUANTILE_SAMPLE_TARGET-doc md5 sample answers p50/p90/p99 within
+# fractions of a percent, and this harness MEASURES that instead of
+# assuming it. The exact arm is the one-off audit truth (a full
+# percentile agg); the sample arm is the plan you actually run.
+# ---------------------------------------------------------------------------
+
+QUANTILE_SAMPLE_TARGET = 300  # ~docs in the sample, corpus-derived MOD
+_QSE_QUANTILES = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def quantile_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length quantiles (n_chars p50/p90/p99): exact arm over the
+    full table beside the arm computed on a deterministic 1-in-MOD md5
+    doc sample, MOD = ceil(corpus / QUANTILE_SAMPLE_TARGET) derived from
+    the same COUNT in both engines (the q_dedup_recall_eval idiom — the
+    sample IS the registered semantics, retry/append-stable). Reports
+    per quantile the two values and |sample - exact| / exact in ppm
+    (floor of an IEEE expression both engines evaluate on identical
+    doubles: percentile's linear interpolation is order-insensitive).
+
+    Shape at 100 TB: the sample arm sorts ~TARGET values (constant);
+    the exact arm is the audit's one-off full aggregation — the point of
+    the harness is to measure it away."""
+
+    d = table(spark, sf_dir, "documents")
+    mod = max(1, -(-d.count() // QUANTILE_SAMPLE_TARGET))
+    in_sample = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("qse:"), F.col("doc_id").cast("string")), "UTF-8")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % mod
+        == 0
+    )
+    exact = d.agg(
+        *[F.expr(f"percentile(n_chars, {p})").alias(name) for name, p in _QSE_QUANTILES],
+    )
+    samp = d.where(in_sample).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        *[
+            F.expr(f"percentile(n_chars, {p})").alias(f"s_{name}")
+            for name, p in _QSE_QUANTILES
+        ],
+    )
+    # 1-row x 1-row scalar fusion (the q_weighted_sample pattern)
+    both = exact.join(samp, F.lit(True))
+    rows = [
+        F.struct(
+            F.lit(name).alias("quantile"),
+            F.col(name).alias("exact_v"),
+            F.col(f"s_{name}").alias("sample_v"),
+            F.expr(
+                f"CAST(floor(abs(s_{name} - {name}) * 1000000 / {name}) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        for name, _ in _QSE_QUANTILES
+    ]
+    return both.select(
+        F.explode(F.array(*rows)).alias("r"), F.col("n_sampled")
+    ).select("r.quantile", "r.exact_v", "r.sample_v", "r.err_ppm", "n_sampled")
+
+
+_QSE_SAMPLE_SQL = (
+    "CAST('0x' || substr(md5('qse:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % (SELECT GREATEST(1, (COUNT(*) + "
+    f"{QUANTILE_SAMPLE_TARGET - 1}) // {QUANTILE_SAMPLE_TARGET}) "
+    "FROM documents) = 0"
+)
+
+QUANTILE_SAMPLE_EVAL_ORACLE = f"""
+    WITH exact AS (
+      SELECT quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.9) AS p90,
+             quantile_cont(n_chars, 0.99) AS p99
+      FROM documents),
+    samp AS (
+      SELECT COUNT(*) AS n_sampled,
+             quantile_cont(n_chars, 0.5) AS s_p50,
+             quantile_cont(n_chars, 0.9) AS s_p90,
+             quantile_cont(n_chars, 0.99) AS s_p99
+      FROM documents WHERE {_QSE_SAMPLE_SQL}),
+    joined AS (SELECT * FROM exact, samp),
+    fan AS (
+      SELECT 'p50' AS quantile, p50 AS exact_v, s_p50 AS sample_v, n_sampled FROM joined
+      UNION ALL
+      SELECT 'p90', p90, s_p90, n_sampled FROM joined
+      UNION ALL
+      SELECT 'p99', p99, s_p99, n_sampled FROM joined)
+    SELECT quantile, exact_v, sample_v,
+           CAST(floor(abs(sample_v - exact_v) * 1000000 / exact_v) AS BIGINT)
+             AS err_ppm,
+           CAST(n_sampled AS BIGINT) AS n_sampled
+    FROM fan
+    """
+
+register("q_quantile_sample_eval", oracle=QUANTILE_SAMPLE_EVAL_ORACLE)(
+    quantile_sample_eval
+)

@@ -6810,3 +6810,374 @@ MIX_TEMPERATURE_ORACLE = """
 # tests/test_round8_ops.py)
 register("q_pq_recall", oracle=PQ_RECALL_ORACLE)(pq_recall)
 register("q_mix_temperature", oracle=MIX_TEMPERATURE_ORACLE)(mix_temperature)
+
+
+# ---------------------------------------------------------------------------
+# round-10 registration wave: cell compactness, dedup-rate curve, LSH
+# band-curve harness (SURVEY §2.10 r10 rows). Estimator-audit idioms
+# carried over: exact-decimal cross-row sums, benford-style shared
+# literals, corpus-derived MOD samples.
+# ---------------------------------------------------------------------------
+
+
+def cell_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label-cell embedding compactness — the audit that decides
+    whether label blocking (q_dedup_embed / the capped tiers) is
+    adequate for a corpus: a cell whose members barely correlate wastes
+    the whole within-cell pair budget, one whose members align justifies
+    it. Reports per cell: member count, the exact sum of squared norms,
+    the squared norm of the member-sum vector, and the two derived
+    means — mean self dot (energy) and MEAN PAIRWISE DOT via the
+    identity sum_{i!=j} <x_i,x_j> = |S|^2 - sum_i |x_i|^2 with
+    S = sum_i x_i, so the all-pairs statistic costs ONE linear pass.
+
+    Determinism: elements on the decimal(12,8) grid (the _spark_dot
+    idiom); per-dim sums S_d exact at scale 8; S_d routes through DOUBLE
+    (identical in both engines by the VARCHAR rule) and back onto a
+    1e-4 decimal grid before squaring so DECIMAL(18,4)^2 = DECIMAL(37,8)
+    stays exact under any corpus-scale magnitude — double->decimal casts
+    round half-away-from-zero in BOTH engines (decimal->decimal casts do
+    NOT agree at ties: Spark half-up, DuckDB half-even — measured, which
+    is why the narrowing goes through double). Final means are one IEEE
+    subtraction/division each on identical doubles.
+
+    Shape at 100 TB: posexplode to (label, dim) keyed by the BOUNDED
+    |cells| x 64 grid — pure map-side-combine aggregation, two nested
+    aggs, no joins, no windows; the pairwise mean never enumerates a
+    pair."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label", "dim", F.col("x").cast("double").cast("decimal(12,8)").alias("xd")
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("xd").cast("decimal(28,8)").alias("s8"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(25,16)"))
+        .cast("decimal(38,16)")
+        .alias("q"),
+    )
+    sq4 = F.col("s8").cast("double").cast("decimal(18,4)")
+    per_cell = per_dim.groupBy("label").agg(
+        F.max("cnt").cast("long").alias("m"),
+        F.sum((sq4 * sq4).cast("decimal(37,8)")).cast("decimal(38,8)").alias("n2s"),
+        F.sum("q").cast("decimal(38,16)").alias("sn2"),
+    )
+    m = F.col("m")
+    sn2d = F.col("sn2").cast("double")
+    n2sd = F.col("n2s").cast("double")
+    return per_cell.select(
+        "label",
+        "m",
+        sn2d.alias("sum_norm2"),
+        n2sd.alias("norm2_of_sum"),
+        (sn2d / m).alias("mean_self_dot"),
+        F.when(m >= 2, (n2sd - sn2d) / (m * (m - 1))).alias("mean_pair_dot"),
+    )
+
+
+CELL_COMPACTNESS_ORACLE = """
+    WITH ex AS (
+      SELECT label,
+             UNNEST(range(len(embedding))) AS dim,
+             CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(12,8)) AS xd
+      FROM embeddings WHERE embedding IS NOT NULL),
+    per_dim AS (
+      SELECT label, dim,
+             COUNT(*) AS cnt,
+             CAST(SUM(xd) AS DECIMAL(28,8)) AS s8,
+             CAST(SUM(CAST(xd * xd AS DECIMAL(25,16))) AS DECIMAL(38,16)) AS q
+      FROM ex GROUP BY label, dim),
+    per_cell AS (
+      SELECT label,
+             CAST(MAX(cnt) AS BIGINT) AS m,
+             CAST(SUM(CAST(
+                 CAST(CAST(CAST(s8 AS VARCHAR) AS DOUBLE) AS DECIMAL(18,4))
+               * CAST(CAST(CAST(s8 AS VARCHAR) AS DOUBLE) AS DECIMAL(18,4))
+               AS DECIMAL(37,8))) AS DECIMAL(38,8)) AS n2s,
+             CAST(SUM(q) AS DECIMAL(38,16)) AS sn2
+      FROM per_dim GROUP BY label)
+    SELECT label, m,
+           CAST(CAST(sn2 AS VARCHAR) AS DOUBLE) AS sum_norm2,
+           CAST(CAST(n2s AS VARCHAR) AS DOUBLE) AS norm2_of_sum,
+           CAST(CAST(sn2 AS VARCHAR) AS DOUBLE) / m AS mean_self_dot,
+           CASE WHEN m >= 2 THEN
+             (CAST(CAST(n2s AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sn2 AS VARCHAR) AS DOUBLE)) / (m * (m - 1))
+           END AS mean_pair_dot
+    FROM per_cell
+    """
+
+register("q_cell_compactness", oracle=CELL_COMPACTNESS_ORACLE)(cell_compactness)
+
+
+DEDUP_CURVE_MIN_T = 1  # thresholds t/10 for t in 1..9
+
+
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-burden curve across Jaccard thresholds — the tuning table a
+    data engineer reads before pinning a dedup cutoff: for each t in
+    0.1..0.9, how many near-dup pairs clear t, how many distinct docs
+    those pairs touch, and that doc share of the corpus in exact ppm.
+    One pair build (the shared df-capped shingle join), then a bounded
+    9-way threshold fan-out over the near-dup-sized pair set — the curve
+    costs one extra Exchange over q_dedup_ngram, never a second corpus
+    scan. Thresholds compare the IEEE jaccard directly (no bucketing:
+    floor(10*j) disagrees with j >= t at non-representable boundaries;
+    direct comparison is what the production filter runs).
+
+    Shape at 100 TB: pair volume is df-cap-bounded; the fan-out is x9 on
+    pairs and x18 on endpoints, both tiny next to the shingle join that
+    produced them."""
+    base, pairs, sa, sb = _shingle_pair_stats(spark, sf_dir)
+    jac = F.col("n_common").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("n_common")
+    )
+    jp = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    n_docs = table(spark, sf_dir, "documents").count()
+    t = F.explode(F.sequence(F.lit(DEDUP_CURVE_MIN_T), F.lit(9))).alias("t10")
+    fan = jp.select("doc_a", "doc_b", "jaccard", t).filter(
+        F.col("jaccard") >= F.col("t10").cast("double") / 10.0
+    )
+    per_t = fan.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
+    ends = (
+        fan.select("t10", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("t10")
+        .agg(F.countDistinct("d").alias("n_docs_covered"))
+    )
+    return per_t.join(ends, "t10").select(
+        F.col("t10").cast("int").alias("t10"),
+        "n_pairs",
+        "n_docs_covered",
+        F.expr(f"n_docs_covered * 1000000 div {n_docs}").alias("doc_share_ppm"),
+    )
+
+
+DEDUP_RATE_CURVE_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + ","
+    + _PAIR_COUNTS_SQL
+    + f""",
+    jp AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id),
+    fan AS (
+      SELECT t10, doc_a, doc_b
+      FROM jp, (SELECT UNNEST(range({DEDUP_CURVE_MIN_T}, 10)) AS t10)
+      WHERE jaccard >= CAST(t10 AS DOUBLE) / 10.0),
+    ends AS (
+      SELECT t10, COUNT(*) AS n_pairs FROM fan GROUP BY t10),
+    docs_t AS (
+      SELECT t10, COUNT(DISTINCT d) AS n_docs_covered
+      FROM (SELECT t10, doc_a AS d FROM fan
+            UNION ALL SELECT t10, doc_b FROM fan)
+      GROUP BY t10)
+    SELECT CAST(e.t10 AS INT) AS t10,
+           CAST(e.n_pairs AS BIGINT) AS n_pairs,
+           CAST(d.n_docs_covered AS BIGINT) AS n_docs_covered,
+           CAST(d.n_docs_covered * 1000000
+                // (SELECT COUNT(*) FROM documents) AS BIGINT) AS doc_share_ppm
+    FROM ends e JOIN docs_t d USING (t10)
+    """
+)
+
+register("q_dedup_rate_curve", oracle=DEDUP_RATE_CURVE_ORACLE)(dedup_rate_curve)
+dedup_rate_curve._fingerprint_extras = (_shingle_pair_stats,)
+
+
+# theory literals for the LSH band S-curve, computed ONCE here and
+# embedded in BOTH engines (the benford_audit shared-literal idiom —
+# no runtime pow(), so no cross-engine float-parity surface): with
+# r = NUM_PERM/LSH_BANDS rows per band and b = LSH_BANDS bands, a pair
+# at Jaccard j is a candidate with P = 1 - (1 - j^r)^b; the literal is
+# P at each decile midpoint in ppm.
+_LSH_CURVE_THEORY = {
+    d: int(
+        round(
+            1e6
+            * (
+                1.0
+                - (1.0 - ((d + 0.5) / 10.0) ** (NUM_PERM // LSH_BANDS))
+                ** LSH_BANDS
+            )
+        )
+    )
+    for d in range(10)
+}
+
+
+def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash-LSH S-curve vs the closed-form theory — the
+    harness that justifies the (bands, rows) choice the dedup pipeline
+    runs: per exact-Jaccard decile, the fraction of pairs the band join
+    actually surfaces as candidates beside 1-(1-j^r)^b at the decile
+    midpoint. A band layout whose measured curve sags below theory in
+    the 0.3+ deciles is silently losing near-dups; one that fires in the
+    low deciles wastes verify budget — this measures both, the
+    cms_topk/bloom_fpr_eval estimator rule applied to the LSH geometry
+    itself.
+
+    Ground truth needs pair-level exact Jaccard INCLUDING zero-overlap
+    pairs (the curve's left tail), which exists only on a sample: a
+    deterministic 1-in-MOD md5 doc sample (~TRUTH_SAMPLE_TARGET_DOCS
+    docs, corpus-derived MOD, the recall-eval idiom) defines the pair
+    universe; the minhash signatures and band buckets of sampled docs
+    are computed by the SAME banded core as q_dedup_minhash
+    (_minhash_parts), so the curve measures the production geometry,
+    not a reimplementation. Theory values are import-time Python
+    literals embedded in both engines — no runtime pow().
+
+    Shape at 100 TB: every frame after the sample filter is
+    TARGET-bounded (~300 docs, ~45k pairs, constant in corpus size);
+    the only corpus-sized work is the shingle scan that feeds the
+    sample filter."""
+    s = _shingles_df(spark, sf_dir)
+    mod = _truth_sample_mod(table(spark, sf_dir, "documents").count())
+
+    def in_sample(col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit("lbc:"), F.col(col).cast("string")),
+                            "UTF-8",
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % mod
+            == 0
+        )
+
+    ss = s.where(in_sample("doc_id")).persist()
+    ss.count()
+    ids = ss.select("doc_id").distinct().withColumn("_k", F.lit(1))
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"), "_k")
+        .join(ids.select(F.col("doc_id").alias("doc_b"), "_k"), "_k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("_k")
+    )
+    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ss.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(ss.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand, _ = _minhash_parts(ss, "md5")
+    jac = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("_na") + F.col("_nb") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    full = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(cand.withColumn("_is_cand", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .select(
+            F.least(F.floor(jac * 10).cast("int"), F.lit(9)).alias("decile"),
+            F.coalesce(F.col("_is_cand"), F.lit(0)).alias("is_cand"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ss.unpersist()
+    theory = F.element_at(
+        F.array(*[F.lit(_LSH_CURVE_THEORY[d]) for d in range(10)]),
+        F.col("decile") + 1,
+    ).cast("long")
+    return (
+        full.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_cand").cast("long").alias("n_cand"),
+        )
+        .select(
+            "decile",
+            "n_pairs",
+            "n_cand",
+            F.expr("n_cand * 1000000 div n_pairs").alias("cand_rate_ppm"),
+            theory.alias("theory_ppm"),
+        )
+    )
+
+
+_LBC_SAMPLE_SQL = (
+    "CAST('0x' || substr(md5('lbc:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % (SELECT GREATEST(1, (COUNT(*) + "
+    f"{TRUTH_SAMPLE_TARGET_DOCS - 1}) // {TRUTH_SAMPLE_TARGET_DOCS}) "
+    "FROM documents) = 0"
+)
+
+_LSH_THEORY_CASE = "CASE decile " + " ".join(
+    f"WHEN {d} THEN {_LSH_CURVE_THEORY[d]}" for d in range(10)
+) + " END"
+
+LSH_BAND_CURVE_ORACLE = (
+    "WITH "
+    + _SHINGLES_SQL
+    + f""",
+    ss AS (SELECT doc_id, shingle FROM shingles WHERE {_LBC_SAMPLE_SQL}),
+    ids AS (SELECT DISTINCT doc_id FROM ss),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ss GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    perms AS (SELECT UNNEST(range(0, {NUM_PERM})) AS seed),
+    m AS (
+      SELECT doc_id, seed,
+             MIN(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)
+                      AS BIGINT)) AS mh
+      FROM ss CROSS JOIN perms
+      GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS ms FROM m GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, bb.band,
+             array_to_string(ms[bb.band * {NUM_PERM // LSH_BANDS} + 1 :
+                                bb.band * {NUM_PERM // LSH_BANDS} + {NUM_PERM // LSH_BANDS}],
+                             '|') AS bucket
+      FROM sig CROSS JOIN (SELECT UNNEST(range(0, {LSH_BANDS})) AS band) bb),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    full_pairs AS (
+      SELECT LEAST(CAST(FLOOR(
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) * 10) AS INT), 9)
+               AS decile,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand
+      FROM pairs p
+      JOIN sizes za ON p.doc_a = za.doc_id
+      JOIN sizes zb ON p.doc_b = zb.doc_id
+      LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+      LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+           CAST(SUM(is_cand) * 1000000 // COUNT(*) AS BIGINT) AS cand_rate_ppm,
+           CAST({_LSH_THEORY_CASE} AS BIGINT) AS theory_ppm
+    FROM full_pairs GROUP BY decile
+    """
+)
+
+register("q_lsh_band_curve", oracle=LSH_BAND_CURVE_ORACLE)(lsh_band_curve)
+lsh_band_curve._fingerprint_extras = (_shingles_df, _minhash_parts)

@@ -540,3 +540,165 @@ MULTIMODAL_AUDIO_ORACLE = f"""
 
 register("q_multimodal_audio", oracle=MULTIMODAL_AUDIO_ORACLE)(multimodal_audio)
 multimodal_audio._fingerprint_extras = (audio_window_features,)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (round-10 registration wave): the multimodal
+# leg of the dedup family. Average-hash (aHash) is the classic cheap
+# perceptual fingerprint: downsample to 8x8 grayscale, threshold each
+# pixel against the thumbnail mean, read the 64 bits as a hash; near-dup
+# images are pairs at small Hamming distance. Blocking follows the
+# minhash banding idiom: the 64-bit hash splits into 4 x 16-bit bands and
+# only pairs sharing >=1 band are candidates (pigeonhole: any pair at
+# Hamming <= 3 shares a band, so the blocked semantics are COMPLETE for
+# d <= 3 and LSH-shaped above it — same contract style as q_dedup_minhash).
+# ---------------------------------------------------------------------------
+
+PHASH_SIDE = 8  # thumbnail side: 8x8 = 64 pixels = 64 hash bits
+PHASH_BANDS = 4  # 4 x 16-bit bands for the blocking join
+PHASH_MAX_DF = 100  # hot-bucket cap, the MAX_SHINGLE_DF rule for bands
+PHASH_HAM_T = 6  # near-dup Hamming threshold over the 64-bit hash
+PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def phash_images(
+    df: DataFrame,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Average-hash over a binary `content` column: (doc_id, content) in,
+    (doc_id, b0..b3) out — the 64-bit aHash as four 16-bit band integers
+    (MSB-first within each band), join-ready for the banded blocking.
+
+    The DOWNSAMPLE step is the injectable-resize plumbing (a real PIL
+    grayscale resize replaces the cycled-bytes stub with no other code
+    change); the hash itself is pure integer arithmetic on the 64
+    thumbnail bytes — sum once, threshold each byte against 64*byte >
+    sum (the mean compare without a division), packbits — so the DuckDB
+    twin is bit-exact. One Arrow pass after the resize pass; no shuffle,
+    no python-per-row (numpy packbits per batch)."""
+    import numpy as np
+
+    thumb = resize_image(df, width=PHASH_SIDE, height=PHASH_SIDE, resize=resize)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = PHASH_SIDE * PHASH_SIDE
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                px = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                bits = (n_px * px > px.sum()).astype(np.uint8)
+                packed = np.packbits(bits)  # MSB-first, 8 bytes
+                for k in range(PHASH_BANDS):
+                    out[f"b{k}"].append(int(packed[2 * k]) * 256 + int(packed[2 * k + 1]))
+                out["doc_id"].append(int(doc_id))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "b0": "int32", "b1": "int32", "b2": "int32", "b3": "int32"}
+            )
+
+    return thumb.select("doc_id", "content").mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded average-hash: documents' UTF-8
+    bytes as the fake image payload (the module contract), hashed through
+    the resize + packbits Arrow passes, then the minhash-style blocked
+    join — explode the 4 bands, drop hot buckets (> PHASH_MAX_DF members,
+    part of the contract like the stop-shingle cap), equi-join on
+    (band, value), exact Hamming over the four band XORs, keep pairs at
+    Hamming <= PHASH_HAM_T. Empty payloads are out of contract (cyclic
+    resize undefined at n=0, mirrored in the oracle).
+
+    Shape at 100 TB: two Arrow map passes + one banded equi-join whose
+    fan-out is df-capped — the LSH shape, never all-pairs; the Hamming
+    filter runs on carried band columns (JVM bit_count, codegen), no
+    second pass over the corpus."""
+    docs = _content_df(spark, sf_dir).where(F.octet_length("content") > 0)
+    h = phash_images(docs)
+    bandcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    exploded = h.select(
+        "doc_id",
+        *bandcols,
+        F.posexplode(F.array(*bandcols)).alias("band", "val"),
+    )
+    hot = (
+        exploded.groupBy("band", "val")
+        .count()
+        .filter(F.col("count") > PHASH_MAX_DF)
+        .select("band", "val")
+    )
+    kept = exploded.join(hot, ["band", "val"], "left_anti")
+    a = kept.select(
+        "band", "val", F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}a") for c in bandcols],
+    )
+    b = kept.select(
+        "band", "val", F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}b") for c in bandcols],
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("band", "val")
+        .distinct()  # bands are functions of the doc, so row-distinct == pair-distinct
+    )
+    ham = sum(
+        F.expr(f"bit_count({c}a ^ {c}b)") for c in bandcols
+    ).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# BYTE-based oracle (the q_multimodal_resize hex-image idiom): thumbnail
+# byte i (1..64) is the hex pair at cycled source byte (i-1) % n; the bit
+# is the division-free mean compare 64*byte > sum; bands pack MSB-first
+# via integer shifts; the hot-bucket cap and the banded join mirror the
+# Spark side; Hamming is bit_count over per-band xor.
+MULTIMODAL_PHASH_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    th AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(h, CAST(2 * ((i - 1) % n) + 1 AS INT), 2) AS INT)
+               AS byte
+      FROM (SELECT doc_id, h, n, UNNEST(range(1, {PHASH_SIDE * PHASH_SIDE} + 1)) AS i
+            FROM b)),
+    tot AS (SELECT doc_id, SUM(byte) AS tot FROM th GROUP BY doc_id),
+    bands AS (
+      SELECT th.doc_id,
+             CAST((i - 1) // 16 AS INT) AS band,
+             CAST(SUM(CASE WHEN 64 * byte > tot THEN 1 ELSE 0 END
+                      * (1 << (15 - CAST((i - 1) % 16 AS INT)))) AS INT) AS val
+      FROM th JOIN tot USING (doc_id) GROUP BY th.doc_id, band),
+    keep AS (
+      SELECT band, val FROM bands GROUP BY band, val
+      HAVING COUNT(*) <= {PHASH_MAX_DF}),
+    bk AS (SELECT bands.doc_id, bands.band, bands.val
+           FROM bands JOIN keep USING (band, val)),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN val END) AS b0,
+             MAX(CASE WHEN band = 1 THEN val END) AS b1,
+             MAX(CASE WHEN band = 2 THEN val END) AS b2,
+             MAX(CASE WHEN band = 3 THEN val END) AS b3
+      FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val
+       AND a.doc_id < b.doc_id)
+    SELECT * FROM (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              AS INT) AS hamming
+      FROM cand
+      JOIN wide wa ON doc_a = wa.doc_id
+      JOIN wide wb ON doc_b = wb.doc_id)
+    WHERE hamming <= {PHASH_HAM_T}
+    """
+
+register("q_multimodal_phash", oracle=MULTIMODAL_PHASH_ORACLE)(multimodal_phash)
+multimodal_phash._fingerprint_extras = (phash_images,)

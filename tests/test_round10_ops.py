@@ -63,3 +63,142 @@ def test_auto_cap_preserves_natural_saturation(spark):
 def test_auto_degree_cap_floor_on_degenerate_input(spark):
     # a floor above the fixture's p95-derived cap wins (monotone floor)
     assert auto_degree_cap(spark, SF_SMALL, floor=256) == 256
+
+
+# ---------------------------------------------------------------------------
+# round-10 registration wave: phash, dedup-rate curve, cell compactness,
+# sampled-quantile eval, LSH band curve (bit-exact oracles live in the
+# registry and are exercised by test_oracle_parity; these pin laws and
+# brute-force recomputes).
+# ---------------------------------------------------------------------------
+
+
+def _brute_phash_pairs(sf_dir: str):
+    import hashlib  # noqa: F401 (parity with other brute harnesses)
+
+    import duckdb
+    import numpy as np
+
+    from hadoop_distexec_spark.operators.multimodal import (
+        PHASH_HAM_T,
+        PHASH_MAX_DF,
+        PHASH_SIDE,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, encode(text) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) > 0"
+    ).fetchall()
+    n_px = PHASH_SIDE * PHASH_SIDE
+    hashes = {}
+    for doc_id, blob in rows:
+        blob = bytes(blob)
+        reps = -(-n_px // len(blob))
+        px = np.frombuffer((blob * reps)[:n_px], dtype=np.uint8).astype(np.int64)
+        bits = (n_px * px > px.sum()).astype(np.uint8)
+        packed = np.packbits(bits)
+        hashes[doc_id] = [int(packed[2 * k]) * 256 + int(packed[2 * k + 1]) for k in range(4)]
+    from collections import Counter
+
+    df = Counter((k, v) for h in hashes.values() for k, v in enumerate(h))
+    kept = {
+        d: [(k, v) for k, v in enumerate(h) if df[(k, v)] <= PHASH_MAX_DF]
+        for d, h in hashes.items()
+    }
+    buckets: dict = {}
+    for d, bands in kept.items():
+        for kv in bands:
+            buckets.setdefault(kv, []).append(d)
+    pairs = {}
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                ham = sum(bin(x ^ y).count("1") for x, y in zip(hashes[lo], hashes[hi]))
+                if ham <= PHASH_HAM_T:
+                    pairs[(lo, hi)] = ham
+    return pairs
+
+
+def test_multimodal_phash_brute_force(spark):
+    from hadoop_distexec_spark.operators.multimodal import multimodal_phash
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal_phash(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_phash_pairs(SF_SMALL)
+    assert got  # non-vacuous: the fixture has near-dup docs
+
+
+def test_dedup_rate_curve_laws(spark):
+    from hadoop_distexec_spark.operators.llmops import (
+        dedup_rate_curve,
+        q_dedup_ngram,
+    )
+
+    rows = {r["t10"]: r for r in dedup_rate_curve(spark, SF_SMALL).collect()}
+    assert set(rows) == set(range(1, 10))
+    for t in range(2, 10):
+        # monotone: raising the threshold never adds pairs or docs
+        assert rows[t]["n_pairs"] <= rows[t - 1]["n_pairs"]
+        assert rows[t]["n_docs_covered"] <= rows[t - 1]["n_docs_covered"]
+    # t=0.1 is exactly q_dedup_ngram's registered cutoff
+    assert rows[1]["n_pairs"] == q_dedup_ngram(spark, SF_SMALL).count()
+
+
+def test_cell_compactness_float_reference(spark):
+    import duckdb
+    import numpy as np
+
+    from hadoop_distexec_spark.operators.llmops import cell_compactness
+
+    got = {r["label"]: r for r in cell_compactness(spark, SF_SMALL).collect()}
+    raw = duckdb.connect().execute(
+        f"SELECT label, embedding FROM '{SF_SMALL}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+    cells: dict = {}
+    for label, emb in raw:
+        cells.setdefault(label, []).append(np.asarray(emb, dtype=np.float64))
+    assert set(got) == set(cells)
+    for label, vecs in cells.items():
+        x = np.stack(vecs)
+        m = len(vecs)
+        assert got[label]["m"] == m
+        s = x.sum(axis=0)
+        ref_pair = (s @ s - (x * x).sum()) / (m * (m - 1))
+        assert abs(got[label]["mean_pair_dot"] - ref_pair) < 1e-5
+        assert abs(got[label]["mean_self_dot"] - (x * x).sum() / m) < 1e-5
+        # identity sanity: pairwise mean is far below self energy on
+        # random-ish cells, and sum_norm2/norm2_of_sum are consistent
+        assert got[label]["sum_norm2"] > 0
+
+
+def test_quantile_sample_eval_bounded_error(spark):
+    from hadoop_distexec_spark.operators.audits import quantile_sample_eval
+
+    rows = {r["quantile"]: r for r in quantile_sample_eval(spark, SF_SMALL).collect()}
+    assert set(rows) == {"p50", "p90", "p99"}
+    for r in rows.values():
+        assert r["n_sampled"] > 50  # the sample actually materialized
+        # ~250-doc sample: quantile error should sit well under 10%
+        assert r["err_ppm"] < 100000, r
+
+
+def test_lsh_band_curve_laws(spark):
+    from hadoop_distexec_spark.operators.llmops import lsh_band_curve
+
+    rows = {r["decile"]: r for r in lsh_band_curve(spark, SF_SMALL).collect()}
+    assert rows  # sample is non-empty
+    total_pairs = sum(r["n_pairs"] for r in rows.values())
+    n_docs = int(round((1 + (1 + 8 * total_pairs) ** 0.5) / 2))
+    assert n_docs * (n_docs - 1) // 2 == total_pairs  # full C(n,2) universe
+    for d, r in rows.items():
+        assert 0 <= r["n_cand"] <= r["n_pairs"]
+        assert r["cand_rate_ppm"] == r["n_cand"] * 1000000 // r["n_pairs"]
+    # the curve's two ends behave: disjoint pairs almost never collide,
+    # near-identical pairs almost always do (theory: 25 ppm vs 998816)
+    assert rows[0]["cand_rate_ppm"] < 5000
+    if 9 in rows:
+        assert rows[9]["cand_rate_ppm"] > 900000
