@@ -7181,3 +7181,139 @@ LSH_BAND_CURVE_ORACLE = (
 
 register("q_lsh_band_curve", oracle=LSH_BAND_CURVE_ORACLE)(lsh_band_curve)
 lsh_band_curve._fingerprint_extras = (_shingles_df, _minhash_parts)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication runs (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+MIN_SUBSTR_RUN = 4  # shared-shingle run length that counts as a real clone
+
+
+def _pos_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional SHINGLE_K-word shingles: (doc_id, p, shingle), one row
+    per token position — the positions-kept twin of ``_shingles_df``
+    (same element_at codegen shape, no ``distinct``). The fan-out cap for
+    the pair join counts POSITION rows (a shingle repeated inside one doc
+    multiplies diagonal hits exactly like one repeated across docs), so
+    the stop rule here is ``COUNT(*) <= MAX_SHINGLE_DF`` over this frame,
+    not distinct-doc df."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= SHINGLE_K
+    )
+    pos = d.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (SHINGLE_K - 1))).alias("p"),
+    ).withColumn("p", F.col("p").cast("long"))
+    sh = F.concat_ws(
+        " ", *[F.element_at(F.col("t"), (F.col("p") + k).cast("int")) for k in range(SHINGLE_K)]
+    )
+    return pos.select("doc_id", "p", sh.alias("shingle"))
+
+
+def substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detector (the SQL-expressible core of
+    Lee et al.'s suffix-array dedup, arXiv:2107.06499): for every doc
+    pair sharing positional shingles, the LONGEST run of consecutive
+    shared shingles — i.e. the longest exactly-shared word span — found
+    as gaps-and-islands along each alignment diagonal (pa - pb). Jaccard
+    dedup (q_dedup_ngram) scores set overlap and misses a long verbatim
+    quote inside two otherwise-different docs; this is the operator that
+    catches it. A run of L shingles is an exactly-shared span of
+    L + SHINGLE_K - 1 words; runs below MIN_SUBSTR_RUN are chance-level
+    collisions on a natural corpus (measured bimodal on the fixtures:
+    noise 1-3, planted clones >= 8).
+
+    Plan shape at 100 TB: position rows are linear in corpus tokens; the
+    pair join is bounded by the positional df cap (the stop-shingle
+    rule); the islands windows partition by (pair, diagonal) — millions
+    of small partitions, no global sort; output is near-dup-pair sized.
+    Everything is integer arithmetic, so the DuckDB twin is bit-exact."""
+    base = _pos_shingles(spark, sf_dir).persist()
+    base.count()
+    hot = (
+        base.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    k = base.join(hot, "shingle", "left_anti")
+    a = k.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "shingle")
+    b = k.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "shingle")
+    hits = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = hits.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    out = (
+        runs.filter(F.col("run_len") >= MIN_SUBSTR_RUN)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_len").alias("max_run_shingles"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("total_run_shingles"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "max_run_shingles",
+            (F.col("max_run_shingles") + F.lit(SHINGLE_K - 1)).alias("max_run_words"),
+            "n_runs",
+            "total_run_shingles",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out
+
+
+_POS_SHINGLES_SQL = f"""
+  toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+  ),
+  posx AS (
+    SELECT doc_id, t, UNNEST(range(1, CAST(len(t) AS BIGINT) - {SHINGLE_K - 2})) AS p
+    FROM toks WHERE len(t) >= {SHINGLE_K}
+  ),
+  ps AS (
+    SELECT doc_id, p,
+           array_to_string(t[CAST(p AS INT):CAST(p AS INT) + {SHINGLE_K - 1}], ' ') AS shingle
+    FROM posx
+  )
+"""
+
+SUBSTRING_RUNS_ORACLE = (
+    "WITH "
+    + _POS_SHINGLES_SQL
+    + f""",
+    keep AS (
+      SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    k AS (SELECT ps.doc_id, ps.p, ps.shingle FROM ps JOIN keep USING (shingle)),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS diag
+      FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+      FROM hits),
+    runs AS (
+      SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_shingles,
+           CAST(MAX(run_len) + {SHINGLE_K - 1} AS BIGINT) AS max_run_words,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS total_run_shingles
+    FROM runs WHERE run_len >= {MIN_SUBSTR_RUN}
+    GROUP BY doc_a, doc_b
+    """
+)

@@ -19,7 +19,7 @@ from hadoop_distexec_spark.operators.llmops import (
     embed_edges_capped,
     q_dedup_embed,
 )
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def _brute_auto_cap(sf_dir: str, floor: int = DEGREE_CAP) -> int:
@@ -202,3 +202,95 @@ def test_lsh_band_curve_laws(spark):
     assert rows[0]["cand_rate_ppm"] < 5000
     if 9 in rows:
         assert rows[9]["cand_rate_ppm"] > 900000
+
+
+# ---------------------------------------------------------------------------
+# substring_runs (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def _brute_substring_runs(sf_dir: str):
+    """Pure-Python mirror of the operator contract: positional 3-word
+    shingles, the COUNT(*)<=MAX_SHINGLE_DF positional stop rule, shared
+    hits on alignment diagonals, maximal consecutive runs >= MIN_RUN."""
+    import collections
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import (
+        MAX_SHINGLE_DF,
+        MIN_SUBSTR_RUN,
+        SHINGLE_K,
+    )
+
+    rows = dk.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    ps = []
+    for doc_id, text in rows:
+        t = text.strip().split()
+        for p in range(len(t) - SHINGLE_K + 1):
+            ps.append((doc_id, p + 1, " ".join(t[p : p + SHINGLE_K])))
+    df = collections.Counter(sh for _, _, sh in ps)
+    by_sh = collections.defaultdict(list)
+    for doc_id, p, sh in ps:
+        if df[sh] <= MAX_SHINGLE_DF:
+            by_sh[sh].append((doc_id, p))
+    diag_hits = collections.defaultdict(set)
+    for sh, occ in by_sh.items():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    diag_hits[(da, db, pa - pb)].add(pa)
+    out = {}
+    for (da, db, _diag), pas in diag_hits.items():
+        pas = sorted(pas)
+        run = 1
+        runs = []
+        for prev, cur in zip(pas, pas[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        for r in runs:
+            if r >= MIN_SUBSTR_RUN:
+                mx, n, tot = out.get((da, db), (0, 0, 0))
+                out[(da, db)] = (max(mx, r), n + 1, tot + r)
+    return {
+        k: (mx, mx + SHINGLE_K - 1, n, tot) for k, (mx, n, tot) in out.items()
+    }
+
+
+def test_substring_runs_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import substring_runs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["max_run_shingles"],
+            r["max_run_words"],
+            r["n_runs"],
+            r["total_run_shingles"],
+        )
+        for r in substring_runs(spark, SF_SMALL).collect()
+    }
+    want = _brute_substring_runs(SF_SMALL)
+    assert got == want
+    assert len(got) > 0, "vacuous: fixture must contain planted clone spans"
+    # the fixture's bimodal gap: every surviving run is well above chance
+    assert min(mx for mx, _, _, _ in got.values()) >= 4
+
+
+def test_substring_runs_draft_oracle_parity(spark):
+    """Registration gate: the draft DuckDB twin is bit-exact at sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        SUBSTRING_RUNS_ORACLE,
+        substring_runs,
+    )
+    from tests.oracle_util import run_pair
+
+    n = run_pair(
+        spark, "substring_runs", substring_runs, SUBSTRING_RUNS_ORACLE, SF_ORACLE
+    )
+    assert n > 0
