@@ -7317,3 +7317,238 @@ SUBSTRING_RUNS_ORACLE = (
     GROUP BY doc_a, doc_b
     """
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed ANN recall (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2  # cells probed per query (q_sim_ivf's constant)
+
+
+def ivf_pq_recall(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """Recall@10 of the FULL production ANN path — IVF cell probe
+    (q_sim_ivf's routing) composed with product-quantized ADC scoring
+    (q_pq_recall's quantizer) — vs the exact float top-10. The two
+    registered harnesses measure each approximation in isolation; this
+    is the FAISS IVFPQ shape a 100 TB index actually serves, and its
+    loss is NOT the product of the parts (a cell miss and a quantizer
+    miss can hit the same neighbor). Each row also carries how many
+    candidates the probe let through (n_cand) and that share of the
+    corpus in exact ppm (scan_ppm) — recall AND cost on one line, the
+    deploy decision in one frame.
+
+    The IVF probe and the PQ build are kept INLINE (not refactored out
+    of the registered tiers) so q_sim_ivf / q_pq_recall keep their
+    witnessed fingerprints; the draft oracle embeds the registered
+    oracles' CTE text verbatim (pytest-asserted), so the copies cannot
+    drift silently.
+
+    Shape at 100 TB: centroids broadcast; ADC joins fan out over probed
+    cells only (the nlist/nprobe pruning is applied BEFORE the per-
+    (query, doc) aggregate — that is the whole point of IVF); codebooks
+    and LUTs are constant-bounded broadcasts; ranking is a per-query
+    window over the pruned candidate set."""
+    assert SIM_QUANT_TOPK == 10, "exact baseline (q_sim_topk) is fixed at k=10"
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    n_vecs = e.count()
+
+    # --- IVF probe: label-cell centroids, top-nprobe cells per query ---
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("val").cast("double").cast("decimal(18,8)")).cast("double")
+             / F.count(F.lit(1))).alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c_sim = _spark_dot_qc(F.col("q_emb"), F.col("centroid")) / (
+        F.sqrt(_spark_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_spark_dot_cc(F.col("centroid"), F.col("centroid")))
+    )
+    qc = (
+        qv.crossJoin(F.broadcast(cells))
+        .select("q_id", "label", c_sim.alias("c_sim"))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "label")
+    )
+    cellcand = (
+        qc.join(e.select("vec_id", "label"), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)  # consumed by the ADC join AND n_cand
+    )
+
+    # --- PQ build (q_pq_recall's codebook; inline copy, see docstring) ---
+    ie = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * PQ_GRID).cast("long")
+        ).alias("iarr"),
+    )
+    arr = ie.select(
+        "vec_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.slice("iarr", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                )
+                for s in range(PQ_SUBS)
+            ]
+        ).alias("sarr"),
+    ).localCheckpoint()
+    subs = arr.select("vec_id", F.explode("sarr").alias("ss")).select(
+        "vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub")
+    )
+    seeds = (
+        ie.select(
+            "vec_id",
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")).alias("pri"),
+        )
+        .orderBy("pri", "vec_id")
+        .limit(PQ_CODES)
+        .select("vec_id", F.expr("row_number() OVER (ORDER BY pri, vec_id)").alias("code"))
+    )
+    cb0 = _pq_with_norm(
+        subs.join(seeds, "vec_id").select("s", "code", F.col("sub").alias("carr"))
+    ).localCheckpoint()
+    codes0 = _pq_assign(subs, cb0).select("vec_id", "s", "code")
+    pos = (
+        subs.join(codes0, ["vec_id", "s"])
+        .select("s", "code", F.posexplode("sub").alias("i", "v"))
+    )
+    cent = pos.groupBy("s", "code", "i").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nv")
+    )
+    cb1 = _pq_with_norm(
+        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
+        .groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
+    ).localCheckpoint()
+    codes = _pq_assign(subs, cb1).localCheckpoint(eager=True)
+    cn2 = codes.groupBy("vec_id").agg(F.sum("cn2_s").alias("cn2"))
+    qsubs = subs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("sub").alias("qsub")
+    )
+    lut = qsubs.join(cb1, "s").select(
+        "q_id",
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with("qsub", "carr", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dotv"),
+    )
+    qn2 = (
+        ie.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.aggregate(
+                "iarr", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("qn2"),
+        )
+    )
+
+    # --- ADC restricted to probed cells (the composition) ---
+    num = (
+        cellcand.join(codes, "vec_id")
+        .join(lut, ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dotv").alias("num"))
+    )
+    qcos = F.col("num").cast("double") / F.sqrt(
+        (F.col("qn2") * F.col("cn2")).cast("double")
+    )
+    rw = W.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id"))
+    ipq_top = (
+        num.join(cn2, "vec_id")
+        .join(qn2, "q_id")
+        .filter((F.col("cn2") > 0) & (F.col("qn2") > 0))
+        .select("q_id", F.col("vec_id").alias("c_id"), qcos.alias("qcos"))
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= SIM_QUANT_TOPK)
+    )
+    exact_top = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = exact_top.join(ipq_top.select("q_id", "c_id"), ["q_id", "c_id"])
+    per_q = exact_top.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    nh = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    nc = cellcand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        per_q.join(nh, "q_id", "left")
+        .join(nc, "q_id")
+        .select(
+            "q_id",
+            F.col("k").cast("int").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k")).alias("recall"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.expr(f"n_cand * 1000000 div {n_vecs - 1}").cast("long").alias("scan_ppm"),
+        )
+    )
+
+
+# verbatim CTE reuse from the REGISTERED oracles (pytest-asserted): the
+# PQ chain is sliced out of PQ_RECALL_ORACLE between its stable markers,
+# so an edit to the registered oracle flows into this draft or fails the
+# slice loudly — never drifts silently.
+_PQ_SHARED_CTES = PQ_RECALL_ORACLE[
+    PQ_RECALL_ORACLE.index("ie AS (") : PQ_RECALL_ORACLE.index(",\n    pq_top AS")
+]
+
+IVF_PQ_RECALL_ORACLE = f"""
+    WITH {_EXACT_TOPK_CTE},
+    {_IVF_TOPK_CTE},
+    {_PQ_SHARED_CTES},
+    cellcand AS (
+      SELECT qc.q_id, e2.vec_id AS c_id
+      FROM qc JOIN embeddings e2 ON qc.label = e2.label AND e2.vec_id <> qc.q_id),
+    ipq AS (
+      SELECT num.q_id, num.vec_id AS c_id,
+             row_number() OVER (
+               PARTITION BY num.q_id
+               ORDER BY CAST(num AS DOUBLE)
+                        / SQRT(CAST(qn2.qn2 * cn2.cn2 AS DOUBLE)) DESC,
+                        num.vec_id) AS rnk
+      FROM num
+      JOIN cellcand cc ON num.q_id = cc.q_id AND num.vec_id = cc.c_id
+      JOIN cn2 ON num.vec_id = cn2.vec_id
+      JOIN qn2 ON num.q_id = qn2.q_id
+      WHERE cn2.cn2 > 0 AND qn2.qn2 > 0),
+    exact_top AS (SELECT q_id, c_id FROM r WHERE rnk <= 10),
+    hits AS (
+      SELECT e3.q_id, COUNT(*) AS n_hits
+      FROM exact_top e3
+      JOIN (SELECT q_id, c_id FROM ipq WHERE rnk <= {SIM_QUANT_TOPK}) p2
+        ON e3.q_id = p2.q_id AND e3.c_id = p2.c_id
+      GROUP BY e3.q_id),
+    nc AS (SELECT q_id, COUNT(*) AS n_cand FROM cellcand GROUP BY q_id)
+    SELECT e4.q_id, CAST(COUNT(*) AS INT) AS k,
+           COALESCE(ANY_VALUE(h.n_hits), 0) AS n_hits,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE) / COUNT(*) AS recall,
+           CAST(ANY_VALUE(nc.n_cand) AS BIGINT) AS n_cand,
+           CAST(ANY_VALUE(nc.n_cand) * 1000000
+                // ((SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS scan_ppm
+    FROM exact_top e4
+    LEFT JOIN hits h ON e4.q_id = h.q_id
+    JOIN nc ON e4.q_id = nc.q_id
+    GROUP BY e4.q_id
+    """

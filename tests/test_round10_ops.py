@@ -294,3 +294,59 @@ def test_substring_runs_draft_oracle_parity(spark):
         spark, "substring_runs", substring_runs, SUBSTRING_RUNS_ORACLE, SF_ORACLE
     )
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_recall (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_oracle_embeds_registered_fragments():
+    """The draft oracle must carry the REGISTERED tiers' CTE text
+    verbatim — the IVF probe chain and the PQ quantizer chain — so the
+    composition cannot drift from what q_sim_ivf / q_pq_recall witness."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _IVF_TOPK_CTE,
+        _PQ_SHARED_CTES,
+        IVF_PQ_RECALL_ORACLE,
+        PQ_RECALL_ORACLE,
+    )
+
+    assert _IVF_TOPK_CTE in IVF_PQ_RECALL_ORACLE
+    assert _PQ_SHARED_CTES in IVF_PQ_RECALL_ORACLE
+    assert _PQ_SHARED_CTES in PQ_RECALL_ORACLE
+    # the slice must have captured the full quantizer chain
+    for cte in ("subs AS", "cb0 AS", "cb1 AS", "cn2 AS", "lut AS", "num AS"):
+        assert cte in _PQ_SHARED_CTES, cte
+
+
+def test_ivf_pq_full_probe_degenerates_to_flat_pq(spark):
+    """Saturation law: probing EVERY cell must reproduce the flat PQ
+    harness exactly — same per-query recall rows — with the scan share
+    pinned at 1e6 ppm (the composition's loss is then pure quantizer)."""
+    from hadoop_distexec_spark.operators.llmops import ivf_pq_recall, pq_recall
+
+    full = {
+        r["q_id"]: r
+        for r in ivf_pq_recall(spark, SF_SMALL, nprobe=10_000).collect()
+    }
+    flat = {r["q_id"]: r for r in pq_recall(spark, SF_SMALL).collect()}
+    assert set(full) == set(flat) and len(full) == 5
+    for q_id, r in full.items():
+        f = flat[q_id]
+        assert (r["k"], r["n_hits"], r["recall"]) == (f["k"], f["n_hits"], f["recall"])
+        assert r["scan_ppm"] == 1_000_000
+
+
+def test_ivf_pq_draft_oracle_parity(spark):
+    """Registration gate: the draft DuckDB twin is bit-exact at sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        IVF_PQ_RECALL_ORACLE,
+        ivf_pq_recall,
+    )
+    from tests.oracle_util import run_pair
+
+    n = run_pair(
+        spark, "ivf_pq_recall", ivf_pq_recall, IVF_PQ_RECALL_ORACLE, SF_ORACLE
+    )
+    assert n == 5
