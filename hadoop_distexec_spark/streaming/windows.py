@@ -973,3 +973,125 @@ STREAM_DEDUP_DATA_ORACLE = """
 
 # round-8 registration (parity-proven since r07, tests/test_round8_ops.py)
 register("q_stream_dedup_data", oracle=STREAM_DEDUP_DATA_ORACLE)(stream_dedup_data)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER join (library tier, r11 registration candidate):
+# the one core streaming join shape still uncovered — inner
+# (q_stream_join_data), stream-static (q_stream_dim_join), dedup, late-data
+# and arbitrary-stateful all have registered data oracles; the outer join
+# adds the NULL-emission-on-state-eviction semantics none of them exercise.
+# ---------------------------------------------------------------------------
+
+# a click's outcome (matched or abandoned) is FINAL once the GLOBAL
+# watermark has passed click_ts + join window. The global watermark is the
+# MIN of the per-side watermarks, and each side's watermark tracks that
+# SIDE's max event time (withWatermark sits above the event_type filter) —
+# so the bound derives from min(max click ts, max purchase ts) - 30 min,
+# NOT from the stream's overall max ts (measured: the last click itself
+# never closes in a bounded run because its own side's watermark stops at
+# it). The close margin below is join window (30 min) + 1 min of
+# strict-inequality headroom, identically in both engines.
+OUTER_WM_DELAY_US = 1_800_000_000
+OUTER_CLOSE_US = 1_860_000_000
+
+
+def streaming_left_outer(
+    clicks: DataFrame, purchases: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER click->purchase attribution: every click
+    emits — matched rows as soon as the purchase arrives, ABANDONED
+    clicks as null-padded rows when the watermark passes the join window
+    and the state store evicts them. That late null emission is the
+    semantics this operator exists to witness: it only happens through
+    the real state/watermark machinery (a batch left join has nothing to
+    evict). Same bounded-state contract as streaming_join: both sides
+    watermarked, the join time-bounded, state sized by watermark + window.
+
+    The builder runs identically as the batch twin (withWatermark is a
+    no-op in batch), where the left join is just complete — agreement is
+    asserted on the watermark-CLOSED prefix (see OUTER_CLOSE_US)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+
+
+def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future q_stream_outer_join: run the left-outer attribution through
+    the REAL streaming runtime (availableNow to exhaustion — the closing
+    no-data batch advances the watermark and flushes the abandoned-click
+    nulls), assert the watermark-closed prefix equals the batch twin
+    row-for-row, and return that closed prefix for the data oracle. Raw
+    ids/epoch-micros/pass-through values only — rule-3 bit-determinism."""
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_bounded(streaming_left_outer(ev, ev), "append")
+    batch_ev = table(spark, sf_dir, "events")
+    side_max = batch_ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("p"),
+    ).collect()[0]
+    wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
+    cutoff = wm_us - OUTER_CLOSE_US
+    batch = streaming_left_outer(batch_ev, batch_ev)
+    got_c = got.filter(F.col("click_ts_us") <= cutoff)
+    batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
+    mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
+    if mism:
+        raise AssertionError(
+            f"stream-stream outer join diverged from batch twin on {mism} closed rows"
+        )
+    return got_c
+
+
+STREAM_OUTER_JOIN_ORACLE = f"""
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+             ) - {OUTER_WM_DELAY_US} AS wm_us),
+    c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user,
+             epoch_us(ts) AS purchase_ts_us, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, c.user_id, c.click_ts_us,
+           p.purchase_id, p.purchase_ts_us, p.purchase_value,
+           p.purchase_id IS NOT NULL AS matched
+    FROM c LEFT JOIN p
+      ON c.user_id = p.p_user
+     AND p.purchase_ts_us BETWEEN c.click_ts_us AND c.click_ts_us + 1800000000
+    WHERE c.click_ts_us <= (SELECT wm_us FROM wm) - {OUTER_CLOSE_US}
+    """

@@ -350,3 +350,67 @@ def test_ivf_pq_draft_oracle_parity(spark):
         spark, "ivf_pq_recall", ivf_pq_recall, IVF_PQ_RECALL_ORACLE, SF_ORACLE
     )
     assert n == 5
+
+
+# ---------------------------------------------------------------------------
+# stream_outer_join_data (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_outer_join_semantics(spark):
+    """The closed prefix must contain BOTH row kinds — matched rows and
+    null-padded abandoned clicks (the state-eviction emission the
+    operator exists to witness) — and the matched subset must equal the
+    registered inner join restricted to the same closed clicks."""
+    import pyspark.sql.functions as F
+
+    from hadoop_distexec_spark.streaming.windows import (
+        stream_outer_join_data,
+        streaming_join,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    out = stream_outer_join_data(spark, SF_SMALL).persist()
+    matched = out.filter(F.col("matched"))
+    nulls = out.filter(~F.col("matched"))
+    assert matched.count() > 0 and nulls.count() > 0
+    # null rows carry nulls in every purchase column
+    assert (
+        nulls.filter(
+            F.col("purchase_id").isNotNull()
+            | F.col("purchase_ts_us").isNotNull()
+            | F.col("purchase_value").isNotNull()
+        ).count()
+        == 0
+    )
+    ev = table(spark, SF_SMALL, "events")
+    closed_ids = {r["click_id"] for r in out.select("click_id").distinct().collect()}
+    inner = streaming_join(ev, ev).filter(F.col("click_id").isin(closed_ids))
+    got_m = {
+        (r["click_id"], r["purchase_id"])
+        for r in matched.select("click_id", "purchase_id").collect()
+    }
+    want_m = {
+        (r["click_id"], r["purchase_id"])
+        for r in inner.select("click_id", "purchase_id").collect()
+    }
+    assert got_m == want_m
+    out.unpersist()
+
+
+def test_stream_outer_join_draft_oracle_parity(spark):
+    """Registration gate: the draft DuckDB twin is bit-exact at sf0.01."""
+    from hadoop_distexec_spark.streaming.windows import (
+        STREAM_OUTER_JOIN_ORACLE,
+        stream_outer_join_data,
+    )
+    from tests.oracle_util import run_pair
+
+    n = run_pair(
+        spark,
+        "stream_outer_join",
+        stream_outer_join_data,
+        STREAM_OUTER_JOIN_ORACLE,
+        SF_ORACLE,
+    )
+    assert n > 0
