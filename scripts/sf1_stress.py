@@ -75,7 +75,15 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # the approved attested-latest-3 witness policy): both capped
            # edge builders plus their measured-agreement companions
            "q_dedup_embed_capped", "q_dedup_embed_capped_ivf",
-           "q_ivf_cap_overlap", "q_cc_cap_agreement"]
+           "q_ivf_cap_overlap", "q_cc_cap_agreement",
+           # round-10 registrations: the five former library tiers funded
+           # by the attested-latest-4 step, plus the estimator-audit /
+           # multimodal-dedup wave
+           "q_triangle_count_capped", "q_label_prop_capped",
+           "q_semantic_dedup_groups_capped", "q_multimodal_audio",
+           "q_kmv_overlap", "q_multimodal_phash", "q_lsh_band_curve",
+           "q_cell_compactness", "q_quantile_sample_eval",
+           "q_dedup_rate_curve"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration
@@ -84,16 +92,15 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
 # the cheap path, the *_agreement harnesses time the one-off audit that
 # runs BOTH tiers and reports measured agreement.
 PREP_APIS: list[str] = [
-    "triangle_count_capped",
-    "label_prop_capped",
+    # still-unregistered capped-graph one-off audits (run BOTH tiers)
     "triangle_cap_agreement",
     "lpa_cap_agreement",
-    # capped dedup clusters (refinement law => precision 1; recall measured)
-    "semantic_dedup_groups_capped",
-    # round-9 audio leg of the multimodal plumbing (tested draft oracle)
-    "multimodal_audio",
-    # round-9 KMV theta-sketch intersection audit (tested draft oracle)
-    "kmv_overlap",
+    # round-10 library tiers (tested draft oracles, r11 candidates):
+    # exact-substring run detector, composed IVF-PQ recall, and the
+    # stream-stream left-outer join through the real runtime
+    "substring_runs",
+    "ivf_pq_recall",
+    "stream_outer_join_data",
 ]
 
 
