@@ -39,6 +39,11 @@ WHITELIST = {
     ("operators/llmops.py", "q_sim_topk"): (1, "fixed 5-vector query set"),
     ("operators/llmops.py", "sim_quantized_recall"): (1, "fixed 5-vector quantized query set"),
     ("operators/llmops.py", "q_sim_ivf"): (1, "k centroid cells"),
+    ("operators/llmops.py", "ivf_pq_recall"): (
+        1,
+        "k centroid cells (q_sim_ivf's probe duplicated inline — same "
+        "bounded |labels| x 64-float side at any corpus size)",
+    ),
     ("operators/llmops.py", "_ivf_assign_cells"): (
         1,
         "IVF_CAP_NLIST (64) seed centroids, 64 floats each — KBs by the "
