@@ -138,6 +138,19 @@ HEADLINE = [
     "q_split_leakage",
     "q_stream_dedup_data",
     "q_compaction_plan",
+    # round-10 registrations (new ids — absent from BENCH_r01..r09): the
+    # five capped/audio/KMV tiers funded by the attested-latest-4 step
+    # plus the estimator-audit / multimodal-dedup wave
+    "q_triangle_count_capped",
+    "q_label_prop_capped",
+    "q_semantic_dedup_groups_capped",
+    "q_multimodal_audio",
+    "q_kmv_overlap",
+    "q_multimodal_phash",
+    "q_lsh_band_curve",
+    "q_cell_compactness",
+    "q_quantile_sample_eval",
+    "q_dedup_rate_curve",
 ]
 
 HEADLINE_TRIALS = 3
