@@ -377,6 +377,75 @@ def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_jump(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """connected_components with POINTER JUMPING (path halving): each
+    round runs the same neighbor-min step, then replaces every label by
+    its label's label, so label-chain lengths halve and convergence is
+    O(log diameter) rounds instead of O(diameter). Identical output
+    contract — (doc_id, component = min reachable doc_id) — because any
+    fixed point of the neighbor-min step is already the min-reachable
+    labeling and the jump is a no-op at that point.
+
+    Why it exists (measured, BENCH_LOCAL_r10): the candidate-capped edge
+    builder's sorted-sliding-window topology is CHAIN-shaped — each cell
+    member meets only its cap rank-successors, so a cell of m members
+    has graph diameter ~m/cap, and min-label propagation pays one
+    edge-join shuffle PER HOP (~30 rounds / 9.5s on sf0.1's ~500-member
+    cells; at a 100 TB cell the plain loop simply does not converge
+    inside any fixed budget). The jump costs one extra TOUCHED-SET
+    self-join per round (tiny next to the edge join) and cuts rounds to
+    ~log2(diameter). The dense exact-tier graphs (diameter 1-2) keep
+    using plain connected_components — the jump join would be pure
+    overhead there.
+
+    Invariant the jump relies on: labels only ever decrease and every
+    label is itself a touched doc_id, so the label's label is always
+    defined (inner-join-able) and least() keeps the step monotone."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    touched = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    labels = touched.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        stepped = _cc_round(sym, labels).select(
+            "doc_id", "component", F.col("new_component").alias("c1")
+        )
+        # jump: map each node's candidate label through the SAME
+        # candidate mapping (c1 of c1). Derive both from one
+        # checkpointed frame or the edge join would execute twice.
+        stepped = stepped.localCheckpoint(eager=True)
+        hop = stepped.select(
+            F.col("doc_id").alias("j_id"), F.col("c1").alias("j_c")
+        )
+        new = (
+            stepped.join(hop, stepped.c1 == hop.j_id, "left")
+            .select(
+                "doc_id",
+                "component",
+                F.least(
+                    F.col("c1"), F.coalesce("j_c", F.col("c1"))
+                ).alias("new_component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("new_component") < F.col("component")).count()
+        labels = new.select("doc_id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_jump did not converge after {max_iter} "
+            "rounds; raise max_iter — the pair graph has a component with "
+            "diameter > 2^max_iter, which should be impossible"
+        )
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
 # near-dup edges = the q_dedup_ngram pair set (jaccard >= 0.1); the oracle
 # recomputes the same pairs and takes the transitive closure recursively
 _NGRAM_PAIRS_SQL = f"""
@@ -1070,7 +1139,10 @@ def semantic_dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = embed_edges_capped(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    labels = connected_components(nodes, edges)
+    # pointer-jumping CC: the capped window graph is chain-shaped
+    # (diameter ~cell/cap), where the plain min-label loop pays one
+    # shuffle per hop — see connected_components_jump's docstring
+    labels = connected_components_jump(nodes, edges)
     return labels.select(
         F.col("doc_id").alias("vec_id"), "component"
     ).withColumn(
@@ -1562,7 +1634,8 @@ label_prop_capped._fingerprint_extras = _capped_graph_extras() + (
     _lpa_spectrum,
 )
 semantic_dedup_groups_capped._fingerprint_extras = _capped_graph_extras() + (
-    connected_components,
+    connected_components_jump,
+    _cc_round,
 )
 
 

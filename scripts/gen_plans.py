@@ -58,10 +58,23 @@ PICKS += [
     ("q_dedup_embed_capped_ivf", "assignment: Arrow/BLAS band scoring (ArrowEvalPython) + broadcast-seeds equi-join, decimal rank inside the 1e-6 band only; cells checkpointed so the subtree plans once; window core above the checkpoint is equi-join only"),
 ]
 
+# registered in round 10 (estimator-audit + multimodal-dedup wave)
+PICKS += [
+    ("q_multimodal_phash", "banded hash equi-self-join with the df cap — no nested loop; Hamming as bounded band XORs"),
+    ("q_dedup_rate_curve", "one shared pair build, then a x9 bounded threshold fan-out — no second corpus scan"),
+]
+
 # unregistered library tiers (module-resolved): the plan evidence the
 # SCALE.md capped-tier story rests on; PREP_PICKS stays as the hook for
 # future waves
 PREP_PICKS: list[tuple[str, str]] = []
+
+# round-10 library tiers (r11 registration candidates; resolved by name)
+PREP_PICKS += [
+    ("substring_runs", "positional-shingle equi-self-join under the df cap + (pair, diagonal) island windows — no BroadcastNestedLoopJoin, no global sort"),
+    ("ivf_pq_recall", "broadcast centroid probe -> candidate pruning BEFORE the per-(query, doc) ADC aggregate; bounded codebook/LUT equi-joins; Arrow int64 matmul assignment"),
+]
+
 
 
 def _prep_fn(name: str):
