@@ -7213,7 +7213,9 @@ def _pos_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select("doc_id", "p", sh.alias("shingle"))
 
 
-def substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_runs(
+    spark: SparkSession, sf_dir: str, _plan_only: bool = False
+) -> DataFrame:
     """Exact-substring duplication detector (the SQL-expressible core of
     Lee et al.'s suffix-array dedup, arXiv:2107.06499): for every doc
     pair sharing positional shingles, the LONGEST run of consecutive
@@ -7252,7 +7254,7 @@ def substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
         F.count(F.lit(1)).alias("run_len")
     )
-    out = (
+    plan = (
         runs.filter(F.col("run_len") >= MIN_SUBSTR_RUN)
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -7268,10 +7270,20 @@ def substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_runs",
             "total_run_shingles",
         )
-        .localCheckpoint(eager=True)
     )
+    if _plan_only:
+        return plan  # un-checkpointed, for plan inspection (gen_plans)
+    out = plan.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def substring_runs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed substring_runs plan — gen_plans/PLANS.md
+    evidence for the no-BNLJ / no-global-sort claims (the public
+    operator checkpoints its result, which hides the plan behind an
+    ExistingRDD scan)."""
+    return substring_runs(spark, sf_dir, _plan_only=True)
 
 
 _POS_SHINGLES_SQL = f"""

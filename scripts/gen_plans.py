@@ -71,8 +71,8 @@ PREP_PICKS: list[tuple[str, str]] = []
 
 # round-10 library tiers (r11 registration candidates; resolved by name)
 PREP_PICKS += [
-    ("substring_runs", "positional-shingle equi-self-join under the df cap + (pair, diagonal) island windows — no BroadcastNestedLoopJoin, no global sort"),
-    ("ivf_pq_recall", "broadcast centroid probe -> candidate pruning BEFORE the per-(query, doc) ADC aggregate; bounded codebook/LUT equi-joins; Arrow int64 matmul assignment"),
+    ("substring_runs_plan", "positional-shingle equi-self-join under the df cap + (pair, diagonal) island windows — no BroadcastNestedLoopJoin, no global sort"),
+    ("ivf_pq_recall", "broadcast centroid probe -> candidate pruning BEFORE the per-(query, doc) ADC aggregate; bounded codebook/LUT equi-joins; the only nested loops are the two reviewed bounded crosses (|cells| probe + the q_sim_topk exact-arm baseline)"),
 ]
 
 
