@@ -288,10 +288,22 @@ def _norm_ratios(out: dict) -> dict:
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # the CURRENT round's own BENCH_LOCAL may already be committed (the
+    # builder records it mid-round; the driver then re-runs bench at round
+    # end) — self-comparison is vacuous, so cap the candidate rounds at
+    # the latest driver CORRECTNESS artifact's round (current = that + 1)
+    cur_round = 1 + max(
+        (
+            int(m.group(1))
+            for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+        ),
+        default=0,
+    )
     prev_round, prev_path = -1, None
     for path in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
         m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > prev_round:
+        if m and prev_round < int(m.group(1)) < cur_round:
             prev_round, prev_path = int(m.group(1)), path
     if prev_path is None:
         return {}
