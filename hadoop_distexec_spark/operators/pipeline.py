@@ -409,6 +409,8 @@ def connected_components_jump(
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     touched = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
     labels = touched.select("doc_id", F.col("doc_id").alias("component"))
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         stepped = _cc_round(sym, labels).select(
             "doc_id", "component", F.col("new_component").alias("c1")
@@ -420,6 +422,10 @@ def connected_components_jump(
         hop = stepped.select(
             F.col("doc_id").alias("j_id"), F.col("c1").alias("j_c")
         )
+        # convergence count piggybacks the checkpoint materialization
+        # via Observation (the pipe executor's FAIL-count idiom) — one
+        # job instead of a checkpoint + a separate count per round
+        obs = Observation()
         new = (
             stepped.join(hop, stepped.c1 == hop.j_id, "left")
             .select(
@@ -429,9 +435,15 @@ def connected_components_jump(
                     F.col("c1"), F.coalesce("j_c", F.col("c1"))
                 ).alias("new_component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("new_component") < F.col("component"), 1).otherwise(0)
+                ).alias("ch"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("new_component") < F.col("component")).count()
+        changed = obs.get["ch"]
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
