@@ -640,6 +640,13 @@ def _compact_contract_line(out: dict) -> dict:
     if out.get("norm_vs"):
         regressed = {k: v for k, v in ratios.items() if v > 1.25}
         compact["norm_vs"] = out["norm_vs"]
+        # the MEDIAN ratio is the lane indicator: the probe is itself a
+        # small best-of-3 job with variance, and a fast probe inflates
+        # every ratio multiplicatively — per-query signal is deviation
+        # from this median, not from 1.0 (SCALE.md round-10 note)
+        if ratios:
+            med = sorted(ratios.values())[len(ratios) // 2]
+            compact["norm_median"] = _sig(med, 3)
         compact["norm_regressions"] = len(regressed)
         if regressed:
             worst = max(regressed, key=lambda k: regressed[k])
