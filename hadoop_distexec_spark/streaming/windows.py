@@ -1061,11 +1061,19 @@ def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("c"),
         F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("p"),
     ).collect()[0]
-    wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
-    cutoff = wm_us - OUTER_CLOSE_US
-    batch = streaming_left_outer(batch_ev, batch_ev)
-    got_c = got.filter(F.col("click_ts_us") <= cutoff)
-    batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
+    if side_max["c"] is None or side_max["p"] is None:
+        # a side with no rows never advances its watermark, so NOTHING
+        # closes — the oracle's LEAST(NULL, x) comparison is NULL-false
+        # and returns the same empty set
+        cutoff = None
+        got_c = got.filter(F.lit(False))
+        batch_c = got_c
+    else:
+        wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
+        cutoff = wm_us - OUTER_CLOSE_US
+        batch = streaming_left_outer(batch_ev, batch_ev)
+        got_c = got.filter(F.col("click_ts_us") <= cutoff)
+        batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
     mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
     if mism:
         raise AssertionError(
