@@ -7564,3 +7564,113 @@ IVF_PQ_RECALL_ORACLE = f"""
     JOIN nc ON e4.q_id = nc.q_id
     GROUP BY e4.q_id
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document line/boilerplate dedup (library tier, r11 candidate)
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 12  # fixture line = fixed 12-word chunk (see docstring)
+LINE_BOILER_DF = 3  # a line in >= this many distinct docs is boilerplate
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE dedup — the standard C4/CCNet/RefinedWeb
+    cleaning pass no other operator here covers: hash every line, count
+    the DISTINCT documents each line appears in, and flag lines above
+    LINE_BOILER_DF as boilerplate (headers, footers, navigation chrome,
+    license blocks — content that repeats across documents line-for-line
+    while the documents themselves are not duplicates). Output is the
+    per-source audit a cleaning run reads: line volume, boilerplate
+    instances and characters, and the drop rate in exact ppm.
+
+    Line contract: the fixture corpus has no newlines, so a "line" here
+    is a fixed LINE_WORDS-word chunk — the multimodal fake-decode
+    pattern: the Spark-side plumbing (chunk explode, md5 line keys, the
+    distinct-doc df aggregate, the instance join-back, the per-source
+    rollup) is real and byte-exactly oracled, and a production corpus
+    swaps ONE expression (split on newline instead of the chunker).
+
+    Shape at 100 TB: lines are linear in corpus tokens; the df count and
+    the join-back both key on the 128-bit line md5 (never the line text
+    — the shuffle carries 16-byte keys); one aggregate + one equi-join +
+    one per-source rollup. The boilerplate side is df-heavy-hitter
+    shaped: at scale the df >= T set is small and AQE broadcasts the
+    join-back, the same dynamics as the stop-shingle rule."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    n_chunks = F.ceil(F.size("t") / F.lit(LINE_WORDS)).cast("int")
+    ln = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.slice("t", (F.col("p") - 1) * LINE_WORDS + 1, LINE_WORDS)
+        ).alias("line"),
+    )
+    ln = ln.select(
+        "doc_id", "source", F.md5(F.encode("line", "UTF-8")).alias("lh"),
+        F.length("line").alias("n_chars_line"),
+    )
+    dfreq = ln.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    ).filter(F.col("line_df") >= LINE_BOILER_DF)
+    flagged = ln.join(dfreq, "lh", "left")
+    per_source = flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("line_df").isNotNull(), 1).otherwise(0)).alias(
+            "boiler_instances"
+        ),
+        F.sum(
+            F.when(F.col("line_df").isNotNull(), F.col("n_chars_line")).otherwise(0)
+        ).alias("boiler_chars"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_lines",
+        F.col("boiler_instances").cast("long").alias("boiler_instances"),
+        F.col("boiler_chars").cast("long").alias("boiler_chars"),
+        F.expr("boiler_instances * 1000000 div n_lines").alias("drop_ppm"),
+    )
+
+
+LINE_DEDUP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    ln0 AS (
+      SELECT doc_id, source,
+             array_to_string(
+               t[CAST((p - 1) * {LINE_WORDS} + 1 AS INT)
+                 :CAST(LEAST(p * {LINE_WORDS}, len(t)) AS INT)], ' ') AS line
+      FROM toks, UNNEST(range(1, CAST((len(t) + {LINE_WORDS - 1}) // {LINE_WORDS} AS BIGINT) + 1)) u(p)
+      WHERE len(t) >= 1),
+    ln AS (
+      SELECT doc_id, source, md5(line) AS lh, LENGTH(line) AS n_chars_line
+      FROM ln0),
+    dfreq AS (
+      SELECT lh, COUNT(DISTINCT doc_id) AS line_df
+      FROM ln GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= {LINE_BOILER_DF}),
+    flagged AS (
+      SELECT ln.source, ln.doc_id, ln.n_chars_line, dfreq.line_df
+      FROM ln LEFT JOIN dfreq ON ln.lh = dfreq.lh)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN line_df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS boiler_instances,
+           CAST(SUM(CASE WHEN line_df IS NOT NULL THEN n_chars_line ELSE 0 END)
+                AS BIGINT) AS boiler_chars,
+           CAST(SUM(CASE WHEN line_df IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS drop_ppm
+    FROM flagged GROUP BY source
+    """

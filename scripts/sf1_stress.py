@@ -101,6 +101,8 @@ PREP_APIS: list[str] = [
     "substring_runs",
     "ivf_pq_recall",
     "stream_outer_join_data",
+    # cross-document line/boilerplate dedup (the C4/CCNet cleaning pass)
+    "line_dedup",
 ]
 
 

@@ -478,3 +478,80 @@ def test_cc_jump_handles_long_chains_plain_cannot(spark):
     assert {r["component"] for r in labels} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=14)
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (library tier, r11 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def _brute_line_dedup(sf_dir: str):
+    import collections
+    import hashlib  # noqa: F401
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_BOILER_DF,
+        LINE_WORDS,
+    )
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    lines = []  # (doc_id, source, line)
+    for doc_id, source, text in rows:
+        t = text.strip().split()
+        if not t:
+            continue
+        for p in range((len(t) + LINE_WORDS - 1) // LINE_WORDS):
+            lines.append((doc_id, source, " ".join(t[p * LINE_WORDS : (p + 1) * LINE_WORDS])))
+    df = collections.defaultdict(set)
+    for doc_id, _, line in lines:
+        df[line].add(doc_id)
+    boiler = {line for line, docs in df.items() if len(docs) >= LINE_BOILER_DF}
+    out = {}
+    for doc_id, source, line in lines:
+        nd, nl, bi, bc = out.get(source, (set(), 0, 0, 0))
+        nd = nd | {doc_id}
+        nl += 1
+        if line in boiler:
+            bi += 1
+            bc += len(line)
+        out[source] = (nd, nl, bi, bc)
+    return {
+        src: (len(nd), nl, bi, bc, bi * 1_000_000 // nl)
+        for src, (nd, nl, bi, bc) in out.items()
+    }
+
+
+def test_line_dedup_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import line_dedup
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_lines"],
+            r["boiler_instances"],
+            r["boiler_chars"],
+            r["drop_ppm"],
+        )
+        for r in line_dedup(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_line_dedup(SF_SMALL)
+    # vacuity guards in both directions: the fixture plants cross-doc
+    # boilerplate, and most sources are clean
+    assert sum(v[2] for v in got.values()) > 0
+    assert any(v[2] == 0 for v in got.values())
+
+
+def test_line_dedup_draft_oracle_parity(spark):
+    """Registration gate: the draft DuckDB twin is bit-exact at sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_DEDUP_ORACLE,
+        line_dedup,
+    )
+    from tests.oracle_util import run_pair
+
+    n = run_pair(spark, "line_dedup", line_dedup, LINE_DEDUP_ORACLE, SF_ORACLE)
+    assert n > 0
