@@ -73,6 +73,7 @@ PREP_PICKS: list[tuple[str, str]] = []
 PREP_PICKS += [
     ("substring_runs_plan", "positional-shingle equi-self-join under the df cap + (pair, diagonal) island windows — no BroadcastNestedLoopJoin, no global sort"),
     ("ivf_pq_recall", "broadcast centroid probe -> candidate pruning BEFORE the per-(query, doc) ADC aggregate; bounded codebook/LUT equi-joins; the only nested loops are the two reviewed bounded crosses (|cells| probe + the q_sim_topk exact-arm baseline)"),
+    ("line_dedup", "16-byte line-hash keys through one distinct-doc df aggregate + a heavy-hitter left join-back + the per-source rollup; join-free of the text column after the hash projection"),
 ]
 
 
