@@ -7,13 +7,15 @@ currently carries a DuckDB oracle, and the SOURCE FINGERPRINT the id held
 at its last witness. The fingerprint powers the change-aware staleness
 bound (tests/test_round2_ops.py::test_witness_staleness_bounded): ids
 whose registered semantics (function source + oracle SQL) are ATTESTED
-untouched since their last hash-green witness may age to latest-4
-(the r10+ policy proposed in SURVEY §2.10 and APPROVED by VERDICT r09
-next-round #2; it was latest-3 through round 9, latest-2 through
-round 8); any code change, missing attestation, or rows-only last
-witness keeps the tight latest-1 bound. That lifts the registry's
-witness-bandwidth ceiling to ~6 cohorts x 50 = ~300 ids at 50
-witnesses/round, funding the five r09 library-tier registrations.
+untouched since their last hash-green witness may age to latest-5
+(the r11+ policy proposed in SURVEY §2.10 and APPROVED — indeed
+REQUIRED, the r11 window owes ~65 expiring ids against 50 slots under
+latest-4 — by VERDICT r10 next-round #1; it was latest-4 in round 10,
+latest-3 through round 9, latest-2 through round 8); any code change,
+missing attestation, or rows-only last witness keeps the tight
+latest-1 bound. That lifts the registry's witness-bandwidth ceiling to
+~6 cohorts x 50 = ~300 ids at 50 witnesses/round, funding the four
+r10-drafted library-tier registrations.
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py
@@ -37,7 +39,7 @@ tie-breaks):
   2. witnessed rows-only — both oracle upgrades the driver has never
      hash-checked AND the contractually rows-only pipe ids (weaker
      witnesses keep tier-1 priority per the approved r09+ policy),
-  3. earliest DEADLINE first (last witness + 4 for attested-unchanged
+  3. earliest DEADLINE first (last witness + 5 for attested-unchanged
      hash-green ids, + 1 otherwise), then oldest ``last_round``, then qid.
 
 Run ``python scripts/rotate.py`` (regenerates rotation + ledger + parity
@@ -92,7 +94,7 @@ def staleness_key(entry: dict, qid: str) -> tuple:
     # APPROVED r09+ policy (VERDICT r08 next-round #2): within tier 2,
     # rank by DEADLINE — the latest driver round at which the id is still
     # within its staleness bound. An id whose fingerprint is ATTESTED
-    # unchanged since its last hash-green witness may age to latest-4;
+    # unchanged since its last hash-green witness may age to latest-5;
     # unattested or post-witness-edited ids (fp_current_match false) stay
     # at the tight latest-1 bound, so their deadline is two rounds
     # earlier and they rotate first. This replaces the r08-era
@@ -105,7 +107,7 @@ def staleness_key(entry: dict, qid: str) -> tuple:
         and entry.get("fp_current_match", True)
         and entry.get("result") == "hash_green"
     )
-    deadline = (entry["last_round"] or 0) + (4 if relaxed_ok else 1)
+    deadline = (entry["last_round"] or 0) + (5 if relaxed_ok else 1)
     return (tier, deadline, entry["last_round"] or 0, qid)
 
 
