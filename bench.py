@@ -270,17 +270,29 @@ def _bench_sketch_hash_tiers(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _norm_ratios(out: dict) -> dict:
-    """Per-query lane-normalized ratio vs the previous round's committed
-    BENCH_LOCAL_r{N}.json (VERDICT r09 next-round #8): the judge reads
-    regressions directly from the artifact instead of recomputing the
-    SCALE.md recipe by hand. For every query present (error-free) in both
-    rounds:
+def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
+    """Per-query LANE-NORMALIZED ratio vs the previous committed
+    BENCH_LOCAL_r{N}.json (VERDICT r09 next-round #8, made lane-robust
+    per VERDICT r10 #4): for every query present (error-free) in both
+    runs, the raw ratio t_now/t_prev is divided by the MEDIAN raw ratio
+    over the shared set. The median is the lane indicator — hardware,
+    cache state and lane load move every query together — so per-query
+    signal is deviation FROM THE LANE, and a cross-lane comparison
+    self-normalizes to ~1.0 instead of reading as a fleet-wide
+    regression. The old probe-based scaling divided by a tiny best-of-3
+    job whose variance multiplied into every ratio (the r10
+    norm_median-1.47 artifact); the probe now rides along as an
+    annotation only (`lane_probe_sec` / `norm_probe_prev`), and the raw
+    lane factor is reported once as `norm_lane_ratio`.
 
-        norm_ratio(q) = (t_now(q) / probe_now) / (t_prev(q) / probe_prev)
+    Target selection is pinned to BENCH_LOCAL artifacts ALONE — the
+    latest BENCH_LOCAL_r* on disk — so a CORRECTNESS_rN.json landing in
+    the working tree mid-round can no longer flip the comparison target
+    (the r10 race), and a fresh clone whose driver artifacts are
+    untracked still gets a comparison (ADVICE r10 #4). `prev_path`
+    injects the target for hermetic tests (VERDICT r10 #5). Returns {}
+    when no BENCH_LOCAL exists (round 1 / fresh clone).
 
-    falling back to the raw ratio when either round lacks a lane probe.
-    Returns {} when no prior BENCH_LOCAL exists (round 1 / fresh clone).
     The full map rides the detail line; the contract line carries only
     the count of shared queries above the 1.25x noise gate plus the
     single worst offender, so a clean round costs ~40 bytes."""
@@ -288,49 +300,42 @@ def _norm_ratios(out: dict) -> dict:
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # the CURRENT round's own BENCH_LOCAL may already be committed (the
-    # builder records it mid-round; the driver then re-runs bench at round
-    # end) — self-comparison is vacuous, so cap the candidate rounds at
-    # the latest driver CORRECTNESS artifact's round (current = that + 1)
-    cur_round = 1 + max(
-        (
-            int(m.group(1))
-            for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
-        ),
-        default=0,
-    )
-    prev_round, prev_path = -1, None
-    for path in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
-        if m and prev_round < int(m.group(1)) < cur_round:
-            prev_round, prev_path = int(m.group(1)), path
+    prev_round = 0
     if prev_path is None:
-        return {}
+        for path in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
+            m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
+            if m and int(m.group(1)) > prev_round:
+                prev_round, prev_path = int(m.group(1)), path
+        if prev_path is None:
+            return {}
+    else:
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", prev_path)
+        prev_round = int(m.group(1)) if m else 0
     try:
         with open(prev_path) as f:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
-    probe_now = out.get("lane_probe_sec")
-    probe_prev = prev.get("lane_probe_sec")
-    scale = (
-        probe_prev / probe_now
-        if probe_now and probe_prev and probe_now > 0 and probe_prev > 0
-        else 1.0
-    )
     bad_now = set(out.get("errors", {}))
     bad_prev = set(prev.get("errors", {}))
-    ratios: dict[str, float] = {}
+    raw: dict[str, float] = {}
     for qid, t_now in out.get("queries", {}).items():
         t_prev = prev.get("queries", {}).get(qid)
         if qid in bad_now or qid in bad_prev or not t_prev or t_now is None:
             continue
-        ratios[qid] = round((t_now / t_prev) * scale, 3)
+        raw[qid] = t_now / t_prev
+    if not raw:
+        return {}
+    med = sorted(raw.values())[len(raw) // 2]
+    if med <= 0:
+        return {}
     return {
         "norm_vs": f"r{prev_round:02d}",
-        "norm_probe_prev": probe_prev,
-        "norm_ratio": ratios,
+        "norm_probe_prev": prev.get("lane_probe_sec"),
+        # the raw shared-query median — the whole-lane speed factor vs
+        # the target run (1.0 = same lane speed; annotation, not signal)
+        "norm_lane_ratio": round(med, 3),
+        "norm_ratio": {q: round(v / med, 3) for q, v in raw.items()},
     }
 
 
@@ -640,10 +645,12 @@ def _compact_contract_line(out: dict) -> dict:
     if out.get("norm_vs"):
         regressed = {k: v for k, v in ratios.items() if v > 1.25}
         compact["norm_vs"] = out["norm_vs"]
-        # the MEDIAN ratio is the lane indicator: the probe is itself a
-        # small best-of-3 job with variance, and a fast probe inflates
-        # every ratio multiplicatively — per-query signal is deviation
-        # from this median, not from 1.0 (SCALE.md round-10 note)
+        # ratios are already divided by the shared-query median (the
+        # lane indicator), so norm_median reads ~1.0 by construction on
+        # any lane state and regressions are per-query deviations from
+        # the lane; the whole-lane factor rides as norm_lane_ratio
+        if out.get("norm_lane_ratio") is not None:
+            compact["norm_lane_ratio"] = _sig(out["norm_lane_ratio"], 3)
         if ratios:
             med = sorted(ratios.values())[len(ratios) // 2]
             compact["norm_median"] = _sig(med, 3)

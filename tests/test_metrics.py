@@ -84,24 +84,63 @@ def test_bench_contract_line_fits_driver_tail():
             assert parsed["queries_omitted"] == n - len(parsed["queries"])
 
 
-def test_bench_norm_ratios_lane_normalized():
-    """norm_ratio divides out the lane-probe swing: a uniform slowdown
-    with a matching probe move reads 1.0; errored qids are excluded."""
+def test_bench_norm_ratios_lane_normalized(tmp_path):
+    """norm_ratio self-normalizes by the shared-query MEDIAN raw ratio
+    (VERDICT r10 #4): a uniform lane slowdown reads 1.0 per query with
+    the whole-lane factor reported once as norm_lane_ratio, a genuine
+    single-query regression still stands out, and errored qids are
+    excluded. HERMETIC (VERDICT r10 #5): the previous-round artifact is
+    a synthetic fixture injected via prev_path — the repo glob is never
+    consulted, so driver artifacts landing in the working tree (the
+    exact state every round ends in) cannot flip this test."""
     import json
     import sys
 
     sys.path.insert(0, ".")
     import bench
 
-    prev = json.load(open("BENCH_LOCAL_r09.json"))
-    probe_prev = prev.get("lane_probe_sec") or 0.3
+    prev = {
+        "queries": {f"q_{i:02d}": 1.0 + i / 10 for i in range(9)},
+        "lane_probe_sec": 0.3,
+    }
+    prev_path = tmp_path / "BENCH_LOCAL_r42.json"
+    prev_path.write_text(json.dumps(prev))
+
     out = {
         "queries": {k: v * 1.7 for k, v in prev["queries"].items()},
-        "lane_probe_sec": probe_prev * 1.7,
-        "errors": {next(iter(prev["queries"])): "boom"},
+        "lane_probe_sec": 0.51,
+        "errors": {"q_00": "boom"},
     }
-    r = bench._norm_ratios(out)
-    assert r["norm_vs"].startswith("r")
-    assert next(iter(prev["queries"])) not in r["norm_ratio"]
-    vals = list(r["norm_ratio"].values())
-    assert vals and all(abs(v - 1.0) < 0.01 for v in vals)
+    out["queries"]["q_08"] = prev["queries"]["q_08"] * 1.7 * 2.0  # real regression
+    r = bench._norm_ratios(out, prev_path=str(prev_path))
+    assert r["norm_vs"] == "r42"
+    assert "q_00" not in r["norm_ratio"]
+    assert abs(r["norm_lane_ratio"] - 1.7) < 0.01
+    clean = [v for q, v in r["norm_ratio"].items() if q != "q_08"]
+    assert clean and all(abs(v - 1.0) < 0.01 for v in clean)
+    assert abs(r["norm_ratio"]["q_08"] - 2.0) < 0.01
+
+
+def test_bench_norm_ratios_target_pinned_to_bench_local(tmp_path, monkeypatch):
+    """Target selection reads BENCH_LOCAL artifacts ONLY — planting a
+    newer CORRECTNESS_r*.json next to them must not change the chosen
+    comparison target (the r10 mid-round race), and with no CORRECTNESS
+    artifact at all the latest BENCH_LOCAL is still found (ADVICE r10
+    #4's fresh-clone case)."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(json.dumps({"queries": {"q": 2.0}}))
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text(json.dumps({"queries": {"q": 1.0}}))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    out = {"queries": {"q": 1.5}}
+    r1 = bench._norm_ratios(out)
+    assert r1["norm_vs"] == "r09"
+    # a CORRECTNESS artifact landing mid-round must not flip the target
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
+    r2 = bench._norm_ratios(out)
+    assert r2["norm_vs"] == "r09" and r2 == r1
