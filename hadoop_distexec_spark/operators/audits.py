@@ -657,34 +657,47 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: priority = (md5 of the decimal doc_id string, doc_id)
     — total order, no ties; counts exact bigints; shares integer ppm.
 
-    Shape at 100 TB: one row_number window partitioned by source (the
-    per-source sort is bounded by the largest source's doc count; a
-    two-phase per-partition pre-top-cap would bound it further and is
-    noted, not needed at audit cadence) feeding one map-side-combinable
-    per-source aggregate. No join; output is |sources| rows."""
+    Shape at 100 TB (restructured r11, VERDICT r10 what's-wrong #1): the
+    pre-r11 single window ranked every document of a source in ONE task
+    — at 100 TB one crawl source can be a double-digit share of all
+    rows, the classic skewed-key window trap. But the totals
+    (n_docs/total_chars) are rank-free map-side aggregates, and the
+    kept arm only needs the per-source top-{DOMAIN_CAP} — the two-level
+    selection (the kmv/data_mix idiom): level 1 keeps the cap smallest
+    priorities within every (source, input-partition) slice (the global
+    smallest are a subset of the union of per-slice smallest), so the
+    per-source window sorts at most #partitions x cap survivors however
+    hot the source. One |sources|-row join stitches the two arms;
+    output and oracle byte-identical to the pre-r11 version."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "n_chars",
         F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("pri"),
     )
-    rn = d.select(
-        "source",
-        "n_chars",
-        F.expr(
-            "row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)"
-        ).alias("rn"),
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w1 = W.partitionBy("source", "_pid").orderBy("pri", "doc_id")
+    wk = W.partitionBy("source").orderBy("pri", "doc_id")
+    survivors = (
+        d.withColumn("_pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .drop("rn", "_pid")
+    )
+    kept = (
+        survivors.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
     )
     return (
-        rn.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum(F.when(F.col("rn") <= DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("rn") <= DOMAIN_CAP, F.col("n_chars")).otherwise(0)).alias(
-                "kept_chars"
-            ),
-        )
+        totals.join(kept, "source")
         .select(
             "source",
             "n_docs",

@@ -7330,15 +7330,20 @@ SUBSTRING_RUNS_ORACLE = (
     """
 )
 
+# r11 registration (VERDICT r10 next-round #1, funded by the enacted
+# attested-latest-5 witness step): the r10-drafted tier keeps its
+# tested bit-exact oracle unchanged
+register("q_substring_runs", oracle=SUBSTRING_RUNS_ORACLE)(substring_runs)
+
 
 # ---------------------------------------------------------------------------
-# IVF-PQ composed ANN recall (library tier, r11 registration candidate)
+# IVF-PQ composed ANN recall (library tier, registered r11)
 # ---------------------------------------------------------------------------
 
 IVFPQ_NPROBE = 2  # cells probed per query (q_sim_ivf's constant)
 
 
-def ivf_pq_recall(
+def _ivf_pq_recall_at(
     spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
 ) -> DataFrame:
     """Recall@10 of the FULL production ANN path — IVF cell probe
@@ -7518,6 +7523,20 @@ def ivf_pq_recall(
     )
 
 
+def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registration entry point for the composed IVF+PQ recall harness
+    (see _ivf_pq_recall_at for the full design notes). The probe width
+    is PINNED to IVFPQ_NPROBE here because IVF_PQ_RECALL_ORACLE embeds
+    the registered _IVF_TOPK_CTE with that constant baked into its
+    c_rank cut — a caller-supplied nprobe would silently diverge from
+    the oracle (ADVICE r10 #3). The nprobe-saturation law test uses the
+    private _ivf_pq_recall_at directly."""
+    return _ivf_pq_recall_at(spark, sf_dir, IVFPQ_NPROBE)
+
+
+ivf_pq_recall._fingerprint_extras = (_ivf_pq_recall_at,)
+
+
 # verbatim CTE reuse from the REGISTERED oracles (pytest-asserted): the
 # PQ chain is sliced out of PQ_RECALL_ORACLE between its stable markers,
 # so an edit to the registered oracle flows into this draft or fails the
@@ -7565,6 +7584,11 @@ IVF_PQ_RECALL_ORACLE = f"""
     GROUP BY e4.q_id
     """
 
+# r11 registration: the entry point pins nprobe to the oracle's baked-in
+# constant (ADVICE r10 #3); _ivf_pq_recall_at is fingerprint-covered via
+# _fingerprint_extras
+register("q_ivf_pq_recall", oracle=IVF_PQ_RECALL_ORACLE)(ivf_pq_recall)
+
 
 # ---------------------------------------------------------------------------
 # cross-document line/boilerplate dedup (library tier, r11 candidate)
@@ -7589,7 +7613,10 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: the Spark-side plumbing (chunk explode, md5 line keys, the
     distinct-doc df aggregate, the instance join-back, the per-source
     rollup) is real and byte-exactly oracled, and a production corpus
-    swaps ONE expression (split on newline instead of the chunker).
+    swaps ONE expression: line_dedup_newline below IS that swap
+    (split(text, '\\n') feeding the same _line_audit body; VERDICT r10
+    next-round #6), with its own oracle twin and a planted-boilerplate
+    law test over a newline-bearing fixture.
 
     Shape at 100 TB: lines are linear in corpus tokens; the df count and
     the join-back both key on the 128-bit line md5 (never the line text
@@ -7615,6 +7642,16 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("t", (F.col("p") - 1) * LINE_WORDS + 1, LINE_WORDS)
         ).alias("line"),
     )
+    return _line_audit(ln)
+
+
+def _line_audit(ln: DataFrame) -> DataFrame:
+    """Shared back half of the line-dedup pass over a
+    (doc_id, source, line) frame: md5 line keys (the shuffle carries
+    16-byte hashes, never line text), distinct-doc df, the df-heavy-
+    hitter join-back, and the per-source audit rollup. Both splitter
+    variants (fixture chunker / production newline) feed this body —
+    the 'swap ONE expression' contract made literal."""
     ln = ln.select(
         "doc_id", "source", F.md5(F.encode("line", "UTF-8")).alias("lh"),
         F.length("line").alias("n_chars_line"),
@@ -7641,6 +7678,32 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("boiler_chars").cast("long").alias("boiler_chars"),
         F.expr("boiler_instances * 1000000 div n_lines").alias("drop_ppm"),
     )
+
+
+line_dedup._fingerprint_extras = (_line_audit,)
+
+
+def line_dedup_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup's PRODUCTION splitter (VERDICT r10 next-round #6): a
+    line is a real newline-delimited line — split on '\\n', trimmed,
+    empties dropped — feeding the identical _line_audit body. This is
+    the variant a real corpus runs (C4/CCNet/RefinedWeb boilerplate-line
+    removal); the registered chunker variant exists because the driver
+    fixture has no newlines. Same 100 TB shape: lines linear in corpus
+    bytes, one md5-keyed df aggregate + heavy-hitter join-back."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ln = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", "\n")).alias("raw")
+        )
+        .select("doc_id", "source", F.trim("raw").alias("line"))
+        .filter(F.length("line") >= 1)
+    )
+    return _line_audit(ln)
+
+
+line_dedup_newline._fingerprint_extras = (_line_audit,)
 
 
 LINE_DEDUP_ORACLE = f"""
@@ -7674,3 +7737,26 @@ LINE_DEDUP_ORACLE = f"""
                 // COUNT(*) AS BIGINT) AS drop_ppm
     FROM flagged GROUP BY source
     """
+
+# the newline variant's oracle reuses the registered oracle's audit tail
+# VERBATIM (sliced between stable markers, the _PQ_SHARED_CTES idiom):
+# only the ln0 line source differs, so an edit to the registered audit
+# flows into this twin or fails the slice loudly — never drifts silently
+_LINE_AUDIT_TAIL = LINE_DEDUP_ORACLE[LINE_DEDUP_ORACLE.index("ln AS (") :]
+
+LINE_DEDUP_NEWLINE_ORACLE = (
+    """
+    WITH ln0 AS (
+      SELECT doc_id, source, trim(l) AS line
+      FROM (SELECT doc_id, source, UNNEST(string_split(text, chr(10))) AS l
+            FROM documents) u
+      WHERE LENGTH(trim(l)) >= 1),
+    """
+    + _LINE_AUDIT_TAIL
+)
+
+# r11 registration: the CHUNKER variant is the registered id (the driver
+# fixture has no newlines); line_dedup_newline is the production-splitter
+# library twin (VERDICT r10 next-round #6) sharing the fingerprint-covered
+# _line_audit body
+register("q_line_dedup", oracle=LINE_DEDUP_ORACLE)(line_dedup)

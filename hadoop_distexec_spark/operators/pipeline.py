@@ -378,7 +378,7 @@ def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def connected_components_jump(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 256
 ) -> DataFrame:
     """connected_components with POINTER JUMPING (path halving): each
     round runs the same neighbor-min step, then replaces every label by
@@ -402,7 +402,16 @@ def connected_components_jump(
 
     Invariant the jump relies on: labels only ever decrease and every
     label is itself a touched doc_id, so the label's label is always
-    defined (inner-join-able) and least() keeps the step monotone."""
+    defined (inner-join-able) and least() keeps the step monotone.
+
+    Convergence budget: SCALE.md r10 measures rounds ≈ 3.6·log2(diameter)
+    (the constant >1 because the neighbor-min step and the jump interleave,
+    not pure path-halving), so a 100 TB IVF cell (m ≈ 5·10⁵ members at
+    cap 16 ⇒ diameter ≈ 3·10⁴) needs ≈53 rounds — the old default of 50
+    raised at exactly the scale the operator was built for (VERDICT r10
+    next-round #3). The loop exits on convergence, so the generous
+    default ≈ 4·64 costs nothing on small graphs; the budget now covers
+    diameters up to ~2^(256/3.6) ≈ 10^21."""
     edges = edges.localCheckpoint(eager=True)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -443,15 +452,20 @@ def connected_components_jump(
             )
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["ch"]
+        # F.sum over an EMPTY frame observes NULL (None), not 0 — with
+        # zero edges every frame in the loop is empty and `changed == 0`
+        # would never fire, exhausting max_iter on a valid degenerate
+        # input (a corpus with no near-dup pairs; ADVICE r10 #1)
+        changed = obs.get["ch"] or 0
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components_jump did not converge after {max_iter} "
-            "rounds; raise max_iter — the pair graph has a component with "
-            "diameter > 2^max_iter, which should be impossible"
+            "rounds; raise max_iter — measured convergence is "
+            "rounds ≈ 3.6·log2(diameter) (SCALE.md r10), so the pair graph "
+            f"has a component with diameter beyond ~2^({max_iter}/3.6)"
         )
     return nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")

@@ -1048,7 +1048,7 @@ def streaming_left_outer(
 
 
 def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Future q_stream_outer_join: run the left-outer attribution through
+    """q_stream_outer_join (registered r11): run the left-outer attribution through
     the REAL streaming runtime (availableNow to exhaustion — the closing
     no-data batch advances the watermark and flushes the abandoned-click
     nulls), assert the watermark-closed prefix equals the batch twin
@@ -1063,17 +1063,18 @@ def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     if side_max["c"] is None or side_max["p"] is None:
         # a side with no rows never advances its watermark, so NOTHING
-        # closes — the oracle's LEAST(NULL, x) comparison is NULL-false
-        # and returns the same empty set
-        cutoff = None
-        got_c = got.filter(F.lit(False))
-        batch_c = got_c
-    else:
-        wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
-        cutoff = wm_us - OUTER_CLOSE_US
-        batch = streaming_left_outer(batch_ev, batch_ev)
-        got_c = got.filter(F.col("click_ts_us") <= cutoff)
-        batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
+        # closes — the oracle's NULL-strict CASE keeps wm_us NULL there
+        # (DuckDB's LEAST alone would IGNORE the NULL side) and its
+        # WHERE is NULL-false, returning the same empty set. Return the
+        # empty closed prefix directly: the batch-twin check is vacuous
+        # (both sides empty by construction) and a self-exceptAll on the
+        # memory-sink view trips an analyzer attribute conflict
+        return got.filter(F.lit(False))
+    wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
+    cutoff = wm_us - OUTER_CLOSE_US
+    batch = streaming_left_outer(batch_ev, batch_ev)
+    got_c = got.filter(F.col("click_ts_us") <= cutoff)
+    batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
     mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
     if mism:
         raise AssertionError(
@@ -1083,11 +1084,19 @@ def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_OUTER_JOIN_ORACLE = f"""
-    WITH wm AS (
-      SELECT LEAST(
-               (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
-               (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
-             ) - {OUTER_WM_DELAY_US} AS wm_us),
+    WITH side AS (
+      SELECT MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_max,
+             MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_max
+      FROM events),
+    wm AS (
+      -- NULL-STRICT two-sided watermark: DuckDB's LEAST IGNORES NULLs
+      -- (LEAST(NULL, x) = x), but a side with no rows never advances its
+      -- Spark watermark, so nothing closes — the CASE keeps wm_us NULL
+      -- and the outer WHERE NULL-false, matching the harness's empty
+      -- result on one-sided inputs (ADVICE r10 #2)
+      SELECT CASE WHEN c_max IS NULL OR p_max IS NULL THEN NULL
+                  ELSE LEAST(c_max, p_max) END - {OUTER_WM_DELAY_US} AS wm_us
+      FROM side),
     c AS (
       SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
       FROM events WHERE event_type = 'click'),
@@ -1103,3 +1112,11 @@ STREAM_OUTER_JOIN_ORACLE = f"""
      AND p.purchase_ts_us BETWEEN c.click_ts_us AND c.click_ts_us + 1800000000
     WHERE c.click_ts_us <= (SELECT wm_us FROM wm) - {OUTER_CLOSE_US}
     """
+
+# r11 registration (VERDICT r10 next-round #1): the only left-outer /
+# state-eviction streaming-join semantics in the repo, with the
+# NULL-strict watermark oracle fix (ADVICE r10 #2) taken BEFORE the
+# first witness
+register("q_stream_outer_join", oracle=STREAM_OUTER_JOIN_ORACLE)(
+    stream_outer_join_data
+)

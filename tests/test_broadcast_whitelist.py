@@ -39,10 +39,11 @@ WHITELIST = {
     ("operators/llmops.py", "q_sim_topk"): (1, "fixed 5-vector query set"),
     ("operators/llmops.py", "sim_quantized_recall"): (1, "fixed 5-vector quantized query set"),
     ("operators/llmops.py", "q_sim_ivf"): (1, "k centroid cells"),
-    ("operators/llmops.py", "ivf_pq_recall"): (
+    ("operators/llmops.py", "_ivf_pq_recall_at"): (
         1,
         "k centroid cells (q_sim_ivf's probe duplicated inline — same "
-        "bounded |labels| x 64-float side at any corpus size)",
+        "bounded |labels| x 64-float side at any corpus size; the "
+        "registered ivf_pq_recall wrapper pins nprobe and delegates here)",
     ),
     ("operators/llmops.py", "_ivf_assign_cells"): (
         1,

@@ -323,12 +323,14 @@ def test_ivf_pq_oracle_embeds_registered_fragments():
 def test_ivf_pq_full_probe_degenerates_to_flat_pq(spark):
     """Saturation law: probing EVERY cell must reproduce the flat PQ
     harness exactly — same per-query recall rows — with the scan share
-    pinned at 1e6 ppm (the composition's loss is then pure quantizer)."""
-    from hadoop_distexec_spark.operators.llmops import ivf_pq_recall, pq_recall
+    pinned at 1e6 ppm (the composition's loss is then pure quantizer).
+    Uses the PRIVATE _ivf_pq_recall_at: the public entry point pins
+    nprobe to the oracle's baked-in constant (ADVICE r10 #3)."""
+    from hadoop_distexec_spark.operators.llmops import _ivf_pq_recall_at, pq_recall
 
     full = {
         r["q_id"]: r
-        for r in ivf_pq_recall(spark, SF_SMALL, nprobe=10_000).collect()
+        for r in _ivf_pq_recall_at(spark, SF_SMALL, nprobe=10_000).collect()
     }
     flat = {r["q_id"]: r for r in pq_recall(spark, SF_SMALL).collect()}
     assert set(full) == set(flat) and len(full) == 5
@@ -416,6 +418,47 @@ def test_stream_outer_join_draft_oracle_parity(spark):
     assert n > 0
 
 
+def test_stream_outer_join_one_sided_empty_closes_nothing(spark, tmp_path):
+    """ADVICE r10 #2: with clicks present and ZERO purchases, the purchase
+    side's watermark never advances, so nothing closes — harness AND
+    oracle must both return the empty set. DuckDB's LEAST ignores NULLs
+    (LEAST(NULL, x) = x), so the pre-fix oracle computed a watermark from
+    the click side alone and emitted null-padded abandoned rows the
+    streaming runtime would never flush; the NULL-strict CASE pins the
+    agreement on this reachable degenerate input."""
+    import os
+
+    import duckdb
+
+    from hadoop_distexec_spark.streaming.windows import (
+        STREAM_OUTER_JOIN_ORACLE,
+        stream_outer_join_data,
+    )
+
+    one_sided = str(tmp_path / "clicks_only")
+    os.makedirs(one_sided, exist_ok=True)
+    con = duckdb.connect()
+    # COPY keeps the driver fixture's physical parquet types (timestamps
+    # stay micros), so the streaming file source reads it unchanged
+    n_clicks = con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{SF_ORACLE}/events.parquet')
+                  WHERE event_type = 'click')
+            TO '{one_sided}/events.parquet' (FORMAT PARQUET)"""
+    ).fetchone()[0]
+    con.close()
+    assert n_clicks > 0
+
+    got = stream_outer_join_data(spark, one_sided)
+    assert got.count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{one_sided}/events.parquet')"
+    )
+    assert len(con.execute(STREAM_OUTER_JOIN_ORACLE).fetchdf()) == 0
+    con.close()
+
+
 # ---------------------------------------------------------------------------
 # connected_components_jump (pointer jumping for chain-shaped capped graphs)
 # ---------------------------------------------------------------------------
@@ -478,6 +521,48 @@ def test_cc_jump_handles_long_chains_plain_cannot(spark):
     assert {r["component"] for r in labels} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=14)
+
+
+def test_cc_jump_empty_edges_all_singletons(spark):
+    """Zero edges is a VALID degenerate input (a corpus with no near-dup
+    pairs): every node must come back as its own singleton component
+    instead of exhausting max_iter — F.sum observed over an empty frame
+    yields NULL, and the pre-fix `changed == 0` never fired (ADVICE r10
+    #1). Must match plain connected_components on the same input."""
+    import pyspark.sql.functions as F
+
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    nodes = spark.range(7).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    jump = {(r["doc_id"], r["component"]) for r in connected_components_jump(nodes, edges).collect()}
+    plain = {(r["doc_id"], r["component"]) for r in connected_components(nodes, edges).collect()}
+    assert jump == plain == {(i, i) for i in range(7)}
+
+
+def test_cc_jump_converges_at_100tb_diameter(spark):
+    """VERDICT r10 next-round #3: the default convergence budget must
+    cover the operator's own 100 TB design point. A path graph of 10⁴
+    nodes has diameter ≈ 10⁴ — the same order as a 100 TB IVF cell
+    (m ≈ 5·10⁵ members at cap 16 ⇒ diameter ≈ 3·10⁴) — and the measured
+    law rounds ≈ 3.6·log2(d) predicts ~48 rounds, just under the OLD
+    default of 50 on this graph and straight past it at the real cell
+    size. The new default (256) must converge with room to spare."""
+    import pyspark.sql.functions as F
+
+    from hadoop_distexec_spark.operators.pipeline import connected_components_jump
+
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components_jump(nodes, edges).collect()
+    assert len(labels) == n
+    assert {r["component"] for r in labels} == {0}
 
 
 # ---------------------------------------------------------------------------
@@ -555,3 +640,116 @@ def test_line_dedup_draft_oracle_parity(spark):
 
     n = run_pair(spark, "line_dedup", line_dedup, LINE_DEDUP_ORACLE, SF_ORACLE)
     assert n > 0
+
+
+def test_line_dedup_newline_oracle_embeds_audit_tail():
+    """The newline twin must carry the registered oracle's audit tail
+    VERBATIM (the _PQ_SHARED_CTES slice idiom) so the two splitter
+    variants cannot drift in the df/join-back/rollup semantics."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _LINE_AUDIT_TAIL,
+        LINE_DEDUP_NEWLINE_ORACLE,
+        LINE_DEDUP_ORACLE,
+    )
+
+    assert _LINE_AUDIT_TAIL in LINE_DEDUP_ORACLE
+    assert _LINE_AUDIT_TAIL in LINE_DEDUP_NEWLINE_ORACLE
+    for cte in ("ln AS (", "dfreq AS (", "flagged AS ("):
+        assert cte in _LINE_AUDIT_TAIL, cte
+
+
+def _newline_fixture(tmp_path):
+    """A newline-bearing corpus with PLANTED boilerplate: the footer line
+    appears in 4 docs (>= LINE_BOILER_DF) across both sources, every
+    other line is unique. Whitespace is plain spaces so Spark trim /
+    DuckDB trim / Python strip agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    footer = "subscribe to our newsletter for updates"
+    docs = [
+        (1, "web", f"alpha beta gamma\n{footer}\n  \nunique one"),
+        (2, "web", f"delta epsilon\n {footer} "),
+        (3, "web", f"zeta eta theta iota\nunique two\n{footer}"),
+        (4, "blog", f"kappa lambda\n{footer}\nunique three"),
+        (5, "blog", "mu nu xi omicron\nunique four"),
+        (6, "blog", ""),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    return str(tmp_path), footer
+
+
+def test_line_dedup_newline_flags_planted_boilerplate(spark, tmp_path):
+    """VERDICT r10 next-round #6 law test: on a corpus with planted
+    boilerplate LINES, the newline variant flags exactly them (the
+    chunker would never see them — a 12-word chunk spans the newline),
+    and the variant is bit-exact against its DuckDB twin."""
+    import duckdb
+
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_DEDUP_NEWLINE_ORACLE,
+        line_dedup_newline,
+    )
+    from tests.oracle_util import compare
+
+    sf_dir, footer = _newline_fixture(tmp_path)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_lines"],
+            r["boiler_instances"],
+            r["boiler_chars"],
+            r["drop_ppm"],
+        )
+        for r in line_dedup_newline(spark, sf_dir).collect()
+    }
+    # brute force: lines = split('\n') -> trim -> drop empties; the
+    # footer is the only cross-doc line (df=4 >= 3); doc 6 (empty text)
+    # contributes nothing
+    assert got == {
+        "web": (3, 8, 3, 3 * len(footer), 3 * 1_000_000 // 8),
+        "blog": (2, 5, 1, len(footer), 1 * 1_000_000 // 5),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = con.execute(LINE_DEDUP_NEWLINE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        line_dedup_newline(spark, sf_dir).toPandas(), odf, "line_dedup_newline"
+    )
+
+
+def test_line_dedup_chunker_stays_green_on_newline_corpus(spark, tmp_path):
+    """The other half of the VERDICT #6 law: the registered CHUNKER
+    variant, run over the same newline-bearing blob, keeps matching its
+    own oracle (newlines are just token whitespace to it) — so a real
+    corpus reaching the registered id degrades predictably instead of
+    diverging from the witness contract."""
+    import duckdb
+
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_DEDUP_ORACLE,
+        line_dedup,
+    )
+    from tests.oracle_util import compare
+
+    sf_dir, _ = _newline_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = con.execute(LINE_DEDUP_ORACLE).fetchdf()
+    con.close()
+    compare(line_dedup(spark, sf_dir).toPandas(), odf, "line_dedup_chunker")

@@ -349,15 +349,25 @@ def test_ks_doclen_matches_brute_force(spark):
 
 
 def test_audit_wave2_plan_shapes(spark):
-    """Shape claims gated on executed plans: domain_cap / group_ols /
-    benford / l_diversity are join-free single-aggregate pipelines;
+    """Shape claims gated on executed plans: group_ols / benford /
+    l_diversity are join-free single-aggregate pipelines; domain_cap
+    (restructured r11, VERDICT r10 what's-wrong #1) runs its kept arm as
+    the TWO-LEVEL top-cap — level 1 windows on (source,
+    spark_partition_id), so no corpus-sized per-source sort lands in one
+    task — stitched to the rank-free totals by a |sources|-row join;
     ks_doclen carries exactly its one whitelisted 1-row stats broadcast
     and a TakeOrderedAndProject head."""
     for fn in (audits.group_ols, audits.benford_audit, audits.l_diversity):
         p = _plan(fn(spark, SF_SMALL))
         assert "Join" not in p, p
     p = _plan(audits.domain_cap_sample(spark, SF_SMALL))
-    assert "Join" not in p, p
+    # level-1 slice key present, and BOTH windows lowered to the
+    # rank-limit pushdown (WindowGroupLimit Partial/Final pairs) — the
+    # rn<=cap filter now reaches the sort, so no task ever ranks more
+    # than cap survivors per key (the old conditional-agg form computed
+    # rn for EVERY row and defeated the pushdown)
+    assert "_pid" in p and p.count("WindowGroupLimit") >= 4, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     p = _plan(audits.ks_doclen(spark, SF_SMALL))
     assert p.count("BroadcastNestedLoopJoin") <= 1 and "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
