@@ -83,7 +83,11 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_semantic_dedup_groups_capped", "q_multimodal_audio",
            "q_kmv_overlap", "q_multimodal_phash", "q_lsh_band_curve",
            "q_cell_compactness", "q_quantile_sample_eval",
-           "q_dedup_rate_curve"]
+           "q_dedup_rate_curve",
+           # round-11 registrations (the r10 library wave 3, funded by
+           # the attested-latest-5 step)
+           "q_substring_runs", "q_ivf_pq_recall", "q_stream_outer_join",
+           "q_line_dedup"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration
@@ -95,26 +99,67 @@ PREP_APIS: list[str] = [
     # still-unregistered capped-graph one-off audits (run BOTH tiers)
     "triangle_cap_agreement",
     "lpa_cap_agreement",
-    # round-10 library tiers (tested draft oracles, r11 candidates):
-    # exact-substring run detector, composed IVF-PQ recall, and the
-    # stream-stream left-outer join through the real runtime
-    "substring_runs",
-    "ivf_pq_recall",
-    "stream_outer_join_data",
-    # cross-document line/boilerplate dedup (the C4/CCNet cleaning pass)
-    "line_dedup",
+    # (the r10 library wave 3 — substring_runs / ivf_pq_recall /
+    # stream_outer_join_data / line_dedup — registered in r11 and moved
+    # to QUERIES under their q_ ids)
+    # r11: the production newline splitter variant (VERDICT r10 #6)
+    "line_dedup_newline",
+    # r11: the data-derived degree cap run AT the 10x lane (VERDICT r10
+    # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
+    # saturation check vs the exact tier, one row
+    "auto_cap_edges_delta",
 ]
+
+
+def auto_cap_edges_delta(spark, sf_dir: str):
+    """VERDICT r10 next-round #7: exercise `auto_degree_cap`'s deployment
+    rule AT the 10x lane instead of only sf0.01. One row: the cap the
+    rule picks from this corpus's cell-size distribution, the capped edge
+    count under it vs under the pinned production cap=16, the containment
+    delta (pinned edges are a SUBSET of auto edges by the sliding-window
+    construction — a nonzero pinned_minus_auto falsifies the builder),
+    and the saturation reading vs the exact all-pairs tier
+    (exact_minus_auto == 0 <=> the auto cap covers whole cells at this
+    scale, the law VERDICT r09 #6 pinned at sf0.01)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        auto_degree_cap,
+        embed_edges_capped,
+        q_dedup_embed,
+    )
+
+    cap = auto_degree_cap(spark, sf_dir)
+    pair = lambda df, a, b: df.select(  # noqa: E731 — lane-local helper
+        df[a].alias("a"), df[b].alias("b")
+    ).localCheckpoint(eager=True)
+    auto_e = pair(embed_edges_capped(spark, sf_dir, cap=cap), "vec_a", "vec_b")
+    pinned_e = pair(embed_edges_capped(spark, sf_dir), "vec_a", "vec_b")
+    exact_e = pair(q_dedup_embed(spark, sf_dir), "vec_a", "vec_b")
+    row = (
+        cap,
+        auto_e.count(),
+        pinned_e.count(),
+        exact_e.count(),
+        pinned_e.subtract(auto_e).count(),
+        exact_e.subtract(auto_e).count(),
+    )
+    return spark.createDataFrame(
+        [row],
+        "auto_cap int, n_auto long, n_pinned long, n_exact long, "
+        "pinned_minus_auto long, exact_minus_auto long",
+    )
 
 
 def prep_fn(name: str):
     """Resolve an unregistered prep API by name — the ONE resolver shared
-    with scripts/gen_plans.py (round-7 review: two diverging copies)."""
+    with scripts/gen_plans.py (round-7 review: two diverging copies).
+    Lane-local harnesses defined in THIS module win first."""
     from hadoop_distexec_spark.operators import audits, llmops, multimodal, pipeline
     from hadoop_distexec_spark.plans import manifest_plan
     from hadoop_distexec_spark.streaming import windows
 
     return (
-        getattr(audits, name, None)
+        globals().get(name)
+        or getattr(audits, name, None)
         or getattr(llmops, name, None)
         or getattr(pipeline, name, None)
         or getattr(multimodal, name, None)
