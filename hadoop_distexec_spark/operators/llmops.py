@@ -7760,3 +7760,339 @@ LINE_DEDUP_NEWLINE_ORACLE = (
 # library twin (VERDICT r10 next-round #6) sharing the fingerprint-covered
 # _line_audit body
 register("q_line_dedup", oracle=LINE_DEDUP_ORACLE)(line_dedup)
+
+
+# ---------------------------------------------------------------------------
+# doc_verbatim_share — rolling K-token-window verbatim coverage
+# (library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+VERBATIM_K = 8  # window length in tokens — long enough that a shared
+#                 window is verbatim reuse, not phrase-level coincidence
+VERBATIM_MIN_DOCS = 2  # a window in >= this many DISTINCT docs is shared
+VERBATIM_HI_PPM = 500_000  # a doc over half verbatim is "mostly copied"
+
+
+def doc_verbatim_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source VERBATIM-COVERAGE audit — the doc-granular exact-reuse
+    metric none of the other dedup tiers gives (SCALE.md r11 scope note:
+    the oracle-expressible alternative to corpus-global suffix-array
+    span excision). Hash every rolling VERBATIM_K-token window of every
+    document, count the DISTINCT documents each window appears in, and
+    measure per document what fraction of ITS windows is shared with
+    any other document: q_dedup_ngram answers "which PAIRS look alike",
+    q_substring_runs "how long is a pair's longest shared run",
+    q_line_dedup "which LINES repeat" — this answers "how much of each
+    DOC is verbatim-reused anywhere", the number a cleaning run reads
+    to pick excision vs whole-doc drop. Output is one row per source:
+    doc/window volume, shared-window volume, exact-ppm verbatim share,
+    docs carrying ANY shared window, and docs over VERBATIM_HI_PPM
+    ("mostly copied" — the whole-doc-drop candidates).
+
+    Shape at 100 TB: windows are linear in corpus tokens; the df count
+    and the join-back key on the 128-bit window md5 (16-byte shuffle
+    keys, never text — the line_dedup shape one granularity down); one
+    aggregate + one equi-join + per-doc then per-source rollups, all
+    map-side-combinable. The shared set (df >= 2) is boilerplate-sized,
+    AQE sizes the join-back; no window functions, no global sort.
+
+    Determinism: exact integer arithmetic end to end (counts, div-ppm);
+    md5 over UTF-8 window text in both engines — bit-exact twin."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens(F.col("text")).alias("t")
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = docs.filter(F.size("t") >= VERBATIM_K).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(VERBATIM_K - 1))
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(F.concat_ws(" ", F.slice("t", F.col("p"), VERBATIM_K)), "UTF-8")
+        ).alias("wh"),
+    )
+    shared = (
+        w.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("wdf"))
+        .filter(F.col("wdf") >= VERBATIM_MIN_DOCS)
+        .select("wh")
+    )
+    per_doc = (
+        w.join(shared.withColumn("is_shared", F.lit(1)), "wh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_windows").alias("total_windows"),
+            F.sum("n_shared").alias("shared_windows"),
+            F.sum(F.when(F.col("n_shared") > 0, 1).otherwise(0)).alias(
+                "docs_with_shared"
+            ),
+            F.sum(
+                F.when(
+                    F.expr("n_shared * 1000000 div n_windows") >= VERBATIM_HI_PPM, 1
+                ).otherwise(0)
+            ).alias("docs_mostly_verbatim"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_windows").cast("long").alias("total_windows"),
+            F.col("shared_windows").cast("long").alias("shared_windows"),
+            F.expr("shared_windows * 1000000 div total_windows")
+            .cast("long")
+            .alias("verbatim_ppm"),
+            F.col("docs_with_shared").cast("long").alias("docs_with_shared"),
+            F.col("docs_mostly_verbatim").cast("long").alias("docs_mostly_verbatim"),
+        )
+    )
+
+
+DOC_VERBATIM_SHARE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               t[CAST(p AS INT):CAST(p + {VERBATIM_K - 1} AS INT)], ' ')) AS wh
+      FROM toks, UNNEST(range(1, CAST(len(t) - {VERBATIM_K - 2} AS BIGINT))) u(p)
+      WHERE len(t) >= {VERBATIM_K}),
+    shared AS (
+      SELECT wh FROM w GROUP BY wh
+      HAVING COUNT(DISTINCT doc_id) >= {VERBATIM_MIN_DOCS}),
+    per_doc AS (
+      SELECT w.doc_id, w.source,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN shared.wh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+      FROM w LEFT JOIN shared ON w.wh = shared.wh
+      GROUP BY w.doc_id, w.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_windows,
+           CAST(SUM(n_shared) * 1000000 // SUM(n_windows) AS BIGINT)
+             AS verbatim_ppm,
+           CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_shared,
+           CAST(SUM(CASE WHEN n_shared * 1000000 // n_windows
+                              >= {VERBATIM_HI_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_mostly_verbatim
+    FROM per_doc GROUP BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules — the published Gopher repetition-free quality gate
+# (library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length bounds, tokens
+GOPHER_MAX_MWL = 10
+# the paper's "stop word" presence test: >= 2 distinct of these 8
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the GOPHER quality rules (Rae et al. 2021,
+    'Scaling Language Models: ...Gopher' — the publicly documented
+    heuristic gate most later corpora reuse): word-count bounds, mean
+    word length in [3,10], >=80% of words carrying an alphabetic
+    character, <=10% symbol-ish words (hash/ellipsis), and >=2 distinct
+    canonical stop words. q_quality_score extracts continuous features;
+    THIS is the named rule gate with per-rule failure attribution — the
+    table a curation run reads to see which rule is doing the cutting
+    on which source. One row per source: doc count, per-rule fail
+    counts, all-rules pass count and exact-ppm pass rate.
+
+    Determinism: every rule is integer-exact — the mean-word-length
+    band is 3*n <= total_token_chars <= 10*n (no division), the ratio
+    rules are cross-multiplied (5*n_alpha >= 4*n, 10*n_sym <= n), the
+    stop rule counts DISTINCT lowercase members of the fixed 8-word
+    list. Shape at 100 TB: pure per-row expressions (one whole-stage
+    codegen span) into one map-side-combinable per-source aggregate —
+    zero shuffles beyond the |sources|-row agg exchange, no UDFs."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", _tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    tc = F.aggregate(
+        F.transform("t", lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_alpha = F.size(F.filter("t", lambda x: x.rlike("[A-Za-z]")))
+    n_sym = F.size(
+        F.filter("t", lambda x: x.startswith("#") | x.contains("..."))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("t", lambda x: F.lower(x))),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
+    )
+    m = docs.select(
+        "source",
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("r_words"),
+        (
+            (tc >= F.lit(GOPHER_MIN_MWL) * n) & (tc <= F.lit(GOPHER_MAX_MWL) * n)
+        ).alias("r_wordlen"),
+        (F.lit(5) * n_alpha >= F.lit(4) * n).alias("r_alpha"),
+        (F.lit(10) * n_sym <= n).alias("r_symbol"),
+        (n_stop >= GOPHER_MIN_STOPS).alias("r_stops"),
+    )
+    passed = (
+        F.col("r_words")
+        & F.col("r_wordlen")
+        & F.col("r_alpha")
+        & F.col("r_symbol")
+        & F.col("r_stops")
+    )
+    fail = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1))  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fail("r_words").alias("fail_words"),
+            fail("r_wordlen").alias("fail_wordlen"),
+            fail("r_alpha").alias("fail_alpha"),
+            fail("r_symbol").alias("fail_symbol"),
+            fail("r_stops").alias("fail_stops"),
+            F.sum(F.when(passed, 1).otherwise(0)).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("fail_words").cast("long").alias("fail_words"),
+            F.col("fail_wordlen").cast("long").alias("fail_wordlen"),
+            F.col("fail_alpha").cast("long").alias("fail_alpha"),
+            F.col("fail_symbol").cast("long").alias("fail_symbol"),
+            F.col("fail_stops").cast("long").alias("fail_stops"),
+            F.col("n_pass").cast("long").alias("n_pass"),
+            F.expr("n_pass * 1000000 div n_docs").cast("long").alias("pass_ppm"),
+        )
+    )
+
+
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
+
+GOPHER_RULES_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    m AS (
+      SELECT source,
+             len(t) AS n,
+             list_sum(list_transform(t, x -> LENGTH(x))) AS tc,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(t, x -> x LIKE '#%' OR x LIKE '%...%')) AS n_sym,
+             len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+                                {_GOPHER_STOPS_SQL})) AS n_stop
+      FROM toks),
+    r AS (
+      SELECT source,
+             (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS r_words,
+             (tc >= {GOPHER_MIN_MWL} * n AND tc <= {GOPHER_MAX_MWL} * n) AS r_wordlen,
+             (5 * n_alpha >= 4 * n) AS r_alpha,
+             (10 * n_sym <= n) AS r_symbol,
+             (n_stop >= {GOPHER_MIN_STOPS}) AS r_stops
+      FROM m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_words,
+           CAST(SUM(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordlen,
+           CAST(SUM(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha,
+           CAST(SUM(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+           CAST(SUM(CASE WHEN r_stops THEN 0 ELSE 1 END) AS BIGINT) AS fail_stops,
+           CAST(SUM(CASE WHEN r_words AND r_wordlen AND r_alpha AND r_symbol
+                              AND r_stops THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN r_words AND r_wordlen AND r_alpha AND r_symbol
+                              AND r_stops THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pass_ppm
+    FROM r GROUP BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# embed_threshold_curve — embedding-cosine dup-burden tuning table
+# (library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+EMBED_CURVE_MIN_PCT = 20  # cosine thresholds t/100 for t in 20,30,..,90
+
+
+def embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_rate_curve's missing sibling for EMBEDDING dedup: before
+    pinning a semantic-dedup cosine cutoff, the tuning table — for each
+    threshold t in 0.20..0.90, how many capped-builder pairs clear t,
+    how many distinct vectors those pairs touch, and that share of the
+    corpus in exact ppm. The Jaccard curve reads the shingle pair build;
+    this reads the CAPPED edge build (embed_edges_capped — the plan a
+    100 TB corpus actually runs, m*cap-bounded), so the curve costs one
+    bounded 8-way fan-out over an edge set already linear in |V|, never
+    a second all-pairs pass. Thresholds compare the IEEE cosine directly
+    (the dedup_rate_curve lesson: bucketing disagrees with >= at
+    non-representable boundaries; direct comparison is what the
+    production filter runs) against integer-derived t/100 doubles —
+    identical arithmetic in both engines.
+
+    Shape at 100 TB: edge volume <= m*cap; fan-out x8 on pairs and x16
+    on endpoints; one aggregate pair, output <= 8 rows."""
+    edges = embed_edges_capped(spark, sf_dir).localCheckpoint(eager=True)
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    t = F.explode(
+        F.sequence(F.lit(EMBED_CURVE_MIN_PCT), F.lit(90), F.lit(10))
+    ).alias("t_pct")
+    fan = edges.select("vec_a", "vec_b", "cosine", t).filter(
+        F.col("cosine") >= F.col("t_pct").cast("double") / 100.0
+    )
+    per_t = fan.groupBy("t_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    ends = (
+        fan.select("t_pct", F.explode(F.array("vec_a", "vec_b")).alias("v"))
+        .groupBy("t_pct")
+        .agg(F.countDistinct("v").alias("n_vecs_covered"))
+    )
+    return per_t.join(ends, "t_pct").select(
+        F.col("t_pct").cast("int").alias("t_pct"),
+        "n_pairs",
+        "n_vecs_covered",
+        F.expr(f"n_vecs_covered * 1000000 div {n_vecs}").alias("vec_share_ppm"),
+    )
+
+
+# the capped edge set is the REGISTERED q_dedup_embed_capped oracle's
+# CTE chain verbatim (containment pytest-asserted) — the curve cannot
+# drift from the edge builder the driver witnesses
+EMBED_THRESHOLD_CURVE_ORACLE = f"""
+    WITH {_CAPPED_CELLS_LABEL_SQL},
+    {_capped_window_sql('lcells', 'l')},
+    fan AS (
+      SELECT t_pct, vec_a, vec_b
+      FROM lcapped, (SELECT UNNEST(range({EMBED_CURVE_MIN_PCT}, 100, 10)) AS t_pct)
+      WHERE cosine >= CAST(t_pct AS DOUBLE) / 100.0),
+    per_t AS (SELECT t_pct, COUNT(*) AS n_pairs FROM fan GROUP BY t_pct),
+    ends AS (
+      SELECT t_pct, COUNT(DISTINCT v) AS n_vecs_covered
+      FROM (SELECT t_pct, UNNEST([vec_a, vec_b]) AS v FROM fan) u
+      GROUP BY t_pct)
+    SELECT CAST(per_t.t_pct AS INT) AS t_pct,
+           CAST(per_t.n_pairs AS BIGINT) AS n_pairs,
+           CAST(ends.n_vecs_covered AS BIGINT) AS n_vecs_covered,
+           CAST(ends.n_vecs_covered * 1000000
+                // (SELECT COUNT(*) FROM embeddings) AS BIGINT) AS vec_share_ppm
+    FROM per_t JOIN ends ON per_t.t_pct = ends.t_pct
+    """

@@ -104,6 +104,12 @@ PREP_APIS: list[str] = [
     # to QUERIES under their q_ ids)
     # r11: the production newline splitter variant (VERDICT r10 #6)
     "line_dedup_newline",
+    # r11 library tiers (tested draft oracles, r12 candidates): rolling
+    # K-token-window verbatim coverage, the Gopher rule gate, and the
+    # embedding-cosine dup-burden curve over the capped edge build
+    "doc_verbatim_share",
+    "gopher_rules",
+    "embed_threshold_curve",
     # r11: the data-derived degree cap run AT the 10x lane (VERDICT r10
     # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
     # saturation check vs the exact tier, one row
