@@ -151,6 +151,15 @@ HEADLINE = [
     "q_cell_compactness",
     "q_quantile_sample_eval",
     "q_dedup_rate_curve",
+    # round-11 registrations (the r10 library wave 3, funded by the
+    # attested-latest-5 step, plus the same-round r11 wave)
+    "q_substring_runs",
+    "q_ivf_pq_recall",
+    "q_stream_outer_join",
+    "q_line_dedup",
+    "q_doc_verbatim_share",
+    "q_gopher_rules",
+    "q_embed_threshold_curve",
 ]
 
 HEADLINE_TRIALS = 3

@@ -7892,6 +7892,13 @@ DOC_VERBATIM_SHARE_ORACLE = f"""
     FROM per_doc GROUP BY source
     """
 
+# r11 registration (same-round, the r10 wave-2 precedent: bit-exact at
+# sf0.001 AND sf0.01, law-tested, 10x-measured before registering; the
+# latest-5 window arithmetic holds 7 never-witnessed ids this round)
+register("q_doc_verbatim_share", oracle=DOC_VERBATIM_SHARE_ORACLE)(
+    doc_verbatim_share
+)
+
 
 # ---------------------------------------------------------------------------
 # gopher_rules — the published Gopher repetition-free quality gate
@@ -8026,6 +8033,9 @@ GOPHER_RULES_ORACLE = f"""
     FROM r GROUP BY source
     """
 
+# r11 registration (same-round; see q_doc_verbatim_share note)
+register("q_gopher_rules", oracle=GOPHER_RULES_ORACLE)(gopher_rules)
+
 
 # ---------------------------------------------------------------------------
 # embed_threshold_curve — embedding-cosine dup-burden tuning table
@@ -8096,3 +8106,16 @@ EMBED_THRESHOLD_CURVE_ORACLE = f"""
                 // (SELECT COUNT(*) FROM embeddings) AS BIGINT) AS vec_share_ppm
     FROM per_t JOIN ends ON per_t.t_pct = ends.t_pct
     """
+
+# r11 registration (same-round; see q_doc_verbatim_share note). The
+# capped builder chain is fingerprint-covered so edits to the edge
+# semantics reset this id's witness clock exactly like the registered
+# q_dedup_embed_capped's
+register("q_embed_threshold_curve", oracle=EMBED_THRESHOLD_CURVE_ORACLE)(
+    embed_threshold_curve
+)
+embed_threshold_curve._fingerprint_extras = (
+    embed_edges_capped,
+    _window_capped_pairs,
+    _spark_proj,
+)

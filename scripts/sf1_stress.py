@@ -85,9 +85,10 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_cell_compactness", "q_quantile_sample_eval",
            "q_dedup_rate_curve",
            # round-11 registrations (the r10 library wave 3, funded by
-           # the attested-latest-5 step)
+           # the attested-latest-5 step, plus the same-round r11 wave)
            "q_substring_runs", "q_ivf_pq_recall", "q_stream_outer_join",
-           "q_line_dedup"]
+           "q_line_dedup", "q_doc_verbatim_share", "q_gopher_rules",
+           "q_embed_threshold_curve"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration
@@ -104,12 +105,9 @@ PREP_APIS: list[str] = [
     # to QUERIES under their q_ ids)
     # r11: the production newline splitter variant (VERDICT r10 #6)
     "line_dedup_newline",
-    # r11 library tiers (tested draft oracles, r12 candidates): rolling
-    # K-token-window verbatim coverage, the Gopher rule gate, and the
-    # embedding-cosine dup-burden curve over the capped edge build
-    "doc_verbatim_share",
-    "gopher_rules",
-    "embed_threshold_curve",
+    # (the r11 library tiers — doc_verbatim_share / gopher_rules /
+    # embed_threshold_curve — were registered same-round and moved to
+    # QUERIES under their q_ ids)
     # r11: the data-derived degree cap run AT the 10x lane (VERDICT r10
     # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
     # saturation check vs the exact tier, one row
