@@ -160,6 +160,7 @@ HEADLINE = [
     "q_doc_verbatim_share",
     "q_gopher_rules",
     "q_embed_threshold_curve",
+    "q_kcore_audit",
 ]
 
 HEADLINE_TRIALS = 3

@@ -8119,3 +8119,174 @@ embed_threshold_curve._fingerprint_extras = (
     _window_capped_pairs,
     _spark_proj,
 )
+
+
+# ---------------------------------------------------------------------------
+# kcore_audit — k-core of the capped near-dup graph (dense-template
+# detection; library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3  # minimum within-core degree
+KCORE_ROUNDS = 8  # fixed peel rounds; unrolled identically in the oracle
+
+
+def _kcore_peel(sym: DataFrame, k: int, rounds: int):
+    """Run `rounds` synchronous peel rounds of the k-core decomposition
+    over a SYMMETRIZED edge frame (u, v): each round drops every vertex
+    whose degree in the surviving graph is < k, then both endpoints'
+    incident edges. Returns (surviving symmetric edges, converged) where
+    converged certifies that ONE MORE round changes nothing — the
+    kmeans/label_prop truncated-fixpoint contract, with the certificate
+    in-band instead of assumed. Each round is one degree aggregate + two
+    semi-joins on the (already near-dup-sized) edge set; localCheckpoint
+    per round keeps the plan linear in rounds, the CC-loop lesson."""
+    alive = sym.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    keep = (
+        alive.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select("u")
+    )
+    nxt = (
+        alive.join(keep, "u", "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+    )
+    converged = nxt.count() == alive.count()
+    return alive, converged
+
+
+def kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label-cell {KCORE_K}-core audit of the capped near-dup graph —
+    the DENSE-cluster detector the component tiers cannot be: connected
+    components (and the capped CC/dedup-group ids) merge anything
+    reachable, so a chain of borderline pairs reads as one big cluster;
+    the k-core strips every tree/chain fringe and keeps only vertices
+    with >= {KCORE_K} surviving neighbors — where template spam, mirror
+    farms and boilerplate families live. Output is one row per label
+    cell: members, core vertices, core edges, and the convergence
+    certificate (did one more peel round change nothing) — the
+    estimator-with-its-error rule applied to a truncated fixpoint.
+
+    Peel contract: a FIXED {KCORE_ROUNDS} synchronous rounds, unrolled
+    CTE-for-CTE in the DuckDB twin (the kmeans/label_prop idiom), with
+    `converged` computed IN-QUERY rather than assumed; the k-core
+    fixpoint is order-independent, so the truncation is the only
+    approximation and it is certified per run.
+
+    Shape at 100 TB: the edge set is the capped builder's (<= m*cap,
+    linear in |V|); each round is one map-side-combinable degree
+    aggregate + two semi-joins on that bounded set; per-round
+    localCheckpoint keeps the plan linear in rounds (the CC-loop
+    lesson). The label rollup joins the |V|-row vertex list once."""
+    edges = embed_edges_capped(spark, sf_dir).select("vec_a", "vec_b")
+    sym = edges.select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    ).unionByName(edges.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
+    alive, converged = _kcore_peel(sym, KCORE_K, KCORE_ROUNDS)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    members = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    core_nodes = alive.select("u").distinct()
+    core_lab = (
+        emb.join(core_nodes, emb.vec_id == core_nodes.u)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_core"))
+    )
+    # the capped builder blocks by label, so both endpoints share the
+    # cell and counting by u's label double-counts each undirected edge
+    edge_lab = (
+        alive.join(emb, alive.u == emb.vec_id)
+        .groupBy("label")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+    )
+    return (
+        members.join(core_lab, "label", "left")
+        .join(edge_lab, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("n_core", F.lit(0)).cast("long").alias("n_core"),
+            F.coalesce("n_core_edges", F.lit(0)).cast("long").alias("n_core_edges"),
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled DuckDB twin: e0 = the REGISTERED capped edge set
+    symmetrized, then KCORE_ROUNDS peel rounds as k{i}/e{i+1} CTE pairs,
+    one extra round for the convergence certificate."""
+    # AS MATERIALIZED is load-bearing: each e{i} is referenced twice
+    # (by k{i} and e{i+1}), so inlined CTEs would DOUBLE the lcapped
+    # scan subtree per round — 2^(rounds+1) parquet opens blew the fd
+    # limit at rounds=8. Materialization keeps the chain linear, the
+    # SQL analog of the Spark loop's per-round localCheckpoint.
+    parts = [
+        "e0 AS MATERIALIZED (SELECT vec_a AS u, vec_b AS v FROM lcapped"
+        " UNION ALL SELECT vec_b AS u, vec_a AS v FROM lcapped)"
+    ]
+    for i in range(KCORE_ROUNDS + 1):  # +1: certificate round
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM e{i} GROUP BY u"
+            f" HAVING COUNT(*) >= {KCORE_K})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e"
+            f" JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+    n = KCORE_ROUNDS
+    tail = f"""
+    conv AS (SELECT (SELECT COUNT(*) FROM e{n + 1}) = (SELECT COUNT(*) FROM e{n})
+                    AS converged),
+    members AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label),
+    core_nodes AS (SELECT DISTINCT u FROM e{n}),
+    core_lab AS (
+      SELECT emb.label, COUNT(*) AS n_core
+      FROM embeddings emb JOIN core_nodes c ON emb.vec_id = c.u
+      GROUP BY emb.label),
+    edge_lab AS (
+      SELECT emb.label, COUNT(*) // 2 AS n_core_edges
+      FROM e{n} JOIN embeddings emb ON e{n}.u = emb.vec_id
+      GROUP BY emb.label)
+    SELECT m.label,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(core_lab.n_core, 0) AS BIGINT) AS n_core,
+           CAST(COALESCE(edge_lab.n_core_edges, 0) AS BIGINT) AS n_core_edges,
+           (SELECT converged FROM conv) AS converged
+    FROM members m
+    LEFT JOIN core_lab ON m.label = core_lab.label
+    LEFT JOIN edge_lab ON m.label = edge_lab.label
+    """
+    return (
+        f"WITH {_CAPPED_CELLS_LABEL_SQL},\n    "
+        + _capped_window_sql("lcells", "l")
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + ","
+        + tail
+    )
+
+
+KCORE_AUDIT_ORACLE = _kcore_oracle()
+
+# r11 registration (same-round; see q_doc_verbatim_share note). The
+# peel body and the capped builder chain are fingerprint-covered
+register("q_kcore_audit", oracle=KCORE_AUDIT_ORACLE)(kcore_audit)
+kcore_audit._fingerprint_extras = (
+    _kcore_peel,
+    embed_edges_capped,
+    _window_capped_pairs,
+    _spark_proj,
+)

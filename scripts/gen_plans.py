@@ -76,11 +76,13 @@ PREP_PICKS += [
     ("line_dedup", "16-byte line-hash keys through one distinct-doc df aggregate + a heavy-hitter left join-back + the per-source rollup; join-free of the text column after the hash projection"),
 ]
 
-# round-11 library tiers (r12 registration candidates; resolved by name)
+# round-11 wave-2 tiers (registered same-round as q_-prefixed ids, but
+# resolved by module name here — same functions)
 PREP_PICKS += [
     ("doc_verbatim_share", "rolling-window md5 keys (16-byte shuffle, never text) through one distinct-doc df aggregate + shared-set left join-back + per-doc/per-source rollups; no window functions, no global sort"),
     ("gopher_rules", "pure per-row rule expressions in one WholeStageCodegen span into a single map-side-combinable per-source aggregate — zero joins, zero windows"),
     ("embed_threshold_curve", "the registered capped edge build (rank window + explode + ONE equi-join) feeding a bounded x8 threshold fan-out — no second corpus pass"),
+    ("kcore_audit", "the capped edge build feeding 8 checkpointed peel rounds (one degree aggregate + two left-semi joins each, all equi-keyed on the bounded edge set) + a |V|-row label rollup — no nested loops, no global sort"),
 ]
 
 

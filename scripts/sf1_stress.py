@@ -88,7 +88,7 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # the attested-latest-5 step, plus the same-round r11 wave)
            "q_substring_runs", "q_ivf_pq_recall", "q_stream_outer_join",
            "q_line_dedup", "q_doc_verbatim_share", "q_gopher_rules",
-           "q_embed_threshold_curve"]
+           "q_embed_threshold_curve", "q_kcore_audit"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration

@@ -359,3 +359,110 @@ def test_embed_threshold_curve_draft_oracle_parity(spark):
             EMBED_THRESHOLD_CURVE_ORACLE, sf,
         )
         assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# kcore_audit (library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def _brute_kcore(sf_dir: str):
+    import collections
+
+    from hadoop_distexec_spark.operators.llmops import KCORE_K
+
+    from hadoop_distexec_spark.session import get_spark
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
+
+    spark = get_spark("brute-kcore")
+    edges = {
+        (r["vec_a"], r["vec_b"])
+        for r in embed_edges_capped(spark, sf_dir).collect()
+    }
+    import duckdb as dk
+
+    labels = dict(
+        dk.sql(f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    )
+    # full fixpoint peel (the truncated 8 rounds converge on the fixture,
+    # certified by the converged column — so fixpoint == truncation here)
+    alive = set(edges)
+    while True:
+        deg = collections.Counter()
+        for a, b in alive:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= KCORE_K}
+        nxt = {(a, b) for a, b in alive if a in keep and b in keep}
+        if nxt == alive:
+            break
+        alive = nxt
+    per = {}
+    n_members = collections.Counter(labels.values())
+    core_nodes = {v for ab in alive for v in ab}
+    core_per = collections.Counter(labels[v] for v in core_nodes)
+    edge_per = collections.Counter(labels[a] for a, b in alive)
+    for lab, nm in n_members.items():
+        per[lab] = (nm, core_per.get(lab, 0), edge_per.get(lab, 0))
+    return per
+
+
+def test_kcore_audit_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import kcore_audit
+
+    rows = kcore_audit(spark, SF_SMALL).collect()
+    got = {r["label"]: (r["n_members"], r["n_core"], r["n_core_edges"]) for r in rows}
+    assert all(r["converged"] for r in rows)  # certificate: truncation == fixpoint
+    assert got == _brute_kcore(SF_SMALL)
+    # most cells peel to empty at this scale; the positive-core side of
+    # the vacuity guard runs at sf0.01 (the sf0.001 clone cluster is
+    # below the 3-core size)
+    assert any(v[1] == 0 for v in got.values())
+    big = {
+        r["label"]: (r["n_core"], r["n_core_edges"], r["converged"])
+        for r in kcore_audit(spark, SF_ORACLE).collect()
+    }
+    assert any(n > 0 for n, _, _ in big.values())  # the planted K4 core
+    assert all(c for _, _, c in big.values())
+
+
+def test_kcore_peel_strips_chains_keeps_cliques(spark):
+    """The law the tier exists for: connected components would merge a
+    chain into one blob; the 3-core peel removes EVERY vertex of a path
+    graph but keeps a K4 intact — run directly on a planted symmetric
+    edge frame through _kcore_peel."""
+    import pyspark.sql.functions as F
+
+    from hadoop_distexec_spark.operators.llmops import _kcore_peel, KCORE_K
+
+    path = [(i, i + 1) for i in range(20)]  # 21-vertex path
+    k4 = [(100, 101), (100, 102), (100, 103), (101, 102), (101, 103), (102, 103)]
+    e = spark.createDataFrame(path + k4, "a long, b long")
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    alive, converged = _kcore_peel(sym, KCORE_K, 8)
+    assert converged
+    core = {(r["u"], r["v"]) for r in alive.collect()}
+    assert {v for uv in core for v in uv} == {100, 101, 102, 103}
+    assert len(core) == 12  # K4 symmetric
+
+
+def test_kcore_draft_oracle_parity(spark):
+    """Registration gate: bit-exact at sf0.001 AND sf0.01; the oracle
+    embeds the REGISTERED capped-edge CTE chain verbatim and unrolls
+    exactly KCORE_ROUNDS + 1 materialized peel rounds."""
+    from hadoop_distexec_spark.operators.llmops import (
+        _CAPPED_CELLS_LABEL_SQL,
+        KCORE_AUDIT_ORACLE,
+        KCORE_ROUNDS,
+        kcore_audit,
+    )
+    from tests.oracle_util import run_pair
+
+    assert _CAPPED_CELLS_LABEL_SQL in KCORE_AUDIT_ORACLE
+    assert f"e{KCORE_ROUNDS + 1} AS MATERIALIZED" in KCORE_AUDIT_ORACLE
+    assert f"e{KCORE_ROUNDS + 2}" not in KCORE_AUDIT_ORACLE
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "kcore_audit", kcore_audit, KCORE_AUDIT_ORACLE, sf)
+        assert n > 0
