@@ -1120,3 +1120,132 @@ STREAM_OUTER_JOIN_ORACLE = f"""
 register("q_stream_outer_join", oracle=STREAM_OUTER_JOIN_ORACLE)(
     stream_outer_join_data
 )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream FULL OUTER join (library tier, r12 registration candidate):
+# completes the streaming-join semantics ladder — inner (q_stream_join_data),
+# left outer with click-side eviction (q_stream_outer_join), and now BOTH-side
+# eviction: an ORPHAN purchase (no qualifying click in the preceding 30 min)
+# emits a null-padded row when the purchase-side state evicts — the
+# "conversion with no attributable touchpoint" row an attribution pipeline
+# must surface, and the one emission path the left-outer id cannot exercise.
+# ---------------------------------------------------------------------------
+
+# an orphan purchase is FINAL once the global watermark passes its own ts:
+# a matching click would need click_ts in [purchase_ts - 30 min,
+# purchase_ts], and once wm > purchase_ts no click with ts <= purchase_ts
+# can still arrive. 1 min of strict-inequality headroom, as OUTER_CLOSE_US.
+ORPHAN_CLOSE_US = 60_000_000
+
+
+def streaming_full_outer(
+    clicks: DataFrame, purchases: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream FULL OUTER click<->purchase attribution: matched
+    rows as the purchase arrives, abandoned clicks null-padded on
+    click-side eviction (the left-outer semantics), AND orphan purchases
+    null-padded on purchase-side eviction. user_id coalesces across the
+    sides so orphan rows keep their key. Same bounded-state contract:
+    both sides watermarked, the join time-bounded, state sized by
+    watermark + window on EACH side."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()).alias(
+            "matched"
+        ),
+    )
+
+
+def stream_full_outer_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future q_stream_full_outer: the full-outer attribution through the
+    REAL streaming runtime, closed-prefix-asserted against the batch
+    twin and returned for the data oracle. The closed prefix is
+    SIDE-AWARE: a row carrying a click is final once the global
+    watermark passes click_ts + join window (the q_stream_outer_join
+    bound); an orphan-purchase row is final once it passes purchase_ts
+    (no click with ts <= purchase_ts can still arrive). Raw
+    ids/epoch-micros/pass-through values only — rule-3 bit-determinism."""
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_bounded(streaming_full_outer(ev, ev), "append")
+    batch_ev = table(spark, sf_dir, "events")
+    side_max = batch_ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("p"),
+    ).collect()[0]
+    if side_max["c"] is None or side_max["p"] is None:
+        # one empty side pins the global watermark at the epoch, so
+        # NOTHING closes on either side (the q_stream_outer_join
+        # degenerate-path lesson, including the self-exceptAll trap)
+        return got.filter(F.lit(False))
+    wm_us = min(side_max["c"], side_max["p"]) - OUTER_WM_DELAY_US
+    closed = F.when(
+        F.col("click_id").isNotNull(),
+        F.col("click_ts_us") <= wm_us - OUTER_CLOSE_US,
+    ).otherwise(F.col("purchase_ts_us") <= wm_us - ORPHAN_CLOSE_US)
+    batch = streaming_full_outer(batch_ev, batch_ev)
+    got_c = got.filter(closed)
+    batch_c = batch.filter(closed)
+    mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
+    if mism:
+        raise AssertionError(
+            f"stream-stream full outer join diverged from batch twin on {mism} closed rows"
+        )
+    return got_c
+
+
+# the two-sided NULL-strict watermark CTE is the REGISTERED
+# q_stream_outer_join oracle's text verbatim (sliced; containment
+# pytest-asserted) — the siblings cannot drift on the close bound
+_OUTER_WM_CTES = STREAM_OUTER_JOIN_ORACLE[
+    STREAM_OUTER_JOIN_ORACLE.index("WITH side AS") : STREAM_OUTER_JOIN_ORACLE.index(
+        "SELECT c.click_id"
+    )
+]
+
+STREAM_FULL_OUTER_ORACLE = (
+    _OUTER_WM_CTES
+    + f"""SELECT c.click_id,
+           COALESCE(c.user_id, p.p_user) AS user_id,
+           c.click_ts_us,
+           p.purchase_id, p.purchase_ts_us, p.purchase_value,
+           (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL) AS matched
+    FROM c FULL JOIN p
+      ON c.user_id = p.p_user
+     AND p.purchase_ts_us BETWEEN c.click_ts_us AND c.click_ts_us + 1800000000
+    WHERE CASE WHEN c.click_id IS NOT NULL
+               THEN c.click_ts_us <= (SELECT wm_us FROM wm) - {OUTER_CLOSE_US}
+               ELSE p.purchase_ts_us <= (SELECT wm_us FROM wm) - {ORPHAN_CLOSE_US}
+          END
+    """
+)

@@ -106,8 +106,11 @@ PREP_APIS: list[str] = [
     # r11: the production newline splitter variant (VERDICT r10 #6)
     "line_dedup_newline",
     # (the r11 library tiers — doc_verbatim_share / gopher_rules /
-    # embed_threshold_curve — were registered same-round and moved to
-    # QUERIES under their q_ ids)
+    # embed_threshold_curve / kcore_audit — were registered same-round
+    # and moved to QUERIES under their q_ ids)
+    # r11 late tier (r12 candidate): stream-stream FULL outer join —
+    # both-side state eviction through the real runtime
+    "stream_full_outer_data",
     # r11: the data-derived degree cap run AT the 10x lane (VERDICT r10
     # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
     # saturation check vs the exact tier, one row

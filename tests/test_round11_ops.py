@@ -466,3 +466,102 @@ def test_kcore_draft_oracle_parity(spark):
     for sf in (SF_SMALL, SF_ORACLE):
         n = run_pair(spark, "kcore_audit", kcore_audit, KCORE_AUDIT_ORACLE, sf)
         assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# stream_full_outer_data (library tier, r12 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_full_outer_draft_oracle_parity(spark):
+    """Registration gate: bit-exact at sf0.001 AND sf0.01, and the twin
+    reuses the REGISTERED q_stream_outer_join oracle's NULL-strict
+    two-sided watermark CTEs verbatim (containment) so the outer-join
+    siblings cannot drift on the close bound."""
+    from hadoop_distexec_spark.registry import specs
+    from hadoop_distexec_spark.streaming.windows import (
+        _OUTER_WM_CTES,
+        STREAM_FULL_OUTER_ORACLE,
+        stream_full_outer_data,
+    )
+    from tests.oracle_util import run_pair
+
+    assert _OUTER_WM_CTES in STREAM_FULL_OUTER_ORACLE
+    assert _OUTER_WM_CTES in specs()["q_stream_outer_join"].oracle
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(
+            spark, "stream_full_outer", stream_full_outer_data,
+            STREAM_FULL_OUTER_ORACLE, sf,
+        )
+        assert n > 0
+
+
+def test_stream_full_outer_exercises_all_three_emissions(spark):
+    """The semantics the tier exists for: the closed prefix carries
+    MATCHED rows, abandoned clicks (null purchase side — what the
+    left-outer id emits) AND orphan purchases (null click side — the
+    emission path only a full outer exercises). The matched subset must
+    equal the registered inner join restricted to the same closed
+    clicks, and every orphan keeps its user_id via the coalesce."""
+    import pyspark.sql.functions as F
+
+    from hadoop_distexec_spark.streaming.windows import (
+        stream_full_outer_data,
+        streaming_join,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    out = stream_full_outer_data(spark, SF_ORACLE).cache()
+    matched = out.filter("matched")
+    abandoned = out.filter("click_id IS NOT NULL AND purchase_id IS NULL")
+    orphans = out.filter("click_id IS NULL")
+    assert matched.count() > 0 and abandoned.count() > 0 and orphans.count() > 0
+    assert orphans.filter("user_id IS NULL").count() == 0
+    assert orphans.filter("NOT matched").count() == orphans.count()
+
+    ev = table(spark, SF_ORACLE, "events")
+    closed_clicks = {r["click_id"] for r in out.filter(
+        "click_id IS NOT NULL").select("click_id").distinct().collect()}
+    inner = streaming_join(ev, ev).filter(F.col("click_id").isin(closed_clicks))
+    got_m = {
+        (r["click_id"], r["purchase_id"])
+        for r in matched.select("click_id", "purchase_id").collect()
+    }
+    want_m = {
+        (r["click_id"], r["purchase_id"])
+        for r in inner.select("click_id", "purchase_id").collect()
+    }
+    assert got_m == want_m
+    out.unpersist()
+
+
+def test_stream_full_outer_one_sided_closes_nothing(spark, tmp_path):
+    """One empty side pins the global watermark, so NOTHING closes on
+    EITHER side — with purchases only, the orphan rows must NOT flush
+    (a matching click could still arrive in an unbounded run); harness
+    and NULL-strict oracle agree on the empty set."""
+    import os
+
+    import duckdb
+
+    from hadoop_distexec_spark.streaming.windows import (
+        STREAM_FULL_OUTER_ORACLE,
+        stream_full_outer_data,
+    )
+
+    one_sided = str(tmp_path / "purchases_only")
+    os.makedirs(one_sided, exist_ok=True)
+    con = duckdb.connect()
+    n = con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{SF_ORACLE}/events.parquet')
+                  WHERE event_type = 'purchase')
+            TO '{one_sided}/events.parquet' (FORMAT PARQUET)"""
+    ).fetchone()[0]
+    assert n > 0
+    got = stream_full_outer_data(spark, one_sided)
+    assert got.count() == 0
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{one_sided}/events.parquet')"
+    )
+    assert len(con.execute(STREAM_FULL_OUTER_ORACLE).fetchdf()) == 0
+    con.close()
