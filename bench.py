@@ -295,13 +295,20 @@ def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
     annotation only (`lane_probe_sec` / `norm_probe_prev`), and the raw
     lane factor is reported once as `norm_lane_ratio`.
 
-    Target selection is pinned to BENCH_LOCAL artifacts ALONE — the
-    latest BENCH_LOCAL_r* on disk — so a CORRECTNESS_rN.json landing in
-    the working tree mid-round can no longer flip the comparison target
-    (the r10 race), and a fresh clone whose driver artifacts are
-    untracked still gets a comparison (ADVICE r10 #4). `prev_path`
-    injects the target for hermetic tests (VERDICT r10 #5). Returns {}
-    when no BENCH_LOCAL exists (round 1 / fresh clone).
+    Target selection: the latest BENCH_LOCAL_r{k} with k STRICTLY BELOW
+    the latest CORRECTNESS artifact's round. For the driver's round-N
+    bench (CORRECTNESS_rN lands before it) that is BENCH_LOCAL_r{N-1} —
+    the previous round, never the current round's own committed local
+    bench (an unexcluded same-round target self-compares at ~1.0 and
+    hides every real round-over-round regression — the round-11 review
+    finding; the r10 race was the same bound being DERIVED off-by-one).
+    With no CORRECTNESS artifact at all (fresh clone, untracked driver
+    artifacts) the latest BENCH_LOCAL is used as-is (ADVICE r10 #4).
+    `prev_path` injects the target explicitly — hermetic tests (VERDICT
+    r10 #5) and the builder's mid-round refresh lane (which runs BEFORE
+    its round's CORRECTNESS exists and passes its true previous round;
+    the SPARK_GRAFT_BENCH_PREV env var does the same for `python
+    bench.py` runs). Returns {} when no eligible BENCH_LOCAL exists.
 
     The full map rides the detail line; the contract line carries only
     the count of shared queries above the 1.25x noise gate plus the
@@ -312,10 +319,25 @@ def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     prev_round = 0
     if prev_path is None:
+        prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV") or None
+    if prev_path is None:
+        latest_corr = max(
+            (
+                int(m.group(1))
+                for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+                if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+            ),
+            default=None,
+        )
         for path in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
             m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
-            if m and int(m.group(1)) > prev_round:
-                prev_round, prev_path = int(m.group(1)), path
+            if not m:
+                continue
+            k = int(m.group(1))
+            if latest_corr is not None and k >= latest_corr:
+                continue  # never the current round's own artifact
+            if k > prev_round:
+                prev_round, prev_path = k, path
         if prev_path is None:
             return {}
     else:

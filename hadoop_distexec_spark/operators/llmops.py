@@ -8139,32 +8139,39 @@ def _kcore_peel(sym: DataFrame, k: int, rounds: int):
     kmeans/label_prop truncated-fixpoint contract, with the certificate
     in-band instead of assumed. Each round is one degree aggregate + two
     semi-joins on the (already near-dup-sized) edge set; localCheckpoint
-    per round keeps the plan linear in rounds, the CC-loop lesson."""
-    alive = sym.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    per round keeps the plan linear in rounds, the CC-loop lesson.
+
+    Early exit (round-11 review): peeling is MONOTONE-decreasing, so an
+    unchanged edge count certifies the fixpoint (subset + equal size =
+    equal set) and later rounds are no-ops — break instead of paying
+    the remaining rounds' jobs on an already-converged (often empty)
+    set. Output is byte-identical either way, and the unrolled oracle
+    agrees because its extra rounds are no-ops past the fixpoint too."""
+
+    def _round(edges: DataFrame) -> DataFrame:
         keep = (
-            alive.groupBy("u")
+            edges.groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
             .select("u")
         )
-        alive = (
-            alive.join(keep, "u", "left_semi")
+        return (
+            edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-    keep = (
-        alive.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= k)
-        .select("u")
-    )
-    nxt = (
-        alive.join(keep, "u", "left_semi")
-        .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-    )
-    converged = nxt.count() == alive.count()
+
+    alive = sym.localCheckpoint(eager=True)
+    n_prev = alive.count()
+    for _ in range(rounds):
+        alive = _round(alive).localCheckpoint(eager=True)
+        n = alive.count()
+        if n == n_prev:
+            return alive, True
+        n_prev = n
+    # budget exhausted without an in-loop stability read: one extra
+    # certificate round, exactly the oracle's e{rounds+1}
+    converged = _round(alive).count() == n_prev
     return alive, converged
 
 

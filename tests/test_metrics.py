@@ -122,11 +122,13 @@ def test_bench_norm_ratios_lane_normalized(tmp_path):
 
 
 def test_bench_norm_ratios_target_pinned_to_bench_local(tmp_path, monkeypatch):
-    """Target selection reads BENCH_LOCAL artifacts ONLY — planting a
-    newer CORRECTNESS_r*.json next to them must not change the chosen
-    comparison target (the r10 mid-round race), and with no CORRECTNESS
-    artifact at all the latest BENCH_LOCAL is still found (ADVICE r10
-    #4's fresh-clone case)."""
+    """Target selection: with no CORRECTNESS artifact the latest
+    BENCH_LOCAL is used (ADVICE r10 #4's fresh-clone case); once
+    CORRECTNESS_rN exists, only BENCH_LOCAL rounds STRICTLY BELOW N are
+    eligible — so neither a mid-round CORRECTNESS landing (the r10
+    race) nor the current round's own committed local bench (the r11
+    review finding: a same-round target self-compares at ~1.0 and hides
+    every real regression) can flip or vacate the comparison."""
     import json
     import sys
 
@@ -136,11 +138,21 @@ def test_bench_norm_ratios_target_pinned_to_bench_local(tmp_path, monkeypatch):
     (tmp_path / "BENCH_LOCAL_r08.json").write_text(json.dumps({"queries": {"q": 2.0}}))
     (tmp_path / "BENCH_LOCAL_r09.json").write_text(json.dumps({"queries": {"q": 1.0}}))
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PREV", raising=False)
     out = {"queries": {"q": 1.5}}
     r1 = bench._norm_ratios(out)
     assert r1["norm_vs"] == "r09"
-    # a CORRECTNESS artifact landing mid-round must not flip the target
+    # the driver's round-10 state: CORRECTNESS_r10 present, and the
+    # round's OWN local bench committed — the target must stay r09,
+    # never the same-round r10 artifact
     (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
+    (tmp_path / "BENCH_LOCAL_r10.json").write_text(json.dumps({"queries": {"q": 1.5}}))
     r2 = bench._norm_ratios(out)
     assert r2["norm_vs"] == "r09" and r2 == r1
+    # the env override serves the builder's mid-round refresh lane
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BENCH_PREV", str(tmp_path / "BENCH_LOCAL_r10.json")
+    )
+    r3 = bench._norm_ratios(out)
+    assert r3["norm_vs"] == "r10" and r3["norm_lane_ratio"] == 1.0
