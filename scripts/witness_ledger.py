@@ -14,8 +14,9 @@ latest-4 — by VERDICT r10 next-round #1; it was latest-4 in round 10,
 latest-3 through round 9, latest-2 through round 8); any code change,
 missing attestation, or rows-only last witness keeps the tight
 latest-1 bound. That lifts the registry's witness-bandwidth ceiling to
-~6 cohorts x 50 = ~300 ids at 50 witnesses/round, funding the four
-r10-drafted library-tier registrations.
+~6 cohorts x 50 = ~300 ids at 50 witnesses/round, funding the round-11
+registration waves (the four r10-drafted tiers plus the four
+same-round wave-2 tiers, registry 208 -> 216).
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py

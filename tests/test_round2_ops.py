@@ -232,7 +232,8 @@ def test_witness_staleness_bounded():
     ids to 6x50=~300 at the driver's 50-witness/round budget; the
     registry was frozen at 208 against the latest-4 ~250 steady-state
     ceiling (SURVEY §2.10 r10 arithmetic), and this notch funds the
-    four r10-drafted library-tier registrations.
+    round-11 registration waves (the four r10-drafted tiers plus the
+    four same-round wave-2 tiers, registry 208 -> 216).
     Once a new CORRECTNESS artifact lands, `python scripts/rotate.py`
     (rotation + ledger + parity in ONE commit) is the only way to keep
     this green, which is exactly the point."""
