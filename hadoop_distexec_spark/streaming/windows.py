@@ -1249,3 +1249,11 @@ STREAM_FULL_OUTER_ORACLE = (
           END
     """
 )
+
+# r12 registration (VERDICT r11 next-round #1): the last tested tier
+# outside the registry — completes the streaming-join semantics ladder
+# (inner / left outer / FULL outer with both-side eviction); oracle and
+# harness unchanged since the r11 draft, bit-exact at sf0.001 and sf0.01
+register("q_stream_full_outer", oracle=STREAM_FULL_OUTER_ORACLE)(
+    stream_full_outer_data
+)
