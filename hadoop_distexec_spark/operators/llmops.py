@@ -8297,3 +8297,206 @@ kcore_audit._fingerprint_extras = (
     _window_capped_pairs,
     _spark_proj,
 )
+
+
+# ---------------------------------------------------------------------------
+# verbatim_excise — the span-level cleaning ACTION to the r11 audits'
+# decision (library tier, r13 registration candidate; VERDICT r11
+# next-round #2): q_doc_verbatim_share says HOW MUCH of each doc is
+# verbatim-reused, q_line_dedup says WHICH lines repeat — this one
+# materializes the CLEANED corpus: every shared rolling-window span cut
+# from every doc except its first occurrence.
+# ---------------------------------------------------------------------------
+
+
+def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-EXCISED corpus: per document, the text with every SHARED
+    rolling VERBATIM_K-token window cut out, keep-first-occurrence.
+
+    Semantics (the q_ngram_novelty keep-first rule, per WINDOW): a
+    window (same md5 as q_doc_verbatim_share's) appearing in >=
+    VERBATIM_MIN_DOCS distinct docs is owned by its MIN(doc_id); every
+    occurrence of it OUTSIDE the owner doc marks its VERBATIM_K token
+    positions as cut. A doc's cleaned text is its surviving tokens in
+    original order, space-joined (token-normalized text, the same
+    normalization _tokens applies on the way in). Returns one row per
+    document (>= 1 token): doc_id, source, n_tokens, kept_tokens,
+    cleaned (the surviving text — '' when everything was cut).
+
+    Shape at 100 TB: the window build, df/owner aggregate and cut
+    join-back are q_doc_verbatim_share's machinery (16-byte md5 shuffle
+    keys, linear in corpus tokens). The NEW cost — positional
+    reconstruction — is confined to AFFECTED docs only: unaffected docs
+    (the overwhelming majority once boilerplate df-concentration kicks
+    in) pass through as a narrow map-side array_join, no shuffle beyond
+    the anti-join probe; affected docs posexplode -> anti-join on
+    (doc_id, pos) -> one ordered collect per doc, all keyed by doc_id
+    so the shuffle is bounded by the affected slice, never the corpus.
+    No window functions, no global sort, no driver-side loop."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = (
+        docs.filter(F.size("t") >= VERBATIM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(VERBATIM_K - 1))
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice("t", F.col("p"), VERBATIM_K)), "UTF-8"
+                )
+            ).alias("wh"),
+        )
+    )
+    owner = (
+        w.groupBy("wh")
+        .agg(
+            F.countDistinct("doc_id").alias("wdf"),
+            F.min("doc_id").alias("owner_doc"),
+        )
+        .filter(F.col("wdf") >= VERBATIM_MIN_DOCS)
+        .select("wh", "owner_doc")
+    )
+    cut = (
+        w.join(owner, "wh")
+        .filter(F.col("doc_id") != F.col("owner_doc"))
+        .select("doc_id", "p")
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    aff_ids = covered.select("doc_id").distinct()
+    aff = docs.join(aff_ids, "doc_id")
+    kept = (
+        aff.select("doc_id", F.posexplode("t").alias("i", "tok"))
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "tok")
+        .join(covered, ["doc_id", "pos"], "left_anti")
+    )
+    recon = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    aff_out = (
+        aff.select("doc_id", "source", F.size("t").alias("n_tokens"))
+        .join(recon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )
+    unaff = docs.join(aff_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.size("t").alias("kept_tokens"),
+        F.array_join("t", " ").alias("cleaned"),
+    )
+    return aff_out.unionByName(unaff)
+
+
+def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft q_verbatim_excise: the excised corpus's per-doc audit row —
+    token totals, kept/cut counts, exact-ppm cut share, and the cleaned
+    text as md5 + char length (the corpus itself comes from
+    verbatim_excise_corpus; hashing keeps the compare payload fixed-width
+    while still pinning every surviving byte). Bit-determinism: integer
+    arithmetic + md5 over UTF-8 in both engines."""
+    out = verbatim_excise_corpus(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.col("kept_tokens")).cast("long").alias("cut_tokens"),
+        F.expr("(n_tokens - kept_tokens) * 1000000 div n_tokens")
+        .cast("long")
+        .alias("cut_ppm"),
+        F.length("cleaned").cast("long").alias("cleaned_chars"),
+        F.md5(F.encode("cleaned", "UTF-8")).alias("cleaned_md5"),
+    )
+
+
+verbatim_excise._fingerprint_extras = (verbatim_excise_corpus,)
+
+# the toks + window-hash CTEs are the REGISTERED q_doc_verbatim_share
+# oracle's text verbatim (sliced between stable markers, the
+# _LINE_AUDIT_TAIL idiom), with ONE anchored edit: the window CTE also
+# carries its position p (the registered audit drops it; excision needs
+# it to locate the cut span). The anchor assert fails loudly if the
+# registered text ever drifts — the siblings cannot diverge silently.
+_VERBATIM_W_CTES = DOC_VERBATIM_SHARE_ORACLE[
+    DOC_VERBATIM_SHARE_ORACLE.index("WITH toks AS") : DOC_VERBATIM_SHARE_ORACLE.index(
+        "shared AS ("
+    )
+]
+_W_P_ANCHOR = "SELECT doc_id, source,\n             md5("
+assert _VERBATIM_W_CTES.count(_W_P_ANCHOR) == 1, (
+    "q_doc_verbatim_share oracle drifted: window-CTE anchor not found"
+)
+_VERBATIM_W_P_CTES = _VERBATIM_W_CTES.replace(
+    _W_P_ANCHOR,
+    "SELECT doc_id, source, CAST(p AS BIGINT) AS p,\n             md5(",
+)
+
+VERBATIM_EXCISE_ORACLE = (
+    _VERBATIM_W_P_CTES
+    + f"""owner AS (
+      SELECT wh, MIN(doc_id) AS owner_doc
+      FROM w GROUP BY wh
+      HAVING COUNT(DISTINCT doc_id) >= {VERBATIM_MIN_DOCS}),
+    cut AS (
+      SELECT w.doc_id, w.p
+      FROM w JOIN owner ON w.wh = owner.wh
+      WHERE w.doc_id <> owner.owner_doc),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(p + q AS BIGINT) AS pos
+      FROM cut, UNNEST(range(0, {VERBATIM_K})) u2(q)),
+    tok AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos, t[CAST(p AS INT)] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) u3(p)
+      WHERE len(t) >= 1),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k LEFT JOIN covered c
+        ON k.doc_id = c.doc_id AND k.pos = c.pos
+      WHERE c.pos IS NULL),
+    recon AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, source, len(t) AS n_tokens
+      FROM toks WHERE len(t) >= 1)
+    SELECT b.doc_id, b.source,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(b.n_tokens - COALESCE(r.kept_tokens, 0) AS BIGINT) AS cut_tokens,
+           CAST((b.n_tokens - COALESCE(r.kept_tokens, 0)) * 1000000
+                // b.n_tokens AS BIGINT) AS cut_ppm,
+           CAST(LENGTH(COALESCE(r.cleaned, '')) AS BIGINT) AS cleaned_chars,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN recon r ON b.doc_id = r.doc_id
+    """
+)

@@ -88,7 +88,10 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # the attested-latest-5 step, plus the same-round r11 wave)
            "q_substring_runs", "q_ivf_pq_recall", "q_stream_outer_join",
            "q_line_dedup", "q_doc_verbatim_share", "q_gopher_rules",
-           "q_embed_threshold_curve", "q_kcore_audit"]
+           "q_embed_threshold_curve", "q_kcore_audit",
+           # round-12 registration: stream-stream FULL outer join —
+           # both-side state eviction through the real runtime
+           "q_stream_full_outer"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration
@@ -108,14 +111,75 @@ PREP_APIS: list[str] = [
     # (the r11 library tiers — doc_verbatim_share / gopher_rules /
     # embed_threshold_curve / kcore_audit — were registered same-round
     # and moved to QUERIES under their q_ ids)
-    # r11 late tier (r12 candidate): stream-stream FULL outer join —
-    # both-side state eviction through the real runtime
-    "stream_full_outer_data",
+    # (stream_full_outer_data — registered r12 and moved to QUERIES as
+    # q_stream_full_outer)
     # r11: the data-derived degree cap run AT the 10x lane (VERDICT r10
     # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
     # saturation check vs the exact tier, one row
     "auto_cap_edges_delta",
+    # r12 library tier (r13 registration candidate): the verbatim-span
+    # excision transform. NOTE the replicated tree is ADVERSARIAL for it
+    # by construction: every doc is a 10-fold clone, so every window is
+    # shared and 100% of docs take the positional-reconstruction path
+    # (9 of each 10 replicas excise to ''), the worst case for the
+    # "affected slice only" claim
+    "verbatim_excise",
+    # r12 (VERDICT r11 #6): the planted-boilerplate hot-key lane — one
+    # 64-token paragraph prepended to HALF the corpus, so ~57 window
+    # hashes carry df ~= n_docs/2. Measures the df-agg + join-back under
+    # high-reuse key skew for the share audit, and the 50%-affected
+    # reconstruction for the excision transform
+    "verbatim_share_boiler_stress",
+    "verbatim_excise_boiler_stress",
 ]
+
+BOILER_DST = "/tmp/sf1_boiler"
+
+
+def _boiler_tree(spark, sf_dir: str) -> str:
+    """Synthesize the hot-key variant of the 10x documents table once per
+    lane run: a constant 64-token boilerplate paragraph (57 rolling
+    8-token windows, each landing in HALF the corpus -> df ~= n_docs/2,
+    the df-heavy-hitter direction the natural replicated tree — uniform
+    df=10 — cannot produce) prepended to every even doc_id."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.sources.tables import table
+
+    marker = os.path.join(BOILER_DST, "_SYNTHESIZED")
+    if not os.path.exists(marker):
+        boiler = " ".join(f"bp{i}" for i in range(64))
+        docs = table(spark, sf_dir, "documents")
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(boiler + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(f"{BOILER_DST}/documents.parquet")
+        open(marker, "w").close()
+    return BOILER_DST
+
+
+def verbatim_share_boiler_stress(spark, sf_dir: str):
+    """VERDICT r11 next-round #6: q_doc_verbatim_share's df-agg and
+    join-back under planted-clone hot-key skew (the SCALE.md r08
+    blow-up idiom). The boilerplate windows' df is ~n_docs/2 — the
+    count-distinct agg sees one key with half the corpus behind it and
+    the join-back matches half of all window instances."""
+    from hadoop_distexec_spark.operators.llmops import doc_verbatim_share
+
+    return doc_verbatim_share(spark, _boiler_tree(spark, sf_dir))
+
+
+def verbatim_excise_boiler_stress(spark, sf_dir: str):
+    """The excision transform on the same hot-key tree: half the corpus
+    is affected (every even doc_id loses the boilerplate prefix except
+    the one owner), stressing the posexplode -> anti-join -> ordered
+    collect reconstruction at a 50% affected fraction."""
+    from hadoop_distexec_spark.operators.llmops import verbatim_excise
+
+    return verbatim_excise(spark, _boiler_tree(spark, sf_dir))
 
 
 def auto_cap_edges_delta(spark, sf_dir: str):
@@ -214,6 +278,7 @@ def main() -> None:
     fresh = "--reuse" not in sys.argv
     if fresh:
         shutil.rmtree(DST, ignore_errors=True)
+        shutil.rmtree(BOILER_DST, ignore_errors=True)
         t0 = time.perf_counter()
         synthesize(spark)
         print(f"synthesized {DST} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -71,3 +71,190 @@ def test_stream_full_outer_registered():
     spec = specs["q_stream_full_outer"]
     assert spec.oracle == STREAM_FULL_OUTER_ORACLE
     assert spec.fn is stream_full_outer_data
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #2: verbatim_excise (library tier, r13 registration candidate)
+# ---------------------------------------------------------------------------
+
+
+def _brute_excise(sf_dir: str):
+    """Independent Python recomputation of the excision semantics:
+    shared-window set (df >= VERBATIM_MIN_DOCS), per-window owner =
+    MIN(doc_id), cut positions = the K-token footprint of every
+    non-owner occurrence, cleaned = surviving tokens space-joined."""
+    import collections
+    import hashlib
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import (
+        VERBATIM_K,
+        VERBATIM_MIN_DOCS,
+    )
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: (s, t.strip().split()) for d, s, t in rows}
+    wins = []  # (doc_id, 1-based pos, window-hash)
+    for doc_id, (_, t) in toks.items():
+        for p in range(len(t) - VERBATIM_K + 1):
+            wh = hashlib.md5(" ".join(t[p : p + VERBATIM_K]).encode()).hexdigest()
+            wins.append((doc_id, p + 1, wh))
+    docs_per_win = collections.defaultdict(set)
+    for doc_id, _, wh in wins:
+        docs_per_win[wh].add(doc_id)
+    owner = {
+        wh: min(ds)
+        for wh, ds in docs_per_win.items()
+        if len(ds) >= VERBATIM_MIN_DOCS
+    }
+    covered = collections.defaultdict(set)
+    for doc_id, p, wh in wins:
+        if wh in owner and owner[wh] != doc_id:
+            covered[doc_id].update(range(p, p + VERBATIM_K))
+    out = {}
+    for doc_id, (source, t) in toks.items():
+        if not t:
+            continue
+        keep = [tok for i, tok in enumerate(t, 1) if i not in covered[doc_id]]
+        cleaned = " ".join(keep)
+        out[doc_id] = (
+            source,
+            len(t),
+            len(keep),
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_verbatim_excise_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import verbatim_excise
+
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_tokens"],
+            r["kept_tokens"],
+            r["cleaned_md5"],
+        )
+        for r in verbatim_excise(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_excise(SF_SMALL)
+    # vacuity guards: the fixture's planted dups make cuts happen, and
+    # untouched docs exist
+    assert any(v[1] != v[2] for v in got.values())
+    assert any(v[1] == v[2] for v in got.values())
+
+
+def test_verbatim_excise_draft_oracle_parity(spark):
+    """Registration gate: the draft DuckDB twin is bit-exact at sf0.001
+    AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        VERBATIM_EXCISE_ORACLE,
+        verbatim_excise,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(
+            spark, "verbatim_excise", verbatim_excise,
+            VERBATIM_EXCISE_ORACLE, sf,
+        )
+        assert n > 0
+
+
+def test_verbatim_excise_keep_first_law(spark, tmp_path):
+    """The law the transform exists for, over a planted fixture: the
+    MIN-doc_id owner of a shared span keeps its text byte-identical, a
+    later doc loses EXACTLY the span's token footprint, a full clone of
+    an earlier doc excises to the empty string, and untouched docs pass
+    through byte-identical. Plus the oracle agrees on the same fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        VERBATIM_EXCISE_ORACLE,
+        VERBATIM_K,
+        verbatim_excise,
+        verbatim_excise_corpus,
+    )
+    from tests.oracle_util import compare
+
+    assert VERBATIM_K == 8
+    quote = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one shared window
+    uniq = lambda i, n: " ".join(f"u{i}_{j}" for j in range(n))  # noqa: E731
+    clone = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"  # 10 tokens, 3 windows
+    docs = [
+        # doc 1 OWNS the quote (min doc_id): kept in full
+        (1, "web", f"{uniq(1, 12)} {quote} {uniq(11, 12)}"),
+        # doc 2 re-uses it: loses exactly the 8 quote tokens
+        (2, "web", f"{uniq(2, 10)} {quote} {uniq(22, 10)}"),
+        # docs 3/4: exact clones -> 3 owns, 4 excises to ''
+        (3, "web", clone),
+        (4, "web", clone),
+        # doc 5: unique -> untouched
+        (5, "web", uniq(5, 16)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    corpus = {
+        r["doc_id"]: r for r in verbatim_excise_corpus(spark, str(tmp_path)).collect()
+    }
+    assert corpus[1]["cleaned"] == docs[0][2]  # owner untouched
+    assert corpus[2]["cleaned"] == f"{uniq(2, 10)} {uniq(22, 10)}"  # span cut
+    assert corpus[3]["cleaned"] == clone  # clone owner untouched
+    assert corpus[4]["cleaned"] == ""  # full clone fully excised
+    assert corpus[5]["cleaned"] == docs[4][2]  # unique doc untouched
+    for r in corpus.values():  # conservation: kept <= n, cut = n - kept
+        assert 0 <= r["kept_tokens"] <= r["n_tokens"]
+    assert corpus[2]["kept_tokens"] == corpus[2]["n_tokens"] - 8
+    assert corpus[4]["kept_tokens"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(VERBATIM_EXCISE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        verbatim_excise(spark, str(tmp_path)).toPandas(),
+        odf,
+        "verbatim_excise_planted",
+    )
+
+
+def test_verbatim_excise_agrees_with_share_audit(spark):
+    """Cross-operator law: a doc can only lose tokens if the share audit
+    counts it as carrying shared windows — per source, the number of
+    docs with cut_tokens > 0 never exceeds docs_with_shared (owners
+    carry shared windows but lose nothing, so <= not ==)."""
+    import collections
+
+    from hadoop_distexec_spark.operators.llmops import (
+        doc_verbatim_share,
+        verbatim_excise,
+    )
+
+    cut_docs = collections.Counter()
+    for r in verbatim_excise(spark, SF_SMALL).collect():
+        if r["cut_tokens"] > 0:
+            cut_docs[r["source"]] += 1
+    audit = {
+        r["source"]: r["docs_with_shared"]
+        for r in doc_verbatim_share(spark, SF_SMALL).collect()
+    }
+    assert cut_docs, "fixture plants reuse; excision must cut somewhere"
+    for source, n_cut in cut_docs.items():
+        assert n_cut <= audit[source]
