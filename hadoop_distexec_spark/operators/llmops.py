@@ -8061,9 +8061,18 @@ def embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical arithmetic in both engines.
 
     Shape at 100 TB: edge volume <= m*cap; fan-out x8 on pairs and x16
-    on endpoints; one aggregate pair, output <= 8 rows."""
+    on endpoints; one aggregate pair, output <= 8 rows.
+
+    ADVICE r11 #3: the corpus size rides along as a 1-row broadcast
+    scalar aggregate (the q_dedup_recall_eval idiom) instead of an eager
+    driver-side count baked into the plan as a literal — one job
+    cheaper per invocation, and the empty-embeddings divergence is gone
+    by construction (no edges -> no rows -> neither engine's division
+    ever evaluates, matching the oracle's lazily-evaluated subselect)."""
     edges = embed_edges_capped(spark, sf_dir).localCheckpoint(eager=True)
-    n_vecs = table(spark, sf_dir, "embeddings").count()
+    nv = F.broadcast(
+        table(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
     t = F.explode(
         F.sequence(F.lit(EMBED_CURVE_MIN_PCT), F.lit(90), F.lit(10))
     ).alias("t_pct")
@@ -8076,11 +8085,11 @@ def embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t_pct")
         .agg(F.countDistinct("v").alias("n_vecs_covered"))
     )
-    return per_t.join(ends, "t_pct").select(
+    return per_t.join(ends, "t_pct").crossJoin(nv).select(
         F.col("t_pct").cast("int").alias("t_pct"),
         "n_pairs",
         "n_vecs_covered",
-        F.expr(f"n_vecs_covered * 1000000 div {n_vecs}").alias("vec_share_ppm"),
+        F.expr("n_vecs_covered * 1000000 div n_vecs").alias("vec_share_ppm"),
     )
 
 

@@ -60,6 +60,11 @@ WHITELIST = {
     ("operators/llmops.py", "_hybrid_arms"): (1, "1-row query-vector frame (hint moved here from q_hybrid_search in the r07 arms refactor)"),
     ("operators/llmops.py", "retrieval_agreement"): (2, "two 1-row modality-count aggregates"),
     ("operators/llmops.py", "embed_whiten"): (1, "1-row <w,w> scalar over the 64-row w2 frame"),
+    ("operators/llmops.py", "embed_threshold_curve"): (
+        1,
+        "1-row embeddings-count scalar (ADVICE r11 #3: replaced the "
+        "eager driver-side count literal)",
+    ),
     ("operators/llmops.py", "q_decontam"): (1, "eval-suite shingle set (benchmarks are MBs, documented contract)"),
     ("operators/llmops.py", "q_weighted_sample"): (1, "1-row scalar total"),
     ("operators/llmops.py", "_lm_score_plan"): (1, "1-row vocab scalar"),

@@ -258,3 +258,69 @@ def test_verbatim_excise_agrees_with_share_audit(spark):
     assert cut_docs, "fixture plants reuse; excision must cut somewhere"
     for source, n_cut in cut_docs.items():
         assert n_cut <= audit[source]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #2: pin gopher_rules' NULL/empty-doc behavior
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_null_and_empty_docs(spark, tmp_path):
+    """ADVICE r11 #2 suspected a NULL-text divergence (legacy Spark
+    size(NULL) = -1 vs DuckDB NULL-propagation). Spark >= 3.0 defaults
+    spark.sql.legacy.sizeOfNull=false, so size/aggregate over a NULL
+    token array NULL-propagates exactly like DuckDB's len/list_* and the
+    NULL-valued rule booleans fall into the same ELSE arm on both sides.
+    Pin it: a NULL doc, an empty doc and a whitespace-only doc each fail
+    every rule in BOTH engines, and the engines agree bit-exactly."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        GOPHER_MIN_WORDS,
+        GOPHER_RULES_ORACLE,
+        gopher_rules,
+    )
+    from tests.oracle_util import compare
+
+    passing = "the of and that have with be to " * (GOPHER_MIN_WORDS // 8 + 1)
+    docs = [
+        (1, "web", None),  # NULL text
+        (2, "web", ""),  # empty text
+        (3, "web", "   "),  # whitespace-only (tokenizes to [''])
+        (4, "web", passing.strip()),  # control: passes every rule
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = gopher_rules(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the three degenerate docs fail the word-count, word-length and
+    # stop-word rules (NULL booleans count as failures on both sides);
+    # the control passes everything
+    assert r["n_docs"] == 4
+    assert r["fail_words"] == 3
+    assert r["fail_wordlen"] == 3
+    assert r["fail_stops"] == 3
+    assert r["n_pass"] == 1
+    assert r["pass_ppm"] == 250_000
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(GOPHER_RULES_ORACLE).fetchdf()
+    con.close()
+    compare(
+        gopher_rules(spark, str(tmp_path)).toPandas(), odf, "gopher_null_planted"
+    )
