@@ -161,6 +161,8 @@ HEADLINE = [
     "q_gopher_rules",
     "q_embed_threshold_curve",
     "q_kcore_audit",
+    # round-12 registration (new id — absent from BENCH_r01..r11)
+    "q_stream_full_outer",
 ]
 
 HEADLINE_TRIALS = 3
@@ -318,6 +320,7 @@ def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     prev_round = 0
+    fresh_fallback = False
     if prev_path is None:
         prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV") or None
     if prev_path is None:
@@ -340,9 +343,22 @@ def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
                 prev_round, prev_path = k, path
         if prev_path is None:
             return {}
+        fresh_fallback = latest_corr is None
     else:
         m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", prev_path)
-        prev_round = int(m.group(1)) if m else 0
+        if m:
+            prev_round = int(m.group(1))
+        else:
+            # ADVICE r11 #1: an injected target that is not a
+            # BENCH_LOCAL_r{N}.json must not silently label the
+            # comparison 'r00' — carry the real filename instead and
+            # say so on stderr
+            print(
+                f"norm target {prev_path!r} does not match "
+                "BENCH_LOCAL_r{N}.json; labeling norm_vs by filename",
+                file=sys.stderr,
+            )
+            prev_round = None
     try:
         with open(prev_path) as f:
             prev = json.load(f)
@@ -361,14 +377,25 @@ def _norm_ratios(out: dict, prev_path: str | None = None) -> dict:
     med = sorted(raw.values())[len(raw) // 2]
     if med <= 0:
         return {}
-    return {
-        "norm_vs": f"r{prev_round:02d}",
+    res = {
+        "norm_vs": (
+            f"r{prev_round:02d}"
+            if prev_round is not None
+            else os.path.basename(prev_path)
+        ),
         "norm_probe_prev": prev.get("lane_probe_sec"),
         # the raw shared-query median — the whole-lane speed factor vs
         # the target run (1.0 = same lane speed; annotation, not signal)
         "norm_lane_ratio": round(med, 3),
         "norm_ratio": {q: round(v / med, 3) for q, v in raw.items()},
     }
+    if fresh_fallback:
+        # ADVICE r11 #4: fresh-clone fallback (no CORRECTNESS artifact)
+        # cannot exclude the current round's own committed BENCH_LOCAL,
+        # so the ~1.0 it reads may be a self-compare — flag it on the
+        # detail line so the artifact is self-diagnosing
+        res["norm_fresh_fallback"] = True
+    return res
 
 
 def _bench_pipe_throughput(spark, n_files: int = 16, mb_per_file: int = 64) -> dict:
@@ -617,15 +644,18 @@ def main() -> None:
 _TAIL_BUDGET = 1985
 
 
-def _sig(v: float, digits: int) -> float:
+def _sig(v: float, digits: int):
     """Round to `digits` significant digits (keeps 0.032 at 0.032 while
     11.84 becomes 12 — sub-second precision where it matters, short
-    strings where it doesn't)."""
+    strings where it doesn't). Integral results come back as int so
+    json prints "12", not "12.0" (VERDICT r11 #7: every byte on the
+    contract line buys back an itemized query)."""
     import math
 
     if not v:
-        return 0.0
-    return round(v, max(0, digits - 1 - int(math.floor(math.log10(abs(v))))))
+        return 0
+    r = round(v, max(0, digits - 1 - int(math.floor(math.log10(abs(v))))))
+    return int(r) if r == int(r) else r
 
 
 def _compact_contract_line(out: dict) -> dict:
@@ -644,7 +674,21 @@ def _compact_contract_line(out: dict) -> dict:
     r07->r08 "6x regression on q_topk" was 0.032s vs 0.2s of pure lane
     state), while the slow rows — the ones that diagnose a real plan
     regression — keep their precision. The full per-query map always
-    survives on the preceding detail line (BENCH_LOCAL_r{N}.json)."""
+    survives on the preceding detail line (BENCH_LOCAL_r{N}.json).
+
+    Omission floor (VERDICT r11 #7 adjudication): full itemization of
+    the 105-query headline CANNOT fit the 2000-byte tail — the id
+    strings alone average ~17 chars (~2.2 KB with JSON punctuation)
+    before a single timing digit, plus ~420 bytes of mandated fields
+    (metric/value/unit/sf, the r08-mandated pipe decomposition, the
+    r09-mandated regression summary, the lane probe). The levers taken
+    instead: integral values serialize as ints ("12" not "12.0"),
+    sub-1s rows carry 1 significant digit, and the fill loop packs
+    slowest-first — pushing the omitted set to the arithmetic floor
+    (~30 fastest rows, all sub-second, individually below lane noise).
+    Their per-query numbers are never lost: the committed
+    BENCH_LOCAL_r{N}.json detail line itemizes all of them at full
+    precision."""
     # errors must survive onto the contract line (BENCH_r02 precedent: a
     # silent artifact is worse than a short one) — bounded to 5 entries
     # of 60 chars so they can never crowd out the queries dict
@@ -690,7 +734,11 @@ def _compact_contract_line(out: dict) -> dict:
         if regressed:
             worst = max(regressed, key=lambda k: regressed[k])
             compact["norm_worst"] = [worst, _sig(regressed[worst], 3)]
-    qs = {k: _sig(v, 2) for k, v in out["queries"].items()}
+    # sub-1s rows carry 1 significant digit (VERDICT r11 #7): lane noise
+    # exceeds their signal anyway (the r07->r08 q_topk lesson) and the
+    # byte buys back itemized rows; >=1s rows keep 2 digits — they are
+    # where a real plan regression shows
+    qs = {k: _sig(v, 1 if v < 1 else 2) for k, v in out["queries"].items()}
     compact["queries"] = qs
     if errs:
         compact["errors"] = errs

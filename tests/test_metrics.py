@@ -142,9 +142,13 @@ def test_bench_norm_ratios_target_pinned_to_bench_local(tmp_path, monkeypatch):
     out = {"queries": {"q": 1.5}}
     r1 = bench._norm_ratios(out)
     assert r1["norm_vs"] == "r09"
+    # the fresh-clone fallback cannot rule out a self-compare, and must
+    # say so (ADVICE r11 #4)
+    assert r1.pop("norm_fresh_fallback") is True
     # the driver's round-10 state: CORRECTNESS_r10 present, and the
     # round's OWN local bench committed — the target must stay r09,
-    # never the same-round r10 artifact
+    # never the same-round r10 artifact (and the fallback flag is gone:
+    # the corr cap proves the target predates this round)
     (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
     (tmp_path / "BENCH_LOCAL_r10.json").write_text(json.dumps({"queries": {"q": 1.5}}))
@@ -156,3 +160,20 @@ def test_bench_norm_ratios_target_pinned_to_bench_local(tmp_path, monkeypatch):
     )
     r3 = bench._norm_ratios(out)
     assert r3["norm_vs"] == "r10" and r3["norm_lane_ratio"] == 1.0
+
+
+def test_bench_norm_ratios_nonmatching_prev_label(tmp_path):
+    """ADVICE r11 #1: an injected prev_path that is not a
+    BENCH_LOCAL_r{N}.json must label norm_vs with the real filename, not
+    silently fall back to 'r00'."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    prev_path = tmp_path / "custom_target.json"
+    prev_path.write_text(json.dumps({"queries": {"q": 1.0}}))
+    r = bench._norm_ratios({"queries": {"q": 1.3}}, prev_path=str(prev_path))
+    assert r["norm_vs"] == "custom_target.json"
+    assert "norm_fresh_fallback" not in r
