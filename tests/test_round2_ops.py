@@ -233,7 +233,9 @@ def test_witness_staleness_bounded():
     registry was frozen at 208 against the latest-4 ~250 steady-state
     ceiling (SURVEY §2.10 r10 arithmetic), and this notch funds the
     round-11 registration waves (the four r10-drafted tiers plus the
-    four same-round wave-2 tiers, registry 208 -> 216).
+    four same-round wave-2 tiers, registry 208 -> 216) and the ~20
+    spare slots/round that carried the r12 registration
+    (q_stream_full_outer, 216 -> 217) with no further policy change.
     Once a new CORRECTNESS artifact lands, `python scripts/rotate.py`
     (rotation + ledger + parity in ONE commit) is the only way to keep
     this green, which is exactly the point."""
