@@ -8509,3 +8509,210 @@ VERBATIM_EXCISE_ORACLE = (
     FROM base b LEFT JOIN recon r ON b.doc_id = r.doc_id
     """
 )
+
+
+# ---------------------------------------------------------------------------
+# line_excise — the C4-style boilerplate-line removal ACTION to
+# q_line_dedup's audit (library tier, r13 registration candidate).
+# Distinct semantics from verbatim_excise: a boilerplate line
+# (df >= LINE_BOILER_DF) is dropped from EVERY document including the
+# first — the C4/CCNet/RefinedWeb rule; navigation chrome is noise in
+# every copy, there is no "owner" whose copy is content.
+# ---------------------------------------------------------------------------
+
+
+def _line_excise_body(ln: DataFrame, sep: str) -> DataFrame:
+    """Shared back half of the line-excision pass over a
+    (doc_id, source, p, line) frame:
+    md5 line keys, the distinct-doc df >= LINE_BOILER_DF boilerplate
+    set (q_line_dedup's rule), an anti-join keeping content lines, and
+    per-doc ordered reconstruction. Docs whose every line is boilerplate
+    survive as '' rows (the verbatim_excise contract). Both splitter
+    variants feed this body — the line_dedup 'swap ONE expression'
+    contract carried over to the transform."""
+    keyed = ln.select(
+        "doc_id", "source", "p", "line",
+        F.md5(F.encode("line", "UTF-8")).alias("lh"),
+    )
+    boiler = (
+        keyed.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= LINE_BOILER_DF)
+        .select("lh")
+    )
+    totals = keyed.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    kept = keyed.join(boiler, "lh", "left_anti")
+    recon = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("cleaned"),
+    )
+    return (
+        totals.join(recon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
+            (F.col("n_lines") - F.coalesce("kept_lines", F.lit(0)))
+            .cast("long")
+            .alias("cut_lines"),
+            F.expr(
+                "(n_lines - coalesce(kept_lines, 0)) * 1000000 div n_lines"
+            )
+            .cast("long")
+            .alias("cut_ppm"),
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("long").alias(
+                "cleaned_chars"
+            ),
+            F.md5(F.encode(F.coalesce("cleaned", F.lit("")), "UTF-8")).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
+def line_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft q_line_excise: the boilerplate-line-EXCISED corpus, per-doc
+    audit row. Lines are q_line_dedup's fixed LINE_WORDS-word chunks
+    (the fixture-splitter contract; line_excise_newline is the
+    production splitter). A line in >= LINE_BOILER_DF distinct docs is
+    cut from ALL of them; surviving lines re-join in original order
+    with ' ' (the chunker's separator — joined chunks reproduce the
+    token-normalized text exactly, so an untouched doc's cleaned_md5
+    equals md5 of its space-joined tokens).
+
+    Shape at 100 TB: line volume is linear in corpus tokens; the df
+    aggregate and anti-join key on 16-byte md5s; the boilerplate set is
+    df-heavy-hitter-sized so AQE broadcasts the anti-join probe; the
+    ordered per-doc collect carries each doc's own lines only (doc_id
+    keyed). No windows, no global sorts, no driver loop."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    n_chunks = F.ceil(F.size("t") / F.lit(LINE_WORDS)).cast("int")
+    ln = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        "p",
+        F.concat_ws(
+            " ", F.slice("t", (F.col("p") - 1) * LINE_WORDS + 1, LINE_WORDS)
+        ).alias("line"),
+    )
+    return _line_excise_body(ln, " ")
+
+
+line_excise._fingerprint_extras = (_line_excise_body,)
+
+
+def line_excise_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_excise's PRODUCTION splitter (the line_dedup_newline twin):
+    real newline-delimited lines — split on '\\n', trimmed, empties
+    dropped — cut wherever boilerplate, survivors re-joined with '\\n'.
+    Cleaned text is line-normalized (trim + empty-drop), the same
+    normalization the audit counts; a corpus cleaned by this function
+    re-audits as boilerplate-free under line_dedup_newline."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", "\n")).alias("p0", "raw"),
+    ).select(
+        "doc_id", "source", (F.col("p0") + 1).alias("p"), F.trim("raw").alias("line")
+    ).filter(F.length("line") >= 1)
+    return _line_excise_body(raw, "\n")
+
+
+line_excise_newline._fingerprint_extras = (_line_excise_body,)
+
+# the toks/ln0/ln CTE chain is the REGISTERED q_line_dedup oracle's text
+# verbatim (sliced between stable markers), with ONE anchored edit
+# carrying the chunk position p through the md5 keying — same idiom as
+# VERBATIM_EXCISE_ORACLE's window-position edit
+_LINE_EXCISE_SRC_CTES = LINE_DEDUP_ORACLE[
+    LINE_DEDUP_ORACLE.index("WITH toks AS") : LINE_DEDUP_ORACLE.index("dfreq AS (")
+]
+_LN0_P_ANCHOR = "SELECT doc_id, source,\n             array_to_string("
+assert _LINE_EXCISE_SRC_CTES.count(_LN0_P_ANCHOR) == 1, (
+    "q_line_dedup oracle drifted: ln0-CTE anchor not found"
+)
+_LN_P_ANCHOR = "SELECT doc_id, source, md5(line) AS lh"
+assert _LINE_EXCISE_SRC_CTES.count(_LN_P_ANCHOR) == 1, (
+    "q_line_dedup oracle drifted: ln-CTE anchor not found"
+)
+_LINE_EXCISE_SRC_P = _LINE_EXCISE_SRC_CTES.replace(
+    _LN0_P_ANCHOR,
+    "SELECT doc_id, source, CAST(p AS BIGINT) AS p,\n             array_to_string(",
+).replace(
+    _LN_P_ANCHOR,
+    "SELECT doc_id, source, p, line, md5(line) AS lh",
+)
+
+LINE_EXCISE_ORACLE = (
+    _LINE_EXCISE_SRC_P
+    + f"""boiler AS (
+      SELECT lh FROM ln GROUP BY lh
+      HAVING COUNT(DISTINCT doc_id) >= {LINE_BOILER_DF}),
+    totals AS (
+      SELECT doc_id, source, COUNT(*) AS n_lines FROM ln
+      GROUP BY doc_id, source),
+    kept AS (
+      SELECT ln.doc_id, ln.p, ln.line
+      FROM ln LEFT JOIN boiler ON ln.lh = boiler.lh
+      WHERE boiler.lh IS NULL),
+    recon AS (
+      SELECT doc_id, COUNT(*) AS kept_lines,
+             string_agg(line, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.source,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(COALESCE(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+           CAST(t.n_lines - COALESCE(r.kept_lines, 0) AS BIGINT) AS cut_lines,
+           CAST((t.n_lines - COALESCE(r.kept_lines, 0)) * 1000000
+                // t.n_lines AS BIGINT) AS cut_ppm,
+           CAST(LENGTH(COALESCE(r.cleaned, '')) AS BIGINT) AS cleaned_chars,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+    FROM totals t LEFT JOIN recon r ON t.doc_id = r.doc_id
+    """
+)
+
+# the newline variant's oracle reuses the chunker excise oracle's tail
+# verbatim with ONE anchored edit (the separator), plus its own raw-line
+# source CTEs — positions p index RAW split output (pre-trim/pre-filter)
+# exactly as posexplode does Spark-side, so ordering matches
+_LINE_EXCISE_TAIL = LINE_EXCISE_ORACLE[LINE_EXCISE_ORACLE.index("boiler AS (") :]
+_SEP_ANCHOR = "string_agg(line, ' ' ORDER BY p)"
+assert _LINE_EXCISE_TAIL.count(_SEP_ANCHOR) == 1, (
+    "line_excise oracle drifted: separator anchor not found"
+)
+
+LINE_EXCISE_NEWLINE_ORACLE = (
+    """
+    WITH ln0 AS (
+      SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+             trim(string_split(text, chr(10))[CAST(p AS INT)]) AS line
+      FROM documents,
+           UNNEST(range(1, len(string_split(text, chr(10))) + 1)) u(p)),
+    ln AS (
+      SELECT doc_id, source, p, line, md5(line) AS lh
+      FROM ln0 WHERE LENGTH(line) >= 1),
+    """
+    + _LINE_EXCISE_TAIL.replace(
+        _SEP_ANCHOR, "string_agg(line, chr(10) ORDER BY p)"
+    )
+)

@@ -131,6 +131,11 @@ PREP_APIS: list[str] = [
     # reconstruction for the excision transform
     "verbatim_share_boiler_stress",
     "verbatim_excise_boiler_stress",
+    # r12 library tier (r13 candidate): the C4-style boilerplate-line
+    # removal action; the replicated tree makes EVERY line df>=10 (all
+    # boilerplate), so 100% of docs excise to '' — the adversarial
+    # worst case for the anti-join + ordered reconstruction
+    "line_excise",
 ]
 
 BOILER_DST = "/tmp/sf1_boiler"

@@ -324,3 +324,178 @@ def test_gopher_rules_null_and_empty_docs(spark, tmp_path):
     compare(
         gopher_rules(spark, str(tmp_path)).toPandas(), odf, "gopher_null_planted"
     )
+
+
+# ---------------------------------------------------------------------------
+# line_excise (library tier, r13 registration candidate): the C4-style
+# ACTION to q_line_dedup's audit — boilerplate lines cut from EVERY doc
+# ---------------------------------------------------------------------------
+
+
+def _brute_line_excise(sf_dir: str):
+    """Independent recompute of the chunker-variant semantics: fixed
+    LINE_WORDS-word chunk lines, boilerplate = line in >= LINE_BOILER_DF
+    distinct docs, cut everywhere, survivors space-joined in order."""
+    import collections
+    import hashlib
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_BOILER_DF,
+        LINE_WORDS,
+    )
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    lines = {}  # doc_id -> (source, [line, ...])
+    docs_per_line = collections.defaultdict(set)
+    for doc_id, source, text in rows:
+        t = text.strip().split()
+        if not t:
+            continue
+        ls = [
+            " ".join(t[i : i + LINE_WORDS]) for i in range(0, len(t), LINE_WORDS)
+        ]
+        lines[doc_id] = (source, ls)
+        for line in ls:
+            docs_per_line[line].add(doc_id)
+    boiler = {
+        line for line, ds in docs_per_line.items() if len(ds) >= LINE_BOILER_DF
+    }
+    out = {}
+    for doc_id, (source, ls) in lines.items():
+        keep = [line for line in ls if line not in boiler]
+        cleaned = " ".join(keep)
+        out[doc_id] = (
+            source,
+            len(ls),
+            len(keep),
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_line_excise_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import line_excise
+
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_lines"],
+            r["kept_lines"],
+            r["cleaned_md5"],
+        )
+        for r in line_excise(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_line_excise(SF_SMALL)
+    assert any(v[1] != v[2] for v in got.values())  # fixture plants boiler
+    assert any(v[1] == v[2] for v in got.values())  # clean docs exist
+
+
+def test_line_excise_draft_oracle_parity(spark):
+    """Registration gate: BOTH splitter variants bit-exact at sf0.001
+    AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_EXCISE_NEWLINE_ORACLE,
+        LINE_EXCISE_ORACLE,
+        line_excise,
+        line_excise_newline,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        assert run_pair(spark, "line_excise", line_excise, LINE_EXCISE_ORACLE, sf) > 0
+        assert (
+            run_pair(
+                spark, "line_excise_newline", line_excise_newline,
+                LINE_EXCISE_NEWLINE_ORACLE, sf,
+            )
+            > 0
+        )
+
+
+def test_line_excise_drops_boilerplate_everywhere(spark, tmp_path):
+    """The semantics that distinguish this tier from verbatim_excise: a
+    boilerplate line is cut from EVERY document INCLUDING the earliest
+    (C4 rule — chrome is noise in every copy), an all-boilerplate doc
+    excises to '', unique docs pass through line-normalized, and the
+    cleaned corpus re-audited by line_dedup_newline is boilerplate-free
+    (the fixpoint a cleaning run expects). Oracle agreement on the same
+    fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_BOILER_DF,
+        LINE_EXCISE_NEWLINE_ORACLE,
+        line_dedup_newline,
+        line_excise_newline,
+    )
+    from tests.oracle_util import compare
+
+    assert LINE_BOILER_DF == 3
+    footer = "copyright acme corp all rights reserved"
+    docs = [
+        (1, "web", f"alpha beta gamma\n{footer}"),
+        (2, "web", f"delta epsilon\n{footer}\nzeta eta"),
+        (3, "web", f"{footer}"),  # all-boilerplate -> ''
+        (4, "web", "theta iota kappa\nlambda mu"),  # untouched
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    import hashlib
+
+    got = {
+        r["doc_id"]: r for r in line_excise_newline(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1]["cleaned_md5"] == md5("alpha beta gamma")  # footer cut
+    assert got[2]["cleaned_md5"] == md5("delta epsilon\nzeta eta")
+    assert got[3]["cleaned_md5"] == md5("") and got[3]["kept_lines"] == 0
+    assert got[4]["cleaned_md5"] == md5("theta iota kappa\nlambda mu")
+    assert all(r["cut_lines"] == (1 if d in (1, 2, 3) else 0) for d, r in got.items())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(LINE_EXCISE_NEWLINE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        line_excise_newline(spark, str(tmp_path)).toPandas(),
+        odf,
+        "line_excise_newline_planted",
+    )
+
+    # fixpoint: write the cleaned corpus back out and re-audit — zero
+    # boilerplate instances survive
+    cleaned_rows = [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "delta epsilon\nzeta eta"),
+        (4, "web", "theta iota kappa\nlambda mu"),
+    ]
+    os.makedirs(f"{tmp_path}/clean", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in cleaned_rows], pa.int64()),
+                "source": pa.array([d[1] for d in cleaned_rows]),
+                "text": pa.array([d[2] for d in cleaned_rows]),
+            }
+        ),
+        f"{tmp_path}/clean/documents.parquet",
+    )
+    audit = line_dedup_newline(spark, f"{tmp_path}/clean").collect()
+    assert sum(r["boiler_instances"] for r in audit) == 0
