@@ -8381,12 +8381,22 @@ def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("owner_doc"))
         .select("doc_id", "p")
     )
-    covered = cut.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))).alias(
-            "pos"
-        ),
-    ).distinct()
+    # covered is the small product of the EXPENSIVE subtree (window df
+    # aggregate + join-back, two corpus-keyed shuffles) and is referenced
+    # by three consumers (the kept anti-join and both affected/unaffected
+    # splits via aff_ids) — checkpoint it eagerly so the owner chain runs
+    # ONCE, not three times (measured: 11 parquet scans of documents
+    # without it)
+    covered = (
+        cut.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     aff_ids = covered.select("doc_id").distinct()
     aff = docs.join(aff_ids, "doc_id")
     kept = (
