@@ -8310,93 +8310,35 @@ kcore_audit._fingerprint_extras = (
 
 # ---------------------------------------------------------------------------
 # verbatim_excise — the span-level cleaning ACTION to the r11 audits'
-# decision (library tier, r13 registration candidate; VERDICT r11
-# next-round #2): q_doc_verbatim_share says HOW MUCH of each doc is
-# verbatim-reused, q_line_dedup says WHICH lines repeat — this one
-# materializes the CLEANED corpus: every shared rolling-window span cut
-# from every doc except its first occurrence.
+# decision (VERDICT r11 next-round #2; drafted and law-tested early in
+# r12, registered same-round under the latest-5 spare slots):
+# q_doc_verbatim_share says HOW MUCH of each doc is verbatim-reused,
+# q_line_dedup says WHICH lines repeat — this one materializes the
+# CLEANED corpus: every shared rolling-window span cut from every doc
+# except its first occurrence.
 # ---------------------------------------------------------------------------
 
 
-def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The span-EXCISED corpus: per document, the text with every SHARED
-    rolling VERBATIM_K-token window cut out, keep-first-occurrence.
+def _excise_covered(docs: DataFrame, covered: DataFrame) -> DataFrame:
+    """Shared positional-reconstruction back half of the token-level
+    excision transforms (verbatim / decontam / intradoc): given per-doc
+    token arrays ``docs`` (doc_id, source, t) and the cut-position set
+    ``covered`` (doc_id, pos — 1-based token positions, duplicates
+    allowed), emit (doc_id, source, n_tokens, kept_tokens, cleaned)
+    with cleaned = the surviving tokens in original order, space-joined
+    ('' when everything was cut).
 
-    Semantics (the q_ngram_novelty keep-first rule, per WINDOW): a
-    window (same md5 as q_doc_verbatim_share's) appearing in >=
-    VERBATIM_MIN_DOCS distinct docs is owned by its MIN(doc_id); every
-    occurrence of it OUTSIDE the owner doc marks its VERBATIM_K token
-    positions as cut. A doc's cleaned text is its surviving tokens in
-    original order, space-joined (token-normalized text, the same
-    normalization _tokens applies on the way in). Returns one row per
-    document (>= 1 token): doc_id, source, n_tokens, kept_tokens,
-    cleaned (the surviving text — '' when everything was cut).
-
-    Shape at 100 TB: the window build, df/owner aggregate and cut
-    join-back are q_doc_verbatim_share's machinery (16-byte md5 shuffle
-    keys, linear in corpus tokens). The NEW cost — positional
-    reconstruction — is confined to AFFECTED docs only: unaffected docs
-    (the overwhelming majority once boilerplate df-concentration kicks
-    in) pass through as a narrow map-side array_join, no shuffle beyond
-    the anti-join probe; affected docs posexplode -> anti-join on
-    (doc_id, pos) -> one ordered collect per doc, all keyed by doc_id
-    so the shuffle is bounded by the affected slice, never the corpus.
-    No window functions, no global sort, no driver-side loop."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", _tokens(F.col("text")).alias("t"))
-        .filter(F.size("t") >= 1)
-    )
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    w = (
-        docs.filter(F.size("t") >= VERBATIM_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - F.lit(VERBATIM_K - 1))
-            ).alias("p"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.md5(
-                F.encode(
-                    F.concat_ws(" ", F.slice("t", F.col("p"), VERBATIM_K)), "UTF-8"
-                )
-            ).alias("wh"),
-        )
-    )
-    owner = (
-        w.groupBy("wh")
-        .agg(
-            F.countDistinct("doc_id").alias("wdf"),
-            F.min("doc_id").alias("owner_doc"),
-        )
-        .filter(F.col("wdf") >= VERBATIM_MIN_DOCS)
-        .select("wh", "owner_doc")
-    )
-    cut = (
-        w.join(owner, "wh")
-        .filter(F.col("doc_id") != F.col("owner_doc"))
-        .select("doc_id", "p")
-    )
-    # covered is the small product of the EXPENSIVE subtree (window df
-    # aggregate + join-back, two corpus-keyed shuffles) and is referenced
-    # by three consumers (the kept anti-join and both affected/unaffected
-    # splits via aff_ids) — checkpoint it eagerly so the owner chain runs
-    # ONCE, not three times (measured: 11 parquet scans of documents
-    # without it)
-    covered = (
-        cut.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    covered is the small product of each caller's EXPENSIVE subtree
+    (df/owner aggregates or decontam probe joins — corpus-keyed
+    shuffles) and is referenced by three consumers (the kept anti-join
+    and both affected/unaffected splits via aff_ids) — checkpoint it
+    eagerly so the producing chain runs ONCE, not three times
+    (measured: 11 parquet scans of documents without it). Unaffected
+    docs pass through as a narrow map-side array_join; affected docs
+    posexplode -> (doc_id, pos) anti-join -> one ordered collect per
+    doc, all keyed by doc_id so the shuffle is bounded by the affected
+    slice, never the corpus."""
+    covered = covered.distinct().localCheckpoint(eager=True)
     aff_ids = covered.select("doc_id").distinct()
     aff = docs.join(aff_ids, "doc_id")
     kept = (
@@ -8435,15 +8377,14 @@ def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aff_out.unionByName(unaff)
 
 
-def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Draft q_verbatim_excise: the excised corpus's per-doc audit row —
-    token totals, kept/cut counts, exact-ppm cut share, and the cleaned
-    text as md5 + char length (the corpus itself comes from
-    verbatim_excise_corpus; hashing keeps the compare payload fixed-width
-    while still pinning every surviving byte). Bit-determinism: integer
-    arithmetic + md5 over UTF-8 in both engines."""
-    out = verbatim_excise_corpus(spark, sf_dir)
-    return out.select(
+def _token_excise_audit(corpus: DataFrame) -> DataFrame:
+    """Shared audit projection over an excised-corpus frame (doc_id,
+    source, n_tokens, kept_tokens, cleaned): token totals, kept/cut
+    counts, exact-ppm cut share, and the cleaned text pinned as md5 +
+    char length (fixed compare width, every surviving byte covered).
+    Bit-determinism: integer arithmetic + md5 over UTF-8 in both
+    engines."""
+    return corpus.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -8457,7 +8398,102 @@ def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-verbatim_excise._fingerprint_extras = (verbatim_excise_corpus,)
+def _excise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front of the token-level excision transforms: tokenized
+    documents (doc_id, source, t), empty docs dropped, spread by doc_id
+    (the fixture is a single file; at 100 TB the scan has thousands of
+    splits and this repartition is the reconstruction's co-location)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-EXCISED corpus: per document, the text with every SHARED
+    rolling VERBATIM_K-token window cut out, keep-first-occurrence.
+
+    Semantics (the q_ngram_novelty keep-first rule, per WINDOW): a
+    window (same md5 as q_doc_verbatim_share's) appearing in >=
+    VERBATIM_MIN_DOCS distinct docs is owned by its MIN(doc_id); every
+    occurrence of it OUTSIDE the owner doc marks its VERBATIM_K token
+    positions as cut. A doc's cleaned text is its surviving tokens in
+    original order, space-joined (token-normalized text, the same
+    normalization _tokens applies on the way in). Returns one row per
+    document (>= 1 token): doc_id, source, n_tokens, kept_tokens,
+    cleaned (the surviving text — '' when everything was cut).
+
+    Shape at 100 TB: the window build, df/owner aggregate and cut
+    join-back are q_doc_verbatim_share's machinery (16-byte md5 shuffle
+    keys, linear in corpus tokens). The NEW cost — positional
+    reconstruction — is confined to AFFECTED docs only: unaffected docs
+    (the overwhelming majority once boilerplate df-concentration kicks
+    in) pass through as a narrow map-side array_join, no shuffle beyond
+    the anti-join probe; affected docs posexplode -> anti-join on
+    (doc_id, pos) -> one ordered collect per doc, all keyed by doc_id
+    so the shuffle is bounded by the affected slice, never the corpus.
+    No window functions, no global sort, no driver-side loop."""
+    docs = _excise_docs(spark, sf_dir)
+    w = (
+        docs.filter(F.size("t") >= VERBATIM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(VERBATIM_K - 1))
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice("t", F.col("p"), VERBATIM_K)), "UTF-8"
+                )
+            ).alias("wh"),
+        )
+    )
+    owner = (
+        w.groupBy("wh")
+        .agg(
+            F.countDistinct("doc_id").alias("wdf"),
+            F.min("doc_id").alias("owner_doc"),
+        )
+        .filter(F.col("wdf") >= VERBATIM_MIN_DOCS)
+        .select("wh", "owner_doc")
+    )
+    cut = (
+        w.join(owner, "wh")
+        .filter(F.col("doc_id") != F.col("owner_doc"))
+        .select("doc_id", "p")
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))
+        ).alias("pos"),
+    )
+    return _excise_covered(docs, covered)
+
+
+def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_verbatim_excise: the excised corpus's per-doc audit row —
+    token totals, kept/cut counts, exact-ppm cut share, and the cleaned
+    text as md5 + char length (the corpus itself comes from
+    verbatim_excise_corpus; hashing keeps the compare payload fixed-width
+    while still pinning every surviving byte). Bit-determinism: integer
+    arithmetic + md5 over UTF-8 in both engines."""
+    return _token_excise_audit(verbatim_excise_corpus(spark, sf_dir))
+
+
+verbatim_excise._fingerprint_extras = (
+    verbatim_excise_corpus,
+    _excise_docs,
+    _excise_covered,
+    _token_excise_audit,
+)
 
 # the toks + window-hash CTEs are the REGISTERED q_doc_verbatim_share
 # oracle's text verbatim (sliced between stable markers, the
@@ -8520,10 +8556,17 @@ VERBATIM_EXCISE_ORACLE = (
     """
 )
 
+# r12 registration (same-round, the q_doc_verbatim_share idiom): the
+# draft tier passed its brute-force, planted-fixture and cross-operator
+# laws plus bit-exact oracle parity at sf0.001 AND sf0.01 before this
+# line landed (tests/test_round12_ops.py); the corpus builder is
+# fingerprint-covered via _fingerprint_extras above.
+register("q_verbatim_excise", oracle=VERBATIM_EXCISE_ORACLE)(verbatim_excise)
+
 
 # ---------------------------------------------------------------------------
 # line_excise — the C4-style boilerplate-line removal ACTION to
-# q_line_dedup's audit (library tier, r13 registration candidate).
+# q_line_dedup's audit (drafted early in r12, registered same-round).
 # Distinct semantics from verbatim_excise: a boilerplate line
 # (df >= LINE_BOILER_DF) is dropped from EVERY document including the
 # first — the C4/CCNet/RefinedWeb rule; navigation chrome is noise in
@@ -8590,7 +8633,7 @@ def _line_excise_body(ln: DataFrame, sep: str) -> DataFrame:
 
 
 def line_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Draft q_line_excise: the boilerplate-line-EXCISED corpus, per-doc
+    """q_line_excise: the boilerplate-line-EXCISED corpus, per-doc
     audit row. Lines are q_line_dedup's fixed LINE_WORDS-word chunks
     (the fixture-splitter contract; line_excise_newline is the
     production splitter). A line in >= LINE_BOILER_DF distinct docs is
@@ -8726,3 +8769,243 @@ LINE_EXCISE_NEWLINE_ORACLE = (
         _SEP_ANCHOR, "string_agg(line, chr(10) ORDER BY p)"
     )
 )
+
+# r12 registration (same-round): both splitter variants passed the
+# brute-force, planted-footer, FIXPOINT (cleaned corpus re-audits
+# boilerplate-free) and dual-SF oracle-parity gates before these lines
+# landed (tests/test_round12_ops.py); the shared body is
+# fingerprint-covered on both ids via _fingerprint_extras above.
+register("q_line_excise", oracle=LINE_EXCISE_ORACLE)(line_excise)
+register("q_line_excise_newline", oracle=LINE_EXCISE_NEWLINE_ORACLE)(
+    line_excise_newline
+)
+
+
+# ---------------------------------------------------------------------------
+# decontam_excise — the decontamination ACTION to q_decontam's audit
+# (r12 wave 2): q_decontam flags training docs sharing shingles with
+# the eval set; this one materializes the DECONTAMINATED corpus — every
+# eval-set shingle's token footprint cut from every training doc, the
+# span-level remedy a pretraining-hygiene run executes instead of
+# dropping whole flagged documents.
+# ---------------------------------------------------------------------------
+
+
+def decontam_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-overlap-EXCISED training corpus: per training document
+    (doc_id % DECONTAM_MOD != 0 — q_decontam's fixture stand-in for
+    benchmark membership), the text with every SHINGLE_K-token window
+    whose shingle appears ANYWHERE in the eval set cut out. Eval docs
+    are not rows of the output (they are the contamination source, not
+    the corpus being cleaned); a training doc made entirely of eval
+    shingles excises to ''.
+
+    Shape at 100 TB: the eval side of a real decontamination run is a
+    benchmark suite — MBs, not TBs — so its distinct-shingle set is
+    broadcast (q_decontam's own plan) and the training side never
+    shuffles for the probe join; the positional window build is linear
+    in corpus tokens with no aggregate at all (unlike verbatim_excise's
+    corpus-keyed df/owner shuffles, the cut decision here is a pure
+    broadcast-hash lookup). Reconstruction is _excise_covered's
+    affected-slice-only machinery."""
+    docs = _excise_docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECONTAM_MOD == 0
+    tr = docs.filter(~is_eval)
+    w = (
+        tr.filter(F.size("t") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(SHINGLE_K - 1))
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.concat_ws(
+                " ", F.slice("t", F.col("p"), SHINGLE_K)
+            ).alias("shingle"),
+        )
+    )
+    ev = (
+        _shingles_df(spark, sf_dir)
+        .filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    cut = w.join(F.broadcast(ev), "shingle").select("doc_id", "p")
+    covered = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(SHINGLE_K - 1))
+        ).alias("pos"),
+    )
+    return _excise_covered(tr, covered)
+
+
+def decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_decontam_excise: the decontaminated corpus's per-doc audit row
+    (the verbatim_excise projection — token totals, kept/cut counts,
+    exact-ppm cut share, cleaned md5 + char length). Cross-operator
+    law (pytest-pinned): the docs with cut_tokens > 0 are EXACTLY
+    q_decontam's flagged set — a training doc loses tokens iff it
+    carries at least one eval shingle."""
+    return _token_excise_audit(decontam_excise_corpus(spark, sf_dir))
+
+
+decontam_excise._fingerprint_extras = (
+    decontam_excise_corpus,
+    _excise_docs,
+    _excise_covered,
+    _token_excise_audit,
+    _shingles_df,
+)
+
+# the reconstruction tail (tok/kept/recon/base CTEs + the audit SELECT)
+# is the REGISTERED q_verbatim_excise oracle's text verbatim, sliced at
+# the tok anchor — the excision siblings cannot drift on reconstruction
+# semantics. The eval-shingle CTE mirrors _SHINGLES_SQL's
+# list_transform construction (q_decontam's registered eval-set
+# definition) over the eval slice.
+_VERBATIM_EXCISE_TAIL = VERBATIM_EXCISE_ORACLE[
+    VERBATIM_EXCISE_ORACLE.index("tok AS (") :
+]
+
+DECONTAM_EXCISE_ORACLE = (
+    f"""
+    WITH evtoks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % {DECONTAM_MOD} = 0),
+    ev AS (
+      SELECT DISTINCT UNNEST(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                      i -> array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+      FROM evtoks WHERE len(t) >= {SHINGLE_K}),
+    toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0),
+    w AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             array_to_string(t[CAST(p AS INT):CAST(p + {SHINGLE_K - 1} AS INT)], ' ')
+               AS shingle
+      FROM toks, UNNEST(range(1, CAST(len(t) - {SHINGLE_K - 2} AS BIGINT))) u(p)
+      WHERE len(t) >= {SHINGLE_K}),
+    cut AS (
+      SELECT w.doc_id, w.p FROM w JOIN ev USING (shingle)),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(p + q AS BIGINT) AS pos
+      FROM cut, UNNEST(range(0, {SHINGLE_K})) u2(q)),
+    """
+    + _VERBATIM_EXCISE_TAIL
+)
+
+register("q_decontam_excise", oracle=DECONTAM_EXCISE_ORACLE)(decontam_excise)
+
+
+# ---------------------------------------------------------------------------
+# intradoc_excise — WITHIN-document repeated-window removal (r12 wave
+# 2): the third reuse granularity. verbatim_excise cuts spans shared
+# ACROSS docs (keep-first-doc), line_excise cuts cross-doc boilerplate
+# lines (keep-none), this one cuts repeats INSIDE a single document
+# (keep-first-occurrence) — the "remove repeated n-grams" rule of
+# repetition-trimming passes (the action to q_repetition's
+# repeated-bigram audit signal).
+# ---------------------------------------------------------------------------
+
+
+def intradoc_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intra-doc-repeat-EXCISED corpus: per document, every
+    SHINGLE_K-token window whose hash already occurred EARLIER IN THE
+    SAME DOCUMENT marks its footprint cut; the first occurrence is
+    kept. A perfectly periodic doc collapses to one period; a doc with
+    no repeated window passes through byte-identical.
+
+    Shape at 100 TB: everything is doc_id-keyed — the window build
+    reuses the doc partitioning, the first-occurrence aggregate and the
+    join-back group on (doc_id, wh) so no cross-doc shuffle ever
+    exceeds the doc's own windows, and reconstruction is
+    _excise_covered's affected-slice-only machinery. No corpus-global
+    state at all: this transform is embarrassingly parallel over
+    documents (the one excision sibling that needs NO df aggregate)."""
+    docs = _excise_docs(spark, sf_dir)
+    w = (
+        docs.filter(F.size("t") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(SHINGLE_K - 1))
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice("t", F.col("p"), SHINGLE_K)), "UTF-8"
+                )
+            ).alias("wh"),
+        )
+    )
+    rep = (
+        w.groupBy("doc_id", "wh")
+        .agg(F.min("p").alias("p0"), F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "wh", "p0")
+    )
+    cut = (
+        w.join(rep, ["doc_id", "wh"])
+        .filter(F.col("p") > F.col("p0"))
+        .select("doc_id", "p")
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(SHINGLE_K - 1))
+        ).alias("pos"),
+    )
+    return _excise_covered(docs, covered)
+
+
+def intradoc_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_intradoc_excise: the intra-doc-deduplicated corpus's per-doc
+    audit row (the shared excision projection). Cross-operator law
+    (pytest-pinned): a repeated SHINGLE_K-gram implies repeated bigrams,
+    so every doc with cut_tokens > 0 has q_repetition rep_ratio > 0."""
+    return _token_excise_audit(intradoc_excise_corpus(spark, sf_dir))
+
+
+intradoc_excise._fingerprint_extras = (
+    intradoc_excise_corpus,
+    _excise_docs,
+    _excise_covered,
+    _token_excise_audit,
+)
+
+INTRADOC_EXCISE_ORACLE = (
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(
+               t[CAST(p AS INT):CAST(p + {SHINGLE_K - 1} AS INT)], ' ')) AS wh
+      FROM toks, UNNEST(range(1, CAST(len(t) - {SHINGLE_K - 2} AS BIGINT))) u(p)
+      WHERE len(t) >= {SHINGLE_K}),
+    rep AS (
+      SELECT doc_id, wh, MIN(p) AS p0
+      FROM w GROUP BY doc_id, wh
+      HAVING COUNT(*) >= 2),
+    cut AS (
+      SELECT w.doc_id, w.p
+      FROM w JOIN rep USING (doc_id, wh)
+      WHERE w.p > rep.p0),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(p + q AS BIGINT) AS pos
+      FROM cut, UNNEST(range(0, {SHINGLE_K})) u2(q)),
+    """
+    + _VERBATIM_EXCISE_TAIL
+)
+
+register("q_intradoc_excise", oracle=INTRADOC_EXCISE_ORACLE)(intradoc_excise)

@@ -91,7 +91,20 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_embed_threshold_curve", "q_kcore_audit",
            # round-12 registration: stream-stream FULL outer join —
            # both-side state eviction through the real runtime
-           "q_stream_full_outer"]
+           "q_stream_full_outer",
+           # round-12 excision wave (registered same-round): the
+           # audit->action transforms. NOTE the replicated tree is
+           # ADVERSARIAL for all three by construction — every doc is a
+           # 10-fold clone, so every window/line is shared and 100% of
+           # docs take the reconstruction path (9 of each 10 replicas
+           # excise to ''), the worst case for the "affected slice
+           # only" claim
+           "q_verbatim_excise", "q_line_excise", "q_line_excise_newline",
+           # round-12 wave 2 (registered same-round): the decontam and
+           # intra-doc excision actions. The replicated tree is again
+           # adversarial: 10x eval docs widen the eval shingle set, and
+           # intra-doc windows repeat identically in every replica
+           "q_decontam_excise", "q_intradoc_excise"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration
@@ -117,13 +130,8 @@ PREP_APIS: list[str] = [
     # #7) — auto cap value, edge-set delta vs pinned cap=16, and the
     # saturation check vs the exact tier, one row
     "auto_cap_edges_delta",
-    # r12 library tier (r13 registration candidate): the verbatim-span
-    # excision transform. NOTE the replicated tree is ADVERSARIAL for it
-    # by construction: every doc is a 10-fold clone, so every window is
-    # shared and 100% of docs take the positional-reconstruction path
-    # (9 of each 10 replicas excise to ''), the worst case for the
-    # "affected slice only" claim
-    "verbatim_excise",
+    # (verbatim_excise / line_excise / line_excise_newline — registered
+    # same-round and moved to QUERIES under their q_ ids)
     # r12 (VERDICT r11 #6): the planted-boilerplate hot-key lane — one
     # 64-token paragraph prepended to HALF the corpus, so ~57 window
     # hashes carry df ~= n_docs/2. Measures the df-agg + join-back under
@@ -131,11 +139,6 @@ PREP_APIS: list[str] = [
     # reconstruction for the excision transform
     "verbatim_share_boiler_stress",
     "verbatim_excise_boiler_stress",
-    # r12 library tier (r13 candidate): the C4-style boilerplate-line
-    # removal action; the replicated tree makes EVERY line df>=10 (all
-    # boilerplate), so 100% of docs excise to '' — the adversarial
-    # worst case for the anti-join + ordered reconstruction
-    "line_excise",
 ]
 
 BOILER_DST = "/tmp/sf1_boiler"

@@ -73,8 +73,37 @@ def test_stream_full_outer_registered():
     assert spec.fn is stream_full_outer_data
 
 
+def test_excision_wave_registered():
+    """The three excision tiers are registered under the latest-5 spare
+    slots AFTER the draft gates below went green — each registered
+    oracle is the SAME text the draft-parity tests pinned bit-exact at
+    sf0.001 and sf0.01, so registration changed visibility, not
+    semantics. Window arithmetic holds: the 4 never-witnessed ids front
+    the r12 window without displacing the 25-strong r07 deadline cohort
+    (pre-computed in SURVEY §2.10; enforced by the staleness gate)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        LINE_EXCISE_NEWLINE_ORACLE,
+        LINE_EXCISE_ORACLE,
+        VERBATIM_EXCISE_ORACLE,
+        line_excise,
+        line_excise_newline,
+        verbatim_excise,
+    )
+
+    specs = registry.specs()
+    for qid, fn, oracle in [
+        ("q_verbatim_excise", verbatim_excise, VERBATIM_EXCISE_ORACLE),
+        ("q_line_excise", line_excise, LINE_EXCISE_ORACLE),
+        ("q_line_excise_newline", line_excise_newline, LINE_EXCISE_NEWLINE_ORACLE),
+    ]:
+        assert qid in specs, f"{qid} not registered"
+        assert specs[qid].oracle == oracle
+        assert specs[qid].fn is fn
+
+
 # ---------------------------------------------------------------------------
-# VERDICT r11 #2: verbatim_excise (library tier, r13 registration candidate)
+# VERDICT r11 #2: verbatim_excise (draft gates; registered same-round once
+# these went green — see test_excision_wave_registered)
 # ---------------------------------------------------------------------------
 
 
@@ -499,3 +528,318 @@ def test_line_excise_drops_boilerplate_everywhere(spark, tmp_path):
     )
     audit = line_dedup_newline(spark, f"{tmp_path}/clean").collect()
     assert sum(r["boiler_instances"] for r in audit) == 0
+
+
+# ---------------------------------------------------------------------------
+# r12 wave 2: decontam_excise — the decontamination ACTION (registered
+# same-round after these gates went green)
+# ---------------------------------------------------------------------------
+
+
+def _brute_decontam_excise(sf_dir: str):
+    """Independent Python recomputation: eval = docs with doc_id %
+    DECONTAM_MOD == 0; their distinct SHINGLE_K-gram set; every training
+    window matching an eval shingle marks its K-token footprint cut;
+    cleaned = survivors space-joined. Eval docs absent from output."""
+    import hashlib
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import DECONTAM_MOD, SHINGLE_K
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: (s, t.strip().split()) for d, s, t in rows}
+    ev = set()
+    for d, (_, t) in toks.items():
+        if d % DECONTAM_MOD == 0:
+            for p in range(len(t) - SHINGLE_K + 1):
+                ev.add(" ".join(t[p : p + SHINGLE_K]))
+    out = {}
+    for d, (s, t) in toks.items():
+        if d % DECONTAM_MOD == 0 or not t:
+            continue
+        covered = set()
+        for p in range(len(t) - SHINGLE_K + 1):
+            if " ".join(t[p : p + SHINGLE_K]) in ev:
+                covered.update(range(p + 1, p + SHINGLE_K + 1))
+        keep = [tok for i, tok in enumerate(t, 1) if i not in covered]
+        out[d] = (s, len(t), len(keep), hashlib.md5(" ".join(keep).encode()).hexdigest())
+    return out
+
+
+def test_decontam_excise_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import decontam_excise
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["kept_tokens"], r["cleaned_md5"])
+        for r in decontam_excise(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_decontam_excise(SF_SMALL)
+    assert any(v[1] != v[2] for v in got.values())  # contamination exists
+    assert any(v[1] == v[2] for v in got.values())  # clean docs exist
+
+
+def test_decontam_excise_oracle_parity(spark):
+    """Registration gate: bit-exact vs the DuckDB twin at sf0.001 AND
+    sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        DECONTAM_EXCISE_ORACLE,
+        decontam_excise,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        assert (
+            run_pair(spark, "decontam_excise", decontam_excise,
+                     DECONTAM_EXCISE_ORACLE, sf)
+            > 0
+        )
+
+
+def test_decontam_excise_planted_laws(spark, tmp_path):
+    """Planted-fixture laws: a training doc loses EXACTLY the eval
+    shingle's footprint; a training-training shared shingle (absent
+    from the eval set) cuts NOTHING — the law distinguishing this
+    transform from verbatim_excise; a doc made entirely of eval
+    content excises to ''; eval docs are not output rows. Oracle
+    agrees on the same fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        DECONTAM_EXCISE_ORACLE,
+        DECONTAM_MOD,
+        SHINGLE_K,
+        decontam_excise,
+        decontam_excise_corpus,
+    )
+    from tests.oracle_util import compare
+
+    assert SHINGLE_K == 3 and DECONTAM_MOD == 97
+    docs = [
+        (97, "eval", "e1 e2 e3 e4"),  # eval doc: shingles e1e2e3, e2e3e4
+        # training: one eval window at p=3 -> covered 3..5
+        (1, "web", "u1 u2 e1 e2 e3 u3"),
+        # training pair sharing a NON-eval shingle -> both untouched
+        (2, "web", "t1 t2 t3 a1 a2"),
+        (3, "web", "b1 t1 t2 t3 b2"),
+        # training doc that is pure eval content -> ''
+        (4, "web", "e1 e2 e3 e4"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    corpus = {
+        r["doc_id"]: r
+        for r in decontam_excise_corpus(spark, str(tmp_path)).collect()
+    }
+    assert set(corpus) == {1, 2, 3, 4}  # eval doc 97 absent
+    assert corpus[1]["cleaned"] == "u1 u2 u3"
+    assert corpus[2]["cleaned"] == docs[2][2]  # training-training reuse kept
+    assert corpus[3]["cleaned"] == docs[3][2]
+    assert corpus[4]["cleaned"] == "" and corpus[4]["kept_tokens"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(DECONTAM_EXCISE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        decontam_excise(spark, str(tmp_path)).toPandas(),
+        odf,
+        "decontam_excise_planted",
+    )
+
+
+def test_decontam_excise_agrees_with_decontam(spark):
+    """Cross-operator law: the docs this transform cuts are EXACTLY
+    q_decontam's flagged set — a training doc loses tokens iff it
+    carries >= 1 eval shingle (same shingle definition on both sides)."""
+    from hadoop_distexec_spark.operators.llmops import decontam_excise, q_decontam
+
+    cut_docs = {
+        r["doc_id"]
+        for r in decontam_excise(spark, SF_SMALL).collect()
+        if r["cut_tokens"] > 0
+    }
+    flagged = {r["doc_id"] for r in q_decontam(spark, SF_SMALL).collect()}
+    assert cut_docs == flagged
+    assert cut_docs  # fixture has contamination
+
+
+# ---------------------------------------------------------------------------
+# r12 wave 2: intradoc_excise — within-doc repeated-window removal
+# (registered same-round after these gates went green)
+# ---------------------------------------------------------------------------
+
+
+def _brute_intradoc_excise(sf_dir: str):
+    """Independent recompute: scanning left-to-right, a SHINGLE_K-token
+    window whose text already occurred earlier in the SAME doc marks its
+    footprint cut (first occurrence kept)."""
+    import hashlib
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import SHINGLE_K
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    out = {}
+    for d, s, text in rows:
+        t = text.strip().split()
+        if not t:
+            continue
+        seen = set()
+        covered = set()
+        for p in range(len(t) - SHINGLE_K + 1):
+            w = " ".join(t[p : p + SHINGLE_K])
+            if w in seen:
+                covered.update(range(p + 1, p + SHINGLE_K + 1))
+            else:
+                seen.add(w)
+        keep = [tok for i, tok in enumerate(t, 1) if i not in covered]
+        out[d] = (s, len(t), len(keep), hashlib.md5(" ".join(keep).encode()).hexdigest())
+    return out
+
+
+def test_intradoc_excise_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import intradoc_excise
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["kept_tokens"], r["cleaned_md5"])
+        for r in intradoc_excise(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_intradoc_excise(SF_SMALL)
+    assert any(v[1] != v[2] for v in got.values())  # intra-doc repeats exist
+    assert any(v[1] == v[2] for v in got.values())  # repeat-free docs exist
+
+
+def test_intradoc_excise_oracle_parity(spark):
+    """Registration gate: bit-exact vs the DuckDB twin at sf0.001 AND
+    sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        INTRADOC_EXCISE_ORACLE,
+        intradoc_excise,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        assert (
+            run_pair(spark, "intradoc_excise", intradoc_excise,
+                     INTRADOC_EXCISE_ORACLE, sf)
+            > 0
+        )
+
+
+def test_intradoc_excise_planted_laws(spark, tmp_path):
+    """Planted laws: a later repeat of a window loses exactly its
+    footprint (keep-first); a perfectly periodic doc collapses to one
+    period; a repeat-free doc passes through byte-identical. Oracle
+    agrees on the same fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        INTRADOC_EXCISE_ORACLE,
+        intradoc_excise,
+        intradoc_excise_corpus,
+    )
+    from tests.oracle_util import compare
+
+    docs = [
+        (1, "web", "a b c d a b c e"),  # repeat of (a b c) at p=5 -> cut 5..7
+        (2, "web", "x y z x y z"),  # periodic: repeat at p=4 -> cut 4..6
+        (3, "web", "p q r s t u v"),  # repeat-free
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    corpus = {
+        r["doc_id"]: r
+        for r in intradoc_excise_corpus(spark, str(tmp_path)).collect()
+    }
+    assert corpus[1]["cleaned"] == "a b c d e"
+    assert corpus[2]["cleaned"] == "x y z"
+    assert corpus[3]["cleaned"] == docs[2][2]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(INTRADOC_EXCISE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        intradoc_excise(spark, str(tmp_path)).toPandas(),
+        odf,
+        "intradoc_excise_planted",
+    )
+
+
+def test_intradoc_excise_implies_repetition(spark):
+    """Cross-operator law: a repeated SHINGLE_K-gram implies repeated
+    bigrams, so every doc this transform cuts has q_repetition
+    rep_ratio > 0 (subset, not equality — a repeated bigram need not
+    extend to a repeated trigram)."""
+    from hadoop_distexec_spark.operators.llmops import intradoc_excise, q_repetition
+
+    cut_docs = {
+        r["doc_id"]
+        for r in intradoc_excise(spark, SF_SMALL).collect()
+        if r["cut_tokens"] > 0
+    }
+    repeaty = {
+        r["doc_id"]
+        for r in q_repetition(spark, SF_SMALL).collect()
+        if r["rep_ratio"] > 0
+    }
+    assert cut_docs, "fixture has intra-doc repeats"
+    assert cut_docs <= repeaty
+
+
+def test_r12_wave2_registered():
+    """Wave-2 registration: the decontam/intradoc excision tiers are
+    registered with the SAME oracle text the parity gates above pinned,
+    and the reconstruction tail of both oracles is the REGISTERED
+    q_verbatim_excise oracle's text verbatim (the anchored-slice
+    sibling tie)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        DECONTAM_EXCISE_ORACLE,
+        INTRADOC_EXCISE_ORACLE,
+        VERBATIM_EXCISE_ORACLE,
+        decontam_excise,
+        intradoc_excise,
+    )
+
+    specs = registry.specs()
+    for qid, fn, oracle in [
+        ("q_decontam_excise", decontam_excise, DECONTAM_EXCISE_ORACLE),
+        ("q_intradoc_excise", intradoc_excise, INTRADOC_EXCISE_ORACLE),
+    ]:
+        assert qid in specs and specs[qid].oracle == oracle
+        assert specs[qid].fn is fn
+    tail = VERBATIM_EXCISE_ORACLE[VERBATIM_EXCISE_ORACLE.index("tok AS (") :]
+    assert tail in DECONTAM_EXCISE_ORACLE
+    assert tail in INTRADOC_EXCISE_ORACLE
