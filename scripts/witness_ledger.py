@@ -17,8 +17,10 @@ latest-1 bound. That lifts the registry's witness-bandwidth ceiling to
 ~6 cohorts x 50 = ~300 ids at 50 witnesses/round, funding the round-11
 registration waves (the four r10-drafted tiers plus the four
 same-round wave-2 tiers, registry 208 -> 216) and, out of the policy's
-steady-state headroom, the r12 registration (q_stream_full_outer,
-216 -> 217 — no further notch needed).
+steady-state headroom, the r12 registrations (q_stream_full_outer plus
+the excision waves q_verbatim_excise / q_line_excise /
+q_line_excise_newline / q_decontam_excise / q_intradoc_excise,
+216 -> 222 — no further notch needed).
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py

@@ -234,8 +234,11 @@ def test_witness_staleness_bounded():
     ceiling (SURVEY §2.10 r10 arithmetic), and this notch funds the
     round-11 registration waves (the four r10-drafted tiers plus the
     four same-round wave-2 tiers, registry 208 -> 216) and the ~20
-    spare slots/round that carried the r12 registration
-    (q_stream_full_outer, 216 -> 217) with no further policy change.
+    spare slots/round that carried the r12 registrations
+    (q_stream_full_outer plus the excision-transform waves
+    q_verbatim_excise / q_line_excise / q_line_excise_newline /
+    q_decontam_excise / q_intradoc_excise, 216 -> 222) with no
+    further policy change.
     Once a new CORRECTNESS artifact lands, `python scripts/rotate.py`
     (rotation + ledger + parity in ONE commit) is the only way to keep
     this green, which is exactly the point."""
