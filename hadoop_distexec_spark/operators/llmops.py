@@ -7802,6 +7802,15 @@ def doc_verbatim_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", _tokens(F.col("text")).alias("t")
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return _verbatim_share_on(docs)
+
+
+def _verbatim_share_on(docs: DataFrame) -> DataFrame:
+    """The per-source verbatim-share aggregate over an arbitrary
+    tokenized (doc_id, source, t) frame — q_doc_verbatim_share's body,
+    extracted (r12) so q_excise_impact can run the IDENTICAL audit over
+    both the raw and the excised corpus (fingerprint-covered on both
+    registered ids)."""
     w = docs.filter(F.size("t") >= VERBATIM_K).select(
         "doc_id",
         "source",
@@ -7898,6 +7907,11 @@ DOC_VERBATIM_SHARE_ORACLE = f"""
 register("q_doc_verbatim_share", oracle=DOC_VERBATIM_SHARE_ORACLE)(
     doc_verbatim_share
 )
+# r12: the body moved to _verbatim_share_on so q_excise_impact can run
+# the identical audit over the excised corpus — cover the delegated
+# logic in this id's fingerprint (resets its staleness clock to the
+# tight bound; the r12 window arithmetic accounts for it)
+doc_verbatim_share._fingerprint_extras = (_verbatim_share_on,)
 
 
 # ---------------------------------------------------------------------------
@@ -9009,3 +9023,136 @@ INTRADOC_EXCISE_ORACLE = (
 )
 
 register("q_intradoc_excise", oracle=INTRADOC_EXCISE_ORACLE)(intradoc_excise)
+
+
+# ---------------------------------------------------------------------------
+# excise_impact — the efficacy certificate for the excision family (r12
+# wave 3): run the REGISTERED q_doc_verbatim_share audit over both the
+# raw corpus and the q_verbatim_excise-cleaned corpus and report the
+# per-source before/after shared-window share side by side. This is the
+# number a cleaning run reads to confirm the action achieved its goal
+# (after_ppm ~ 0 up to "seam" windows — new token adjacencies created
+# by the cuts), and the operator that ties the audit and the action
+# families together in one plan.
+# ---------------------------------------------------------------------------
+
+
+def excise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_excise_impact: per source — docs/windows/shared-windows/ppm of
+    the verbatim-share audit BEFORE excision (the registered
+    q_doc_verbatim_share numbers) and AFTER q_verbatim_excise's
+    keep-first cleaning (the identical audit re-run over the excised
+    text, via the shared _verbatim_share_on body). after_* coalesce to
+    0 for a source whose every doc shrank below VERBATIM_K tokens;
+    after_ppm is 0 when no windows survive (guarded division — neither
+    engine divides by zero).
+
+    Shape at 100 TB: two passes of the linear window audit plus one
+    excision — each component's scale argument is its registered id's;
+    nothing new shuffles. The before/after join keys on source
+    (|sources| rows, broadcast)."""
+    before = doc_verbatim_share(spark, sf_dir).select(
+        "source",
+        F.col("n_docs").cast("long").alias("before_docs"),
+        F.col("total_windows").alias("before_windows"),
+        F.col("shared_windows").alias("before_shared"),
+        F.col("verbatim_ppm").alias("before_ppm"),
+    )
+    cleaned = verbatim_excise_corpus(spark, sf_dir).select(
+        "doc_id", "source", _tokens(F.col("cleaned")).alias("t")
+    )
+    after = _verbatim_share_on(cleaned).select(
+        "source",
+        F.col("n_docs").cast("long").alias("after_docs"),
+        F.col("total_windows").alias("after_windows"),
+        F.col("shared_windows").alias("after_shared"),
+        F.col("verbatim_ppm").alias("after_ppm"),
+    )
+    return before.join(after, "source", "left").select(
+        "source",
+        "before_docs",
+        "before_windows",
+        "before_shared",
+        "before_ppm",
+        F.coalesce("after_docs", F.lit(0)).cast("long").alias("after_docs"),
+        F.coalesce("after_windows", F.lit(0)).cast("long").alias("after_windows"),
+        F.coalesce("after_shared", F.lit(0)).cast("long").alias("after_shared"),
+        F.coalesce("after_ppm", F.lit(0)).cast("long").alias("after_ppm"),
+    )
+
+
+excise_impact._fingerprint_extras = (
+    doc_verbatim_share,
+    _verbatim_share_on,
+    verbatim_excise_corpus,
+    _excise_docs,
+    _excise_covered,
+)
+
+# the excision chain (toks/w/owner/cut/covered/tok/kept/recon/base) is
+# the REGISTERED q_verbatim_excise oracle's text verbatim, sliced just
+# before its final SELECT; the before arm derives its shared set from
+# that chain's own `owner` CTE (owner's HAVING is exactly the
+# registered audit's df >= VERBATIM_MIN_DOCS shared-set rule), and the
+# after arm re-windows the reconstructed cleaned text with the same
+# md5 construction.
+_EXCISE_CHAIN = VERBATIM_EXCISE_ORACLE[: VERBATIM_EXCISE_ORACLE.index(
+    "SELECT b.doc_id"
+)]
+assert _EXCISE_CHAIN.rstrip().endswith(")"), (
+    "q_verbatim_excise oracle drifted: CTE chain no longer ends before "
+    "the final SELECT"
+)
+
+EXCISE_IMPACT_ORACLE = (
+    _EXCISE_CHAIN.rstrip()[:-1].rstrip()
+    + """),
+    bper AS (
+      SELECT w.doc_id, w.source, COUNT(*) AS n_w,
+             SUM(CASE WHEN o.wh IS NOT NULL THEN 1 ELSE 0 END) AS n_sh
+      FROM w LEFT JOIN owner o ON w.wh = o.wh
+      GROUP BY w.doc_id, w.source),
+    bsrc AS (
+      SELECT source, COUNT(*) AS before_docs,
+             SUM(n_w) AS before_windows, SUM(n_sh) AS before_shared
+      FROM bper GROUP BY source),
+    clean AS (
+      SELECT b.doc_id, b.source,
+             regexp_split_to_array(trim(COALESCE(r.cleaned, '')), '\\s+') AS t
+      FROM base b LEFT JOIN recon r ON b.doc_id = r.doc_id),
+    cw AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+"""
+    + f"               t[CAST(p AS INT):CAST(p + {VERBATIM_K - 1} AS INT)], ' ')) AS wh\n"
+    + f"      FROM clean, UNNEST(range(1, CAST(len(t) - {VERBATIM_K - 2} AS BIGINT))) u4(p)\n"
+    + f"      WHERE len(t) >= {VERBATIM_K}),\n"
+    + f"""    cshared AS (
+      SELECT wh FROM cw GROUP BY wh
+      HAVING COUNT(DISTINCT doc_id) >= {VERBATIM_MIN_DOCS}),
+    cper AS (
+      SELECT cw.doc_id, cw.source, COUNT(*) AS n_w,
+             SUM(CASE WHEN cs.wh IS NOT NULL THEN 1 ELSE 0 END) AS n_sh
+      FROM cw LEFT JOIN cshared cs ON cw.wh = cs.wh
+      GROUP BY cw.doc_id, cw.source),
+    csrc AS (
+      SELECT source, COUNT(*) AS after_docs,
+             SUM(n_w) AS after_windows, SUM(n_sh) AS after_shared
+      FROM cper GROUP BY source)
+    SELECT b.source,
+           CAST(b.before_docs AS BIGINT) AS before_docs,
+           CAST(b.before_windows AS BIGINT) AS before_windows,
+           CAST(b.before_shared AS BIGINT) AS before_shared,
+           CAST(b.before_shared * 1000000 // b.before_windows AS BIGINT)
+             AS before_ppm,
+           CAST(COALESCE(c.after_docs, 0) AS BIGINT) AS after_docs,
+           CAST(COALESCE(c.after_windows, 0) AS BIGINT) AS after_windows,
+           CAST(COALESCE(c.after_shared, 0) AS BIGINT) AS after_shared,
+           CAST(CASE WHEN COALESCE(c.after_windows, 0) = 0 THEN 0
+                     ELSE c.after_shared * 1000000 // c.after_windows END
+                AS BIGINT) AS after_ppm
+    FROM bsrc b LEFT JOIN csrc c ON b.source = c.source
+    """
+)
+
+register("q_excise_impact", oracle=EXCISE_IMPACT_ORACLE)(excise_impact)

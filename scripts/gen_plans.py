@@ -64,6 +64,15 @@ PICKS += [
     ("q_dedup_rate_curve", "one shared pair build, then a x9 bounded threshold fan-out — no second corpus scan"),
 ]
 
+# registered in round 12 (the excision action waves)
+PICKS += [
+    ("q_verbatim_excise", "the registered share audit's window/df/owner machinery + the affected-slice-only reconstruction: covered checkpointed once, unaffected docs a narrow map-side array_join, affected docs posexplode + (doc_id, pos) anti-join + one doc-keyed ordered collect"),
+    ("q_line_excise_newline", "16-byte line-hash df aggregate + heavy-hitter anti-join (AQE-sized) + doc-keyed ordered reconstruction; no windows, no global sort"),
+    ("q_decontam_excise", "the cut decision is a pure BROADCAST eval-shingle hash probe — zero corpus-keyed aggregates before reconstruction (the eval side is a benchmark suite, MBs at any corpus size)"),
+    ("q_intradoc_excise", "every shuffle doc_id-keyed (window build, first-occurrence agg, join-back, reconstruction) — embarrassingly parallel over documents, no corpus-global state"),
+    ("q_excise_impact", "the excision chain + TWO share-audit passes in one plan; the covered checkpoint keeps the owner subtree single-execution, the before/after join is a |sources|-row broadcast"),
+]
+
 # unregistered library tiers (module-resolved): the plan evidence the
 # SCALE.md capped-tier story rests on; PREP_PICKS stays as the hook for
 # future waves

@@ -104,7 +104,12 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # intra-doc excision actions. The replicated tree is again
            # adversarial: 10x eval docs widen the eval shingle set, and
            # intra-doc windows repeat identically in every replica
-           "q_decontam_excise", "q_intradoc_excise"]
+           "q_decontam_excise", "q_intradoc_excise",
+           # round-12 wave 3: the efficacy certificate — the excision
+           # plus TWO share-audit passes in one plan; on the replicated
+           # tree ~90% of windows excise, so the after arm re-windows a
+           # drastically smaller corpus (the realistic post-clean shape)
+           "q_excise_impact"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration

@@ -19,8 +19,8 @@ registration waves (the four r10-drafted tiers plus the four
 same-round wave-2 tiers, registry 208 -> 216) and, out of the policy's
 steady-state headroom, the r12 registrations (q_stream_full_outer plus
 the excision waves q_verbatim_excise / q_line_excise /
-q_line_excise_newline / q_decontam_excise / q_intradoc_excise,
-216 -> 222 — no further notch needed).
+q_line_excise_newline / q_decontam_excise / q_intradoc_excise /
+q_excise_impact, 216 -> 223 — no further notch needed).
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py

@@ -843,3 +843,223 @@ def test_r12_wave2_registered():
     tail = VERBATIM_EXCISE_ORACLE[VERBATIM_EXCISE_ORACLE.index("tok AS (") :]
     assert tail in DECONTAM_EXCISE_ORACLE
     assert tail in INTRADOC_EXCISE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# r12 wave 3: excise_impact — the efficacy certificate (registered
+# same-round after these gates went green)
+# ---------------------------------------------------------------------------
+
+
+def _brute_excise_impact(sf_dir: str):
+    """Independent recompute of both audit arms: the before arm is the
+    registered share audit's math; the after arm re-runs it over the
+    brute-forced excised corpus (the _brute_excise semantics, kept
+    inline here so the harness stays independent of the helpers under
+    test)."""
+    import collections
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import (
+        VERBATIM_K,
+        VERBATIM_MIN_DOCS,
+    )
+
+    rows = dk.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: (s, t.strip().split()) for d, s, t in rows}
+
+    def share_arm(corpus):  # {doc: (source, tokens)} -> {source: (docs, wins, shared)}
+        wins = collections.defaultdict(list)  # wh -> [(doc, source)]
+        per_doc = {}
+        for d, (s, t) in corpus.items():
+            ws = [
+                " ".join(t[p : p + VERBATIM_K])
+                for p in range(len(t) - VERBATIM_K + 1)
+            ]
+            if not ws:
+                continue
+            per_doc[d] = (s, ws)
+            for w in ws:
+                wins[w].append(d)
+        shared = {w for w, ds in wins.items() if len(set(ds)) >= VERBATIM_MIN_DOCS}
+        out = collections.defaultdict(lambda: [0, 0, 0])
+        for d, (s, ws) in per_doc.items():
+            out[s][0] += 1
+            out[s][1] += len(ws)
+            out[s][2] += sum(1 for w in ws if w in shared)
+        return {s: tuple(v) for s, v in out.items()}
+
+    # the excision (keep-first-doc rule), re-derived independently
+    wins = []
+    for d, (_, t) in toks.items():
+        for p in range(len(t) - VERBATIM_K + 1):
+            wins.append((d, p + 1, " ".join(t[p : p + VERBATIM_K])))
+    docs_per = collections.defaultdict(set)
+    for d, _, w in wins:
+        docs_per[w].add(d)
+    owner = {
+        w: min(ds) for w, ds in docs_per.items() if len(ds) >= VERBATIM_MIN_DOCS
+    }
+    covered = collections.defaultdict(set)
+    for d, p, w in wins:
+        if w in owner and owner[w] != d:
+            covered[d].update(range(p, p + VERBATIM_K))
+    cleaned = {
+        d: (s, [tok for i, tok in enumerate(t, 1) if i not in covered[d]])
+        for d, (s, t) in toks.items()
+        if t
+    }
+    before = share_arm({d: v for d, v in toks.items() if v[1]})
+    after = share_arm(cleaned)
+    out = {}
+    for s, (bd, bw, bs) in before.items():
+        ad, aw, ash = after.get(s, (0, 0, 0))
+        out[s] = (
+            bd, bw, bs, bs * 1_000_000 // bw,
+            ad, aw, ash, (ash * 1_000_000 // aw) if aw else 0,
+        )
+    return out
+
+
+def test_excise_impact_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import excise_impact
+
+    got = {
+        r["source"]: (
+            r["before_docs"], r["before_windows"], r["before_shared"],
+            r["before_ppm"], r["after_docs"], r["after_windows"],
+            r["after_shared"], r["after_ppm"],
+        )
+        for r in excise_impact(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_excise_impact(SF_SMALL)
+    # vacuity guards + the monotone laws cuts guarantee
+    assert any(v[3] > 0 for v in got.values())  # reuse exists before
+    for v in got.values():
+        assert v[5] <= v[1]  # cuts only remove windows
+        assert v[4] <= v[0]  # and docs
+
+
+def test_excise_impact_oracle_parity(spark):
+    """Registration gate: bit-exact vs the DuckDB twin at sf0.001 AND
+    sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        EXCISE_IMPACT_ORACLE,
+        excise_impact,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        assert (
+            run_pair(spark, "excise_impact", excise_impact,
+                     EXCISE_IMPACT_ORACLE, sf)
+            > 0
+        )
+
+
+def test_excise_impact_seam_window_law(spark, tmp_path):
+    """The one subtle semantic, pinned on a planted fixture: excision
+    drives the shared share of the ORIGINAL windows to zero (owners
+    keep the only surviving copy), but cutting creates new token
+    adjacencies — two docs that shared nothing before can become
+    identical after their (different) quoted spans are cut, so
+    after_shared counts exactly those SEAM windows. The audit reports
+    them rather than hiding them — that is why it exists. Oracle agrees
+    on the fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        EXCISE_IMPACT_ORACLE,
+        VERBATIM_K,
+        excise_impact,
+    )
+    from tests.oracle_util import compare
+
+    assert VERBATIM_K == 8
+    Q = " ".join(f"q{i}" for i in range(8))
+    X = " ".join(f"x{i}" for i in range(8))
+    P = " ".join(f"p{i}" for i in range(7))
+    S = " ".join(f"s{i}" for i in range(7))
+    docs = [
+        (1, "web", f"d1 d2 d3 {Q} d4 d5 d6"),  # owns the Q window
+        (2, "web", f"e1 e2 e3 {X} e4 e5 e6"),  # owns the X window
+        (3, "web", f"{P} {Q} {S}"),  # loses Q -> becomes P+S
+        (4, "web", f"{P} {X} {S}"),  # loses X -> becomes P+S (seam twin)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = excise_impact(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # before: each doc carries exactly one shared window (Q or X)
+    assert r["before_docs"] == 4 and r["before_shared"] == 4
+    # after: docs 3/4 both reconstruct to the identical 14-token P+S
+    # text -> 7 windows each, all seam-shared; owners 1/2 untouched
+    assert r["after_docs"] == 4
+    assert r["after_shared"] == 14
+    # each 22-token doc (15 windows) shrinks to 14 tokens (7 windows)
+    assert r["after_windows"] == r["before_windows"] - 2 * 8
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(EXCISE_IMPACT_ORACLE).fetchdf()
+    con.close()
+    compare(
+        excise_impact(spark, str(tmp_path)).toPandas(), odf, "excise_impact_planted"
+    )
+
+
+def test_excise_impact_before_arm_is_registered_audit(spark):
+    """Cross-operator law: the before_* columns are EXACTLY the
+    registered q_doc_verbatim_share numbers (same body via
+    _verbatim_share_on — the refactor cannot drift the audit)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        doc_verbatim_share,
+        excise_impact,
+    )
+
+    audit = {
+        r["source"]: (r["n_docs"], r["total_windows"], r["shared_windows"],
+                      r["verbatim_ppm"])
+        for r in doc_verbatim_share(spark, SF_SMALL).collect()
+    }
+    impact = {
+        r["source"]: (r["before_docs"], r["before_windows"],
+                      r["before_shared"], r["before_ppm"])
+        for r in excise_impact(spark, SF_SMALL).collect()
+    }
+    assert impact == audit
+
+
+def test_r12_wave3_registered():
+    """Wave-3 registration: q_excise_impact carries the parity-pinned
+    oracle, whose excision chain is the REGISTERED q_verbatim_excise
+    oracle's CTE text verbatim (anchored slice)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        EXCISE_IMPACT_ORACLE,
+        VERBATIM_EXCISE_ORACLE,
+        excise_impact,
+    )
+
+    specs = registry.specs()
+    assert "q_excise_impact" in specs
+    assert specs["q_excise_impact"].oracle == EXCISE_IMPACT_ORACLE
+    assert specs["q_excise_impact"].fn is excise_impact
+    chain = VERBATIM_EXCISE_ORACLE[: VERBATIM_EXCISE_ORACLE.index("SELECT b.doc_id")]
+    assert chain.rstrip().rstrip(")").rstrip() in EXCISE_IMPACT_ORACLE
