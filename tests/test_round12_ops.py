@@ -1063,3 +1063,70 @@ def test_r12_wave3_registered():
     assert specs["q_excise_impact"].fn is excise_impact
     chain = VERBATIM_EXCISE_ORACLE[: VERBATIM_EXCISE_ORACLE.index("SELECT b.doc_id")]
     assert chain.rstrip().rstrip(")").rstrip() in EXCISE_IMPACT_ORACLE
+
+
+def test_excision_family_degenerate_docs(spark, tmp_path):
+    """ADVICE r11 #2's class of nit, preempted for the whole excision
+    family: NULL text NULL-propagates through tokenization and the
+    len() filters identically in both engines (dropped everywhere);
+    empty and whitespace-only text tokenize to the single-empty-token
+    array [''] on BOTH sides (Spark split == DuckDB
+    regexp_split_to_array) and survive as untouched 1-token rows in the
+    token-granularity transforms, while the newline splitter's
+    trim+length filter drops them. Pinned by bit-exact engine agreement
+    on a planted degenerate fixture for all six family members."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        DECONTAM_EXCISE_ORACLE,
+        EXCISE_IMPACT_ORACLE,
+        INTRADOC_EXCISE_ORACLE,
+        LINE_EXCISE_NEWLINE_ORACLE,
+        LINE_EXCISE_ORACLE,
+        VERBATIM_EXCISE_ORACLE,
+        decontam_excise,
+        excise_impact,
+        intradoc_excise,
+        line_excise,
+        line_excise_newline,
+        verbatim_excise,
+    )
+
+    docs = [
+        (1, "web", None),
+        (2, "web", ""),
+        (3, "web", "   "),
+        (4, "web", "a b c a b c d"),  # control with an intra-doc repeat
+        (5, "web", "x y z w v u t s"),  # clean control
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    cases = [
+        ("verbatim", verbatim_excise, VERBATIM_EXCISE_ORACLE, [2, 3, 4, 5]),
+        ("line", line_excise, LINE_EXCISE_ORACLE, [2, 3, 4, 5]),
+        ("line_nl", line_excise_newline, LINE_EXCISE_NEWLINE_ORACLE, [4, 5]),
+        ("decontam", decontam_excise, DECONTAM_EXCISE_ORACLE, [2, 3, 4, 5]),
+        ("intradoc", intradoc_excise, INTRADOC_EXCISE_ORACLE, [2, 3, 4, 5]),
+        ("impact", excise_impact, EXCISE_IMPACT_ORACLE, ["web"]),
+    ]
+    for name, fn, osql, expect_keys in cases:
+        srows = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+        orows = sorted(tuple(r) for r in con.execute(osql).fetchall())
+        assert srows == orows, f"{name}: engines disagree on degenerate docs"
+        assert [r[0] for r in srows] == expect_keys, f"{name}: row keys"
+    con.close()
