@@ -163,6 +163,13 @@ HEADLINE = [
     "q_kcore_audit",
     # round-12 registration (new id — absent from BENCH_r01..r11)
     "q_stream_full_outer",
+    # round-12 excision waves (registered same-round)
+    "q_verbatim_excise",
+    "q_line_excise",
+    "q_line_excise_newline",
+    "q_decontam_excise",
+    "q_intradoc_excise",
+    "q_excise_impact",
 ]
 
 HEADLINE_TRIALS = 3
