@@ -170,6 +170,7 @@ HEADLINE = [
     "q_decontam_excise",
     "q_intradoc_excise",
     "q_excise_impact",
+    "q_pps_sample",
 ]
 
 HEADLINE_TRIALS = 3

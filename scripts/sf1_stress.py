@@ -109,7 +109,10 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            # plus TWO share-audit passes in one plan; on the replicated
            # tree ~90% of windows excise, so the after arm re-windows a
            # drastically smaller corpus (the realistic post-clean shape)
-           "q_excise_impact"]
+           "q_excise_impact",
+           # round-12 wave 4: exact-K weighted PPS sampling — the
+           # bounded (source, bucket) cumsum windows at 10x rows
+           "q_pps_sample"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration

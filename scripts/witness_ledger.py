@@ -20,7 +20,7 @@ same-round wave-2 tiers, registry 208 -> 216) and, out of the policy's
 steady-state headroom, the r12 registrations (q_stream_full_outer plus
 the excision waves q_verbatim_excise / q_line_excise /
 q_line_excise_newline / q_decontam_excise / q_intradoc_excise /
-q_excise_impact, 216 -> 223 — no further notch needed).
+q_excise_impact / q_pps_sample, 216 -> 224 — no further notch needed).
 
 Fingerprint carry-forward and ATTESTATION: regeneration is meant to run
 IMMEDIATELY after a new CORRECTNESS artifact lands (scripts/rotate.py

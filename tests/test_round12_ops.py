@@ -1130,3 +1130,178 @@ def test_excision_family_degenerate_docs(spark, tmp_path):
         assert srows == orows, f"{name}: engines disagree on degenerate docs"
         assert [r[0] for r in srows] == expect_keys, f"{name}: row keys"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# r12 wave 4: q_pps_sample — exact-K weighted sampling without
+# replacement (registered same-round after these gates went green)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pps(sf_dir: str):
+    """Independent recompute of the two-level systematic PPS: md5
+    buckets, largest-remainder quota allocation, md5-order weight line,
+    thresholds r + j*stride within each bucket."""
+    import collections
+    import hashlib
+
+    import duckdb as dk
+
+    from hadoop_distexec_spark.operators.llmops import PPS_BUCKETS, PPS_K
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    rows = dk.sql(
+        f"SELECT doc_id, source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    per_source = collections.defaultdict(list)
+    for d, s, w in rows:
+        per_source[s].append((d, int(w)))
+    out = {}
+    for s, docs in per_source.items():
+        total = sum(w for _, w in docs)
+        if total < PPS_K:
+            for d, w in docs:
+                if w >= 1:
+                    out[d] = (s, w, 1)
+            continue
+        buckets = collections.defaultdict(list)
+        for d, w in docs:
+            buckets[h60(f"ppsb:{d}") % PPS_BUCKETS].append((d, w))
+        bws = {
+            b: sum(w for _, w in v)
+            for b, v in buckets.items()
+            if sum(w for _, w in v) >= 1
+        }
+        base = {b: bw * PPS_K // total for b, bw in bws.items()}
+        rem = {b: bw * PPS_K % total for b, bw in bws.items()}
+        leftover = PPS_K - sum(base.values())
+        kb = dict(base)
+        for b in sorted(bws, key=lambda b: (-rem[b], b))[:leftover]:
+            kb[b] += 1
+        for b, k in kb.items():
+            if k < 1:
+                continue
+            stride = bws[b] // k
+            r = 1 + h60(f"ppsr:{s}:{b}") % stride
+            g = lambda x: 0 if x < r else min((x - r) // stride + 1, k)  # noqa: E731
+            cum = 0
+            for d, w in sorted(
+                buckets[b], key=lambda dw: (h60(f"ppsu:{dw[0]}"), dw[0])
+            ):
+                n = g(cum + w) - g(cum)
+                cum += w
+                if n >= 1:
+                    out[d] = (s, w, n)
+    return out
+
+
+def test_pps_sample_brute_force(spark):
+    from hadoop_distexec_spark.operators.llmops import q_pps_sample
+
+    got = {
+        r["doc_id"]: (r["source"], r["weight"], r["n_picks"])
+        for r in q_pps_sample(spark, SF_SMALL).collect()
+    }
+    assert got == _brute_pps(SF_SMALL)
+    assert got  # non-vacuous
+
+
+def test_pps_sample_exact_k_law(spark):
+    """The contract the op exists for: every source with total weight
+    >= PPS_K yields EXACTLY PPS_K picks (sum of n_picks) — the
+    largest-remainder allocation and the in-bucket threshold arithmetic
+    are exact, not approximate."""
+    import collections
+
+    from hadoop_distexec_spark.operators.llmops import PPS_K, q_pps_sample
+
+    per = collections.Counter()
+    for r in q_pps_sample(spark, SF_SMALL).collect():
+        per[r["source"]] += r["n_picks"]
+    assert per and all(k == PPS_K for k in per.values()), dict(per)
+
+
+def test_pps_sample_oracle_parity(spark):
+    """Registration gate: bit-exact at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        PPS_SAMPLE_ORACLE,
+        q_pps_sample,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        assert run_pair(spark, "pps_sample", q_pps_sample,
+                        PPS_SAMPLE_ORACLE, sf) > 0
+
+
+def test_pps_sample_planted_laws(spark, tmp_path):
+    """Planted laws: a dominant doc (most of its source's weight) is a
+    certainty item with n_picks >= 2 (the PPS multi-pick contract); a
+    source whose total weight is below PPS_K falls back to
+    every-positive-weight-doc-once (zero-weight docs never picked);
+    exact-K holds for the dominant source. Oracle agrees bit-exact."""
+    import collections
+
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        PPS_K,
+        PPS_SAMPLE_ORACLE,
+        q_pps_sample,
+    )
+    from tests.oracle_util import compare
+
+    docs = [
+        (1, "dom", 100),
+        (2, "dom", 1),
+        (3, "dom", 1),
+        (4, "dom", 1),
+        (5, "dom", 1),
+        (6, "tiny", 3),
+        (7, "tiny", 2),
+        (8, "tiny", 0),  # zero weight: never picked, even in fallback
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "n_chars": pa.array([d[2] for d in docs], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in q_pps_sample(spark, str(tmp_path)).collect()}
+    per = collections.Counter()
+    for r in rows.values():
+        per[r["source"]] += r["n_picks"]
+    assert per["dom"] == PPS_K
+    assert rows[1]["n_picks"] >= 2  # certainty multi-pick
+    assert per["tiny"] == 2  # fallback: both positive-weight docs, once
+    assert rows[6]["n_picks"] == 1 and rows[7]["n_picks"] == 1
+    assert 8 not in rows  # zero weight excluded
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(PPS_SAMPLE_ORACLE).fetchdf()
+    con.close()
+    compare(
+        q_pps_sample(spark, str(tmp_path)).toPandas(), odf, "pps_sample_planted"
+    )
+
+
+def test_r12_wave4_registered():
+    from hadoop_distexec_spark.operators.llmops import (
+        PPS_SAMPLE_ORACLE,
+        q_pps_sample,
+    )
+
+    specs = registry.specs()
+    assert "q_pps_sample" in specs
+    assert specs["q_pps_sample"].oracle == PPS_SAMPLE_ORACLE
+    assert specs["q_pps_sample"].fn is q_pps_sample

@@ -237,8 +237,8 @@ def test_witness_staleness_bounded():
     spare slots/round that carried the r12 registrations
     (q_stream_full_outer plus the excision-transform waves
     q_verbatim_excise / q_line_excise / q_line_excise_newline /
-    q_decontam_excise / q_intradoc_excise / q_excise_impact,
-    216 -> 223) with no further policy change.
+    q_decontam_excise / q_intradoc_excise / q_excise_impact /
+    q_pps_sample, 216 -> 224) with no further policy change.
     Once a new CORRECTNESS artifact lands, `python scripts/rotate.py`
     (rotation + ledger + parity in ONE commit) is the only way to keep
     this green, which is exactly the point."""
