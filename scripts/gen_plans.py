@@ -71,6 +71,7 @@ PICKS += [
     ("q_decontam_excise", "the cut decision is a pure BROADCAST eval-shingle hash probe — zero corpus-keyed aggregates before reconstruction (the eval side is a benchmark suite, MBs at any corpus size)"),
     ("q_intradoc_excise", "every shuffle doc_id-keyed (window build, first-occurrence agg, join-back, reconstruction) — embarrassingly parallel over documents, no corpus-global state"),
     ("q_excise_impact", "the excision chain + TWO share-audit passes in one plan; the covered checkpoint keeps the owner subtree single-execution, the before/after join is a |sources|-row broadcast"),
+    ("q_pps_sample", "two bounded aggregates + |sources|xB allocation windows (<= PPS_BUCKETS rows per partition) + the per-(source, bucket) cumsum — no window ever sorts a source's full corpus share"),
 ]
 
 # unregistered library tiers (module-resolved): the plan evidence the
