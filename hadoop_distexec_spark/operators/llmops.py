@@ -8412,11 +8412,50 @@ def _token_excise_audit(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _pos_windows(docs: DataFrame, k: int, hashed: bool) -> DataFrame:
+    """Shared positional rolling-window build of the excision family:
+    one row per window start over a tokenized (doc_id, ..., t) frame —
+    (doc_id, p, wh) with wh = md5 of the space-joined k-token window
+    when ``hashed`` (16-byte shuffle keys, the q_doc_verbatim_share
+    construction), else (doc_id, p, shingle) carrying the window text
+    itself (q_decontam's probe needs the raw shingle to meet the
+    broadcast eval set). Extracted r12 (code-review finding): the three
+    sibling corpus builders previously triplicated this block and could
+    drift independently."""
+    win = F.concat_ws(" ", F.slice("t", F.col("p"), k))
+    key = F.md5(F.encode(win, "UTF-8")).alias("wh") if hashed else win.alias("shingle")
+    return (
+        docs.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))).alias("p"),
+            "t",
+        )
+        .select("doc_id", "p", key)
+    )
+
+
+def _footprint(cut: DataFrame, k: int) -> DataFrame:
+    """Expand cut window STARTS (doc_id, p) to their covered token
+    POSITIONS (doc_id, pos, 1-based, duplicates allowed) — the
+    k-position footprint every excision sibling feeds to
+    _excise_covered (which dedups and checkpoints it)."""
+    return cut.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("pos"),
+    )
+
+
 def _excise_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared front of the token-level excision transforms: tokenized
-    documents (doc_id, source, t), empty docs dropped, spread by doc_id
-    (the fixture is a single file; at 100 TB the scan has thousands of
-    splits and this repartition is the reconstruction's co-location)."""
+    documents (doc_id, source, t), spread by doc_id (the fixture is a
+    single file; at 100 TB the scan has thousands of splits and this
+    repartition is the reconstruction's co-location). The size filter
+    drops NULL-text docs only (NULL-propagating split/len agree across
+    engines); empty or whitespace-only text tokenizes to the
+    single-empty-token array [''] in BOTH engines and passes through as
+    an untouched 1-token row — pinned by
+    test_excision_family_degenerate_docs."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", _tokens(F.col("text")).alias("t"))
@@ -8450,25 +8489,18 @@ def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle is bounded by the affected slice, never the corpus.
     No window functions, no global sort, no driver-side loop."""
     docs = _excise_docs(spark, sf_dir)
-    w = (
-        docs.filter(F.size("t") >= VERBATIM_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - F.lit(VERBATIM_K - 1))
-            ).alias("p"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.md5(
-                F.encode(
-                    F.concat_ws(" ", F.slice("t", F.col("p"), VERBATIM_K)), "UTF-8"
-                )
-            ).alias("wh"),
-        )
-    )
+    return _excise_from_hit(docs, _verbatim_hit(docs))
+
+
+def _verbatim_hit(docs: DataFrame) -> DataFrame:
+    """The shared-window OCCURRENCE frame of the verbatim excision:
+    every (doc_id, p) window position whose md5 is shared (df >=
+    VERBATIM_MIN_DOCS distinct docs), tagged with the owning MIN
+    doc_id. This is the expensive subtree — one corpus window build +
+    one df/owner aggregate — that both q_verbatim_excise's cut and
+    q_excise_impact's before-audit derive from; q_excise_impact
+    checkpoints it so the corpus is windowed ONCE for both arms."""
+    w = _pos_windows(docs, VERBATIM_K, hashed=True)
     owner = (
         w.groupBy("wh")
         .agg(
@@ -8478,18 +8510,15 @@ def verbatim_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wdf") >= VERBATIM_MIN_DOCS)
         .select("wh", "owner_doc")
     )
-    cut = (
-        w.join(owner, "wh")
-        .filter(F.col("doc_id") != F.col("owner_doc"))
-        .select("doc_id", "p")
-    )
-    covered = cut.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("p"), F.col("p") + F.lit(VERBATIM_K - 1))
-        ).alias("pos"),
-    )
-    return _excise_covered(docs, covered)
+    return w.join(owner, "wh").select("doc_id", "p", "owner_doc")
+
+
+def _excise_from_hit(docs: DataFrame, hit: DataFrame) -> DataFrame:
+    """Apply the keep-first-occurrence rule to a _verbatim_hit frame
+    (cut = shared positions OUTSIDE the owner doc) and reconstruct the
+    excised corpus."""
+    cut = hit.filter(F.col("doc_id") != F.col("owner_doc")).select("doc_id", "p")
+    return _excise_covered(docs, _footprint(cut, VERBATIM_K))
 
 
 def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8504,6 +8533,10 @@ def verbatim_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 verbatim_excise._fingerprint_extras = (
     verbatim_excise_corpus,
+    _verbatim_hit,
+    _excise_from_hit,
+    _pos_windows,
+    _footprint,
     _excise_docs,
     _excise_covered,
     _token_excise_audit,
@@ -8825,23 +8858,7 @@ def decontam_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _excise_docs(spark, sf_dir)
     is_eval = F.col("doc_id") % DECONTAM_MOD == 0
     tr = docs.filter(~is_eval)
-    w = (
-        tr.filter(F.size("t") >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - F.lit(SHINGLE_K - 1))
-            ).alias("p"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.concat_ws(
-                " ", F.slice("t", F.col("p"), SHINGLE_K)
-            ).alias("shingle"),
-        )
-    )
+    w = _pos_windows(tr, SHINGLE_K, hashed=False)
     ev = (
         _shingles_df(spark, sf_dir)
         .filter(F.col("doc_id") % DECONTAM_MOD == 0)
@@ -8849,13 +8866,7 @@ def decontam_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cut = w.join(F.broadcast(ev), "shingle").select("doc_id", "p")
-    covered = cut.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("p"), F.col("p") + F.lit(SHINGLE_K - 1))
-        ).alias("pos"),
-    )
-    return _excise_covered(tr, covered)
+    return _excise_covered(tr, _footprint(cut, SHINGLE_K))
 
 
 def decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8870,6 +8881,8 @@ def decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 decontam_excise._fingerprint_extras = (
     decontam_excise_corpus,
+    _pos_windows,
+    _footprint,
     _excise_docs,
     _excise_covered,
     _token_excise_audit,
@@ -8942,25 +8955,7 @@ def intradoc_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     state at all: this transform is embarrassingly parallel over
     documents (the one excision sibling that needs NO df aggregate)."""
     docs = _excise_docs(spark, sf_dir)
-    w = (
-        docs.filter(F.size("t") >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - F.lit(SHINGLE_K - 1))
-            ).alias("p"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.md5(
-                F.encode(
-                    F.concat_ws(" ", F.slice("t", F.col("p"), SHINGLE_K)), "UTF-8"
-                )
-            ).alias("wh"),
-        )
-    )
+    w = _pos_windows(docs, SHINGLE_K, hashed=True)
     rep = (
         w.groupBy("doc_id", "wh")
         .agg(F.min("p").alias("p0"), F.count(F.lit(1)).alias("occ"))
@@ -8972,13 +8967,7 @@ def intradoc_excise_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") > F.col("p0"))
         .select("doc_id", "p")
     )
-    covered = cut.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("p"), F.col("p") + F.lit(SHINGLE_K - 1))
-        ).alias("pos"),
-    )
-    return _excise_covered(docs, covered)
+    return _excise_covered(docs, _footprint(cut, SHINGLE_K))
 
 
 def intradoc_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8991,6 +8980,8 @@ def intradoc_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 intradoc_excise._fingerprint_extras = (
     intradoc_excise_corpus,
+    _pos_windows,
+    _footprint,
     _excise_docs,
     _excise_covered,
     _token_excise_audit,
@@ -9047,18 +9038,44 @@ def excise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_ppm is 0 when no windows survive (guarded division — neither
     engine divides by zero).
 
-    Shape at 100 TB: two passes of the linear window audit plus one
-    excision — each component's scale argument is its registered id's;
-    nothing new shuffles. The before/after join keys on source
-    (|sources| rows, broadcast)."""
-    before = doc_verbatim_share(spark, sf_dir).select(
+    Shape at 100 TB: the raw corpus is windowed ONCE — the excision
+    chain's checkpointed _verbatim_hit frame (shared-occurrence-sized,
+    boilerplate small) feeds both the cut and the before arm, whose
+    per-doc window totals are pure arithmetic on token counts
+    (len - K + 1), no second window build or df shuffle (r12
+    code-review finding; the DuckDB oracle always derived before from
+    the chain's own w/owner CTEs — this makes the plans congruent).
+    The after arm re-windows only the CLEANED text. The before/after
+    join keys on source (|sources| rows, broadcast)."""
+    docs = _excise_docs(spark, sf_dir)
+    hit = _verbatim_hit(docs).localCheckpoint(eager=True)
+    eligible = docs.filter(F.size("t") >= VERBATIM_K).select(
+        "doc_id",
         "source",
-        F.col("n_docs").cast("long").alias("before_docs"),
-        F.col("total_windows").alias("before_windows"),
-        F.col("shared_windows").alias("before_shared"),
-        F.col("verbatim_ppm").alias("before_ppm"),
+        (F.size("t") - F.lit(VERBATIM_K - 1)).cast("long").alias("n_w"),
     )
-    cleaned = verbatim_excise_corpus(spark, sf_dir).select(
+    n_sh = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bper = eligible.join(n_sh, "doc_id", "left").select(
+        "doc_id", "source", "n_w", F.coalesce("n_sh", F.lit(0)).alias("n_sh")
+    )
+    before = (
+        bper.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("before_docs"),
+            F.sum("n_w").alias("before_windows"),
+            F.sum("n_sh").alias("before_shared"),
+        )
+        .select(
+            "source",
+            F.col("before_docs").cast("long").alias("before_docs"),
+            F.col("before_windows").cast("long").alias("before_windows"),
+            F.col("before_shared").cast("long").alias("before_shared"),
+            F.expr("before_shared * 1000000 div before_windows")
+            .cast("long")
+            .alias("before_ppm"),
+        )
+    )
+    cleaned = _excise_from_hit(docs, hit).select(
         "doc_id", "source", _tokens(F.col("cleaned")).alias("t")
     )
     after = _verbatim_share_on(cleaned).select(
@@ -9082,9 +9099,11 @@ def excise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 excise_impact._fingerprint_extras = (
-    doc_verbatim_share,
     _verbatim_share_on,
-    verbatim_excise_corpus,
+    _verbatim_hit,
+    _excise_from_hit,
+    _pos_windows,
+    _footprint,
     _excise_docs,
     _excise_covered,
 )
@@ -9228,8 +9247,15 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bw") >= 1)
     )
     tot = bw.groupBy("source").agg(F.sum("bw").alias("total_w"))
+    # STRUCTURAL guard, not just a downstream filter: sources below the
+    # quota go to the fallback arm, and excluding them HERE is what
+    # makes every stride >= 1 (k_b <= bw needs K <= W) — without it the
+    # `r` projection below computes `% 0`, which ANSI Spark throws on
+    # and DuckDB NULLs, and only optimizer filter-pushdown luck kept
+    # the exact arm alive (round-12 review finding).
     alloc = (
         bw.join(tot, "source")
+        .filter(F.col("total_w") >= PPS_K)
         .withColumn("base", F.expr(f"(bw * {PPS_K}) div total_w"))
         .withColumn("rem", F.expr(f"(bw * {PPS_K}) % total_w"))
     )
@@ -9275,8 +9301,9 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = (
-        j.filter(F.col("total_w") >= PPS_K)
-        .withColumn("n_picks", (g_end - g_start).cast("long"))
+        # the >= PPS_K restriction is structural in alloc above; the
+        # inner join on (source, b) already carries it
+        j.withColumn("n_picks", (g_end - g_start).cast("long"))
         .filter(F.col("n_picks") >= 1)
         .select("doc_id", "source", F.col("w").alias("weight"), "n_picks")
     )
@@ -9308,7 +9335,8 @@ PPS_SAMPLE_ORACLE = f"""
              (bw.bw * {PPS_K}) // tot.total_w AS base,
              (bw.bw * {PPS_K}) % tot.total_w AS rem,
              bw.bw
-      FROM bw JOIN tot ON bw.source = tot.source),
+      FROM bw JOIN tot ON bw.source = tot.source
+      WHERE tot.total_w >= {PPS_K}),
     alloc1 AS (
       SELECT *,
              {PPS_K} - SUM(base) OVER (PARTITION BY source) AS leftover,
@@ -9343,8 +9371,7 @@ PPS_SAMPLE_ORACLE = f"""
                  - CASE WHEN l.cum_start < a.r THEN 0
                         ELSE LEAST((l.cum_start - a.r) // a.stride + 1, a.k_b)
                    END) AS BIGINT) AS n_picks
-      FROM laid l JOIN allocr a ON l.source = a.source AND l.b = a.b
-      WHERE a.total_w >= {PPS_K}),
+      FROM laid l JOIN allocr a ON l.source = a.source AND l.b = a.b),
     fallback AS (
       SELECT d.doc_id, d.source, d.w AS weight, CAST(1 AS BIGINT) AS n_picks
       FROM d JOIN tot ON d.source = tot.source
