@@ -1949,3 +1949,152 @@ QUANTILE_SAMPLE_EVAL_ORACLE = f"""
 register("q_quantile_sample_eval", oracle=QUANTILE_SAMPLE_EVAL_ORACLE)(
     quantile_sample_eval
 )
+
+
+# ---------------------------------------------------------------------------
+# t_closeness — distribution distance per quasi-identifier group (round-12
+# draft tier): the third gate of the classic privacy-release triad.
+# q_k_anonymity bounds how FEW rows share a QI, q_l_diversity how few
+# DISTINCT sensitive values a group carries — but a group can pass both
+# while its sensitive-value DISTRIBUTION still differs sharply from the
+# table's (the t-closeness attack: "this nation/balance cell is 90%
+# MACHINERY when the table is 20%"). t-closeness bounds, per QI group,
+# the distance between the group's sensitive distribution and the global
+# one; for a categorical sensitive attribute under uniform ground
+# distance the earth-mover distance reduces to total variation, the same
+# statistic q_drift_tvd ships for train/serve drift.
+# ---------------------------------------------------------------------------
+
+T_CLOSE_BIN_PPM = 50_000  # spectrum bin width: 5% TVD per bin
+T_CLOSE_THRESHOLD_PPM = 200_000  # groups with TVD >= 20% are at risk
+# (threshold is a whole multiple of the bin width, so the at-risk flag is
+# a function of the bin — the spectrum never splits a bin across flags)
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit beside ``k_anonymity`` / ``l_diversity``: per QI
+    group (nation x balance bucket, the shared triad contract) the total
+    variation distance between the group's market-segment distribution
+    and the GLOBAL one, reported as the t-spectrum — for each
+    {T_CLOSE_BIN_PPM}-ppm TVD bin, how many groups and rows sit there,
+    row share in exact ppm, and the at-risk flag at
+    t >= {T_CLOSE_THRESHOLD_PPM} ppm.
+
+    Determinism: group and global segment shares are floored onto the
+    integer ppm grid (``div``, identical truncation in both engines)
+    BEFORE the TVD sum — the statistic is "TVD of ppm-gridded shares",
+    exact bigint end to end; the balance bucket is the triad's shared
+    single-IEEE-division contract. Every value of the sensitive domain
+    participates per group (a segment absent from a group contributes
+    its full global share), via a bounded groups x segments expansion.
+
+    Shape at 100 TB: one (QI, segment) aggregate — map-side combined,
+    the only full-volume shuffle — then everything is bounded: the
+    global segment distribution is |segments| rows (broadcast), the
+    groups x segments frame is |groups| x |segments|, the per-group TVD
+    a |groups|-keyed aggregate, and the spectrum a handful of bins. The
+    deviation join is broadcast-hash on the 5-row segment side;
+    join-free beyond it."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(K_ANON_BAL_BUCKET)).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    per_value = c.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt_gv")
+    )
+    groups = per_value.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("cnt_gv").alias("n_g")
+    )
+    glob = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt_v"))
+        .select(
+            "c_mktsegment",
+            F.expr("cnt_v * 1000000 div sum(cnt_v) OVER ()").alias("g_share_ppm"),
+        )
+    )
+    # bounded expansion: every (group, segment) cell, zero-count cells
+    # included — both broadcast sides are provably tiny (|segments| = 5;
+    # the per_value join-back keys on the group)
+    cells = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(
+            per_value,
+            ["c_nationkey", "bal_bucket", "c_mktsegment"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "n_g",
+            "g_share_ppm",
+            F.coalesce("cnt_gv", F.lit(0)).alias("cnt_gv"),
+        )
+    )
+    per_group = cells.groupBy("c_nationkey", "bal_bucket", "n_g").agg(
+        F.expr("sum(abs(cnt_gv * 1000000 div n_g - g_share_ppm)) div 2")
+        .cast("long")
+        .alias("t_ppm")
+    )
+    spectrum = per_group.groupBy(
+        F.expr(f"t_ppm div {T_CLOSE_BIN_PPM}").cast("long").alias("t_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n_rows"),
+    )
+    return spectrum.select(
+        "t_bin",
+        (F.col("t_bin") * T_CLOSE_BIN_PPM).alias("t_lo_ppm"),
+        "n_groups",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("t_bin") >= T_CLOSE_THRESHOLD_PPM // T_CLOSE_BIN_PPM).alias("at_risk"),
+        F.expr("n_rows * 1000000 div sum(n_rows) OVER ()")
+        .cast("long")
+        .alias("share_rows_ppm"),
+    ).orderBy("t_bin")
+
+
+T_CLOSENESS_ORACLE = f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {K_ANON_BAL_BUCKET}) AS BIGINT)
+               AS bal_bucket
+      FROM customer),
+    per_value AS (
+      SELECT c_nationkey, bal_bucket, c_mktsegment, COUNT(*) AS cnt_gv
+      FROM qi GROUP BY 1, 2, 3),
+    groups AS (
+      SELECT c_nationkey, bal_bucket, SUM(cnt_gv) AS n_g
+      FROM per_value GROUP BY 1, 2),
+    gdist AS (
+      SELECT c_mktsegment,
+             COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS g_share_ppm
+      FROM qi GROUP BY c_mktsegment),
+    cells AS (
+      SELECT g.c_nationkey, g.bal_bucket, g.n_g, gl.g_share_ppm,
+             COALESCE(pv.cnt_gv, 0) AS cnt_gv
+      FROM groups g CROSS JOIN gdist gl
+      LEFT JOIN per_value pv
+        ON pv.c_nationkey = g.c_nationkey
+       AND pv.bal_bucket = g.bal_bucket
+       AND pv.c_mktsegment = gl.c_mktsegment),
+    per_group AS (
+      SELECT c_nationkey, bal_bucket, n_g,
+             SUM(abs(cnt_gv * 1000000 // n_g - g_share_ppm)) // 2 AS t_ppm
+      FROM cells GROUP BY 1, 2, 3),
+    spectrum AS (
+      SELECT t_ppm // {T_CLOSE_BIN_PPM} AS t_bin,
+             COUNT(*) AS n_groups, SUM(n_g) AS n_rows
+      FROM per_group GROUP BY 1)
+    SELECT CAST(t_bin AS BIGINT) AS t_bin,
+           CAST(t_bin * {T_CLOSE_BIN_PPM} AS BIGINT) AS t_lo_ppm,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           t_bin >= {T_CLOSE_THRESHOLD_PPM // T_CLOSE_BIN_PPM} AS at_risk,
+           CAST(n_rows * 1000000 // SUM(n_rows) OVER () AS BIGINT)
+             AS share_rows_ppm
+    FROM spectrum ORDER BY t_bin
+    """

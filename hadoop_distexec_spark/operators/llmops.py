@@ -9382,3 +9382,331 @@ PPS_SAMPLE_ORACLE = f"""
     """
 
 register("q_pps_sample", oracle=PPS_SAMPLE_ORACLE)(q_pps_sample)
+
+
+# ---------------------------------------------------------------------------
+# mix_schedule — the deterministic consumption ORDER that executes
+# q_mix_temperature's sampling plan (round-12 draft tier; the
+# audit -> action pattern of the excision family applied to the mix
+# family): q_data_mix and q_mix_temperature emit per-source WEIGHTS, and
+# q_corpus_shuffle materializes an unweighted global order — nothing yet
+# materializes the weighted interleave a training run actually consumes.
+# Stride scheduling on a hash axis: each doc's virtual consumption time
+# is its salted-md5 position divided by its source's temperature weight,
+# so a source with twice the weight lands docs on the time axis at twice
+# the density — exactly the "sample source s at rate w_s" contract,
+# deterministic, joinless beyond one bounded weight lookup, and with NO
+# per-source rank/sort (the q_domain_cap_sample single-task lesson:
+# within-source ordering comes from the hash VALUE itself, never a
+# corpus-wide window).
+# ---------------------------------------------------------------------------
+
+MIX_HEAD = 256  # materialized schedule head (the driver-comparable slice)
+
+
+def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_mix_schedule: the first MIX_HEAD steps of the deterministic
+    weighted-interleave consumption order under q_mix_temperature's
+    alpha = 0.5 weights — per step: the doc consumed, its source, and
+    its virtual time t = md5_60('mix|' || doc_id) div w_ppm. Sources
+    with w_ppm = 0 are never scheduled (excluded STRUCTURALLY before t
+    is computed — the q_pps_sample div-0 lesson: ANSI Spark throws on
+    `div 0` while DuckDB NULLs, so the guard cannot be a downstream
+    filter).
+
+    Law (pytest-pinned): over any virtual-time horizon the per-source
+    doc counts converge to w_ppm proportions (uniform md5 positions /
+    stride w — the stride-scheduling guarantee), and the schedule is
+    identical across partitionings (pure per-row arithmetic).
+
+    Shape at 100 TB: ONE narrow scan projecting (doc_id, source), a
+    broadcast-hash join against the |sources|-row weight frame, a pure
+    map expression for t, and TakeOrderedAndProject for the bounded
+    head — no corpus shuffle, no window over unbounded partitions; the
+    only sort state anywhere is the 256-row top-k heap per task. The
+    full schedule (no LIMIT) is emitted by the same plan minus the
+    top-k, written sorted-within-partitions by t range — still
+    join-light and rank-free."""
+    w = mix_temperature(spark, sf_dir).select(
+        "source", F.col("w_alpha50_ppm").alias("w_ppm")
+    ).filter(F.col("w_ppm") >= 1)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sched = d.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substring(md5(encode('mix|' || CAST(doc_id AS STRING), "
+            "'UTF-8')), 1, 15), 16, 10) AS BIGINT) div w_ppm"
+        ).alias("t"),
+    )
+    head = sched.orderBy("t", "doc_id").limit(MIX_HEAD)
+    return head.select(
+        F.row_number().over(W.orderBy("t", "doc_id")).cast("long").alias("step"),
+        "doc_id",
+        "source",
+        F.col("t").cast("long").alias("t"),
+    )
+
+
+mix_schedule._fingerprint_extras = (mix_temperature,)
+
+# the per/shares/rooted weight CTEs are the REGISTERED
+# q_mix_temperature oracle's text verbatim (sliced before its final
+# SELECT, the excision-family idiom) — the schedule cannot drift from
+# the registered weights
+_MIX_W_CTES = MIX_TEMPERATURE_ORACLE[
+    MIX_TEMPERATURE_ORACLE.index("WITH per AS") : MIX_TEMPERATURE_ORACLE.rindex(
+        "SELECT source, n_docs, n_chars, share_ppm,"
+    )
+]
+assert _MIX_W_CTES.rstrip().endswith(")"), (
+    "q_mix_temperature oracle drifted: weight-CTE slice no longer ends "
+    "before the final SELECT"
+)
+
+MIX_SCHEDULE_ORACLE = (
+    _MIX_W_CTES.rstrip()
+    + f""",
+    w AS (
+      SELECT source,
+             CAST(root_mu * 1000000 // SUM(root_mu) OVER () AS BIGINT)
+               AS w_ppm
+      FROM rooted),
+    sched AS (
+      SELECT d.doc_id, d.source,
+             CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) // w.w_ppm AS t
+      FROM documents d JOIN w ON d.source = w.source
+      WHERE w.w_ppm >= 1),
+    head AS (
+      SELECT doc_id, source, t
+      FROM sched ORDER BY t, doc_id LIMIT {MIX_HEAD})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, doc_id) AS BIGINT) AS step,
+           doc_id, source, CAST(t AS BIGINT) AS t
+    FROM head
+    """
+)
+
+
+# ---------------------------------------------------------------------------
+# knn_label_purity — embedding-quality probe eval (round-12 draft tier):
+# the embeddings table carries a ground-truth ``label`` column that the
+# sim/dedup families use only as a BLOCKING key — nothing yet measures
+# how well the embedding geometry AGREES with it. kNN label purity is
+# the standard representation-quality probe (the "does nearest-neighbor
+# retrieval stay on-label" number a team reads before trusting
+# label-blocked dedup or an ANN index): for a corpus-derived probe
+# sample, the share of each probe's exact cosine top-K whose label
+# matches the probe's, rolled up per label.
+# ---------------------------------------------------------------------------
+
+PURITY_TARGET = 200  # probe-count target; MOD = ceil(n_vecs / TARGET)
+PURITY_K = 10  # neighbors scored per probe
+PURITY_SLACK = 30  # double-prefilter survivors per probe (>= K + 20 margin)
+
+
+def _purity_cand_batches(q_ids, q_unit):
+    """mapInPandas generator factory for the knn_label_purity candidate
+    pass: each corpus batch computes one float64 X @ Q.T (BLAS matmul —
+    the q_dedup_embed r08 vectorization lesson) and emits its per-probe
+    top-PURITY_SLACK candidates by double cosine. A pair's double cosine
+    depends only on the pair (row-independent dots), so the global
+    double ranking downstream is partition-invariant; the 20-candidate
+    slack over K makes the exact-decimal top-K immune to double-vs-
+    decimal rounding (gap < 1e-9 per pair — 20+ boundary inversions in
+    one probe would need that many independent near-exact ties, the
+    q_dedup_embed margin argument applied to ranks)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            if len(ids) > 0:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n2 = (x * x).sum(axis=1)
+                keep = n2 > 0.0
+                ids, x, n2 = ids[keep], x[keep], n2[keep]
+            if len(ids) == 0:
+                yield pd.DataFrame(
+                    {
+                        "q_id": pd.Series([], dtype="int64"),
+                        "c_id": pd.Series([], dtype="int64"),
+                        "cos_d": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            xn = x / np.sqrt(n2)[:, None]
+            s = xn @ q_unit.T  # (batch, n_probes)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = s[:, j].copy()
+                col[ids == q_ids[j]] = -np.inf  # self-exclusion
+                k = min(PURITY_SLACK, len(ids))
+                # top-k by (cos desc, c_id asc) — lexsort for determinism
+                order = np.lexsort((ids, -col))[:k]
+                m = np.isfinite(col[order])
+                order = order[m]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_c.append(ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "cos_d": np.concatenate(out_s),
+                }
+            )
+
+    return gen
+
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_knn_label_purity: per label — probe count, exact cosine
+    top-PURITY_K on-label hit counts, and the purity / top-1 accuracy
+    in exact ppm. Probes are the corpus-derived sample
+    vec_id % ceil(n_vecs / PURITY_TARGET) = 0 (constant probe cost at
+    any corpus size, the q_dedup_recall_eval MOD lesson); zero-norm
+    vectors can be neither probes nor candidates (their cosine is
+    undefined; both engines exclude them identically).
+
+    Determinism: the final ranking is the exact-decimal cosine
+    (_spark_dot/_DEC_DOT) with (cosine DESC, c_id) ties — bit-identical
+    across engines; the double matmul is a Spark-side CANDIDATE
+    prefilter only (slack PURITY_SLACK - PURITY_K, see
+    _purity_cand_batches), never compared across engines. Hit ppm are
+    integer div.
+
+    Shape at 100 TB: probes are bounded (~PURITY_TARGET rows — ONE
+    bounded planning collect, the itemset/codebook pattern); the
+    corpus-linear work is one narrow scan through a BLAS matmul per
+    Arrow batch (no pair shuffle — each task emits at most
+    |probes| x PURITY_SLACK candidate rows); the global double rank,
+    decimal re-rank and label rollup all run on the
+    |probes| x PURITY_SLACK survivor frame. The expensive exact-decimal
+    dot executes exactly |probes| x PURITY_SLACK times, independent of
+    corpus size."""
+    dp = spark.sparkContext.defaultParallelism
+    e = table(spark, sf_dir, "embeddings").repartition(dp, "vec_id")
+    e = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _spark_dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    import numpy as np
+
+    n_vecs = e.count()  # bounded planning metadata (one scalar)
+    mod = (n_vecs + PURITY_TARGET - 1) // PURITY_TARGET
+    probe_rows = (
+        e.filter((F.col("vec_id") % mod == 0) & (F.col("norm2") > 0))
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded: ~PURITY_TARGET rows by the MOD construction
+    q_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"]) for r in probe_rows]).astype(np.float64)
+    q_unit = q / np.sqrt((q * q).sum(axis=1))[:, None]
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        _purity_cand_batches(q_ids, q_unit), "q_id long, c_id long, cos_d double"
+    )
+    wd = W.partitionBy("q_id").orderBy(F.col("cos_d").desc(), "c_id")
+    surv = (
+        cand.withColumn("rnk_d", F.row_number().over(wd))
+        .filter(F.col("rnk_d") <= PURITY_SLACK)
+        .select("q_id", "c_id")
+    )
+    qf = spark.createDataFrame(probe_rows).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    qf = qf.withColumn("q_n2", _spark_dot(F.col("q_emb"), F.col("q_emb")))
+    c_side = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_n2"),
+    )
+    j = surv.join(F.broadcast(qf), "q_id").join(c_side, "c_id")
+    cosine = _spark_dot(F.col("q_emb"), F.col("c_emb")) / F.sqrt(
+        F.col("q_n2") * F.col("c_n2")
+    )
+    wx = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    ranked = (
+        j.select("q_id", "q_label", "c_id", "c_label", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= PURITY_K)
+    )
+    per = ranked.groupBy("q_id", "q_label").agg(
+        F.sum(F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)).alias(
+            "hits"
+        ),
+        F.max(
+            F.when(
+                (F.col("rnk") == 1) & (F.col("c_label") == F.col("q_label")), 1
+            ).otherwise(0)
+        ).alias("top1"),
+    )
+    return (
+        per.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("hits").alias("knn_hits"),
+            F.sum("top1").alias("top1_hits"),
+        )
+        .select(
+            "label",
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("knn_hits").cast("long").alias("knn_hits"),
+            F.expr(f"knn_hits * 1000000 div (n_probes * {PURITY_K})")
+            .cast("long")
+            .alias("knn_match_ppm"),
+            F.col("top1_hits").cast("long").alias("top1_hits"),
+            F.expr("top1_hits * 1000000 div n_probes")
+            .cast("long")
+            .alias("top1_match_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+KNN_LABEL_PURITY_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_DEC_DOT.format(a='embedding', b='embedding')} AS norm2
+      FROM embeddings),
+    nv AS (SELECT COUNT(*) AS n FROM e),
+    q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+             norm2 AS q_n2
+      FROM e, nv
+      WHERE norm2 > 0
+        AND vec_id % ((n + {PURITY_TARGET - 1}) // {PURITY_TARGET}) = 0),
+    p AS (
+      SELECT q_id, q_label, e.vec_id AS c_id, e.label AS c_label,
+             {_DEC_DOT.format(a='q_emb', b='e.embedding')}
+               / SQRT(q_n2 * e.norm2) AS cosine
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q_id AND e.norm2 > 0),
+    r AS (
+      SELECT q_id, q_label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rnk
+      FROM p),
+    per AS (
+      SELECT q_id, q_label,
+             SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS hits,
+             MAX(CASE WHEN rnk = 1 AND c_label = q_label
+                      THEN 1 ELSE 0 END) AS top1
+      FROM r WHERE rnk <= {PURITY_K} GROUP BY 1, 2)
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(hits) AS BIGINT) AS knn_hits,
+           CAST(SUM(hits) * 1000000 // (COUNT(*) * {PURITY_K}) AS BIGINT)
+             AS knn_match_ppm,
+           CAST(SUM(top1) AS BIGINT) AS top1_hits,
+           CAST(SUM(top1) * 1000000 // COUNT(*) AS BIGINT)
+             AS top1_match_ppm
+    FROM per GROUP BY q_label ORDER BY label
+    """

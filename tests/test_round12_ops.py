@@ -1305,3 +1305,250 @@ def test_r12_wave4_registered():
     assert "q_pps_sample" in specs
     assert specs["q_pps_sample"].oracle == PPS_SAMPLE_ORACLE
     assert specs["q_pps_sample"].fn is q_pps_sample
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 5 (draft tiers for r13 registration): t_closeness,
+# mix_schedule, knn_label_purity
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.audits import (
+        T_CLOSENESS_ORACLE,
+        t_closeness,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "t_closeness", t_closeness, T_CLOSENESS_ORACLE, sf)
+        assert n > 0
+
+
+def test_t_closeness_planted_spectrum(spark, tmp_path):
+    """Hand-computable fixture: a group mirroring the global segment
+    distribution lands in bin 0 (t = 0), fully-concentrated groups land
+    at t = 500000 ppm (bin 10, at-risk), and the spectrum counts/shares
+    are exact. Plus oracle agreement on the same fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.audits import (
+        T_CLOSENESS_ORACLE,
+        t_closeness,
+    )
+    from tests.oracle_util import compare
+
+    # QI = (nation, acctbal div 1000). Global segments: 6 A + 6 B.
+    rows = (
+        [(1, "A", 100.0), (1, "A", 200.0), (1, "B", 300.0), (1, "B", 400.0)]
+        + [(2, "A", 100.0)] * 4
+        + [(3, "B", 100.0)] * 4
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in rows]),
+                "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        f"{tmp_path}/customer.parquet",
+    )
+    got = {r["t_bin"]: r for r in t_closeness(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 10}
+    assert (got[0]["n_groups"], got[0]["n_rows"], got[0]["at_risk"]) == (1, 4, False)
+    assert (got[10]["n_groups"], got[10]["n_rows"], got[10]["at_risk"]) == (2, 8, True)
+    assert got[0]["share_rows_ppm"] == 333333
+    assert got[10]["share_rows_ppm"] == 666666
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet')"
+    )
+    odf = con.execute(T_CLOSENESS_ORACLE).fetchdf()
+    con.close()
+    compare(t_closeness(spark, str(tmp_path)).toPandas(), odf, "t_closeness_planted")
+
+
+def test_t_closeness_triad_row_conservation(spark):
+    """Cross-operator law: the t-spectrum's n_rows totals cover every
+    customer row exactly once — the same total the k-anonymity spectrum
+    reports (shared QI contract)."""
+    from hadoop_distexec_spark.operators.audits import k_anonymity, t_closeness
+
+    t_total = sum(
+        r["n_rows"] for r in t_closeness(spark, SF_SMALL).collect()
+    )
+    k_total = sum(
+        r["n_rows"] for r in k_anonymity(spark, SF_SMALL).collect()
+    )
+    assert t_total == k_total > 0
+
+
+def test_mix_schedule_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        MIX_SCHEDULE_ORACLE,
+        mix_schedule,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "mix_schedule", mix_schedule, MIX_SCHEDULE_ORACLE, sf)
+        assert n > 0
+
+
+def test_mix_schedule_laws(spark):
+    """Structural laws: steps are dense 1..MIX_HEAD; the schedule is
+    stable across shuffle-partition settings (pure per-row arithmetic +
+    bounded top-k); over a virtual-time horizon the per-source counts
+    track q_mix_temperature's w_ppm proportions (the stride-scheduling
+    guarantee — checked via DuckDB over the FULL schedule at 5-sigma)."""
+    import duckdb
+    import math
+
+    from hadoop_distexec_spark.operators.llmops import (
+        MIX_HEAD,
+        MIX_SCHEDULE_ORACLE,
+        mix_schedule,
+    )
+    from tests.oracle_util import duckdb_conn
+
+    head = mix_schedule(spark, SF_ORACLE).collect()
+    assert [r["step"] for r in head] == list(range(1, MIX_HEAD + 1))
+    assert all(
+        head[i]["t"] <= head[i + 1]["t"] for i in range(len(head) - 1)
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = mix_schedule(spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [tuple(r) for r in again] == [tuple(r) for r in head]
+
+    # proportionality: the full schedule (oracle text minus the head
+    # LIMIT) consumed up to a horizon matches w_ppm at 5 sigma
+    con = duckdb_conn(SF_ORACLE)
+    horizon = 2**60 // 1_000_000  # P(t <= H) ~ w_ppm / 1e6 per doc
+    full_sql = (
+        MIX_SCHEDULE_ORACLE[: MIX_SCHEDULE_ORACLE.index("head AS (")]
+        + f"""per_src AS (
+          SELECT source, COUNT(*) AS n_s,
+                 SUM(CASE WHEN t <= {horizon} THEN 1 ELSE 0 END) AS n_hit
+          FROM sched GROUP BY source)
+        SELECT p.source, w.w_ppm, p.n_s, p.n_hit
+        FROM per_src p JOIN w ON p.source = w.source"""
+    )
+    rows = con.execute(full_sql).fetchall()
+    con.close()
+    assert rows
+    for source, w_ppm, n_s, n_hit in rows:
+        exp = n_s * min(1.0, (horizon + 1) * w_ppm / 2.0**60)
+        assert abs(n_hit - exp) <= 5 * math.sqrt(max(exp, 1.0)) + 5, (
+            source, w_ppm, n_s, n_hit, exp,
+        )
+
+
+def test_knn_label_purity_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01 —
+    this is the pin on the double-prefilter slack argument (the oracle
+    is the UNFILTERED brute force)."""
+    from hadoop_distexec_spark.operators.llmops import (
+        KNN_LABEL_PURITY_ORACLE,
+        knn_label_purity,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(
+            spark, "knn_label_purity", knn_label_purity,
+            KNN_LABEL_PURITY_ORACLE, sf,
+        )
+        assert n > 0
+
+
+def test_knn_label_purity_batch_invariance(spark):
+    """The Arrow batch size decides which rows share a matmul batch; the
+    output may not move (per-pair double cosines are batch-independent
+    and the slack absorbs rank boundary noise)."""
+    from hadoop_distexec_spark.operators.llmops import knn_label_purity
+
+    base = sorted(map(tuple, knn_label_purity(spark, SF_SMALL).collect()))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        small = sorted(map(tuple, knn_label_purity(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert small == base
+
+
+def test_knn_label_purity_planted(spark, tmp_path):
+    """Planted geometry: two orthogonal label clusters plus a zero
+    vector. Every probe's neighbors are on-label except the forced
+    cross-label tail; the zero vector is neither probe nor candidate;
+    self-matches are excluded. Oracle agrees on the fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        KNN_LABEL_PURITY_ORACLE,
+        knn_label_purity,
+    )
+    from tests.oracle_util import compare
+
+    dim = 8
+    vecs, labels = [], []
+    # label 0: axis-0 cluster; label 1: axis-1 cluster (orthogonal)
+    for i in range(6):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[2] = 0.01 * i  # break ties deterministically
+        vecs.append(v)
+        labels.append(0)
+    for i in range(6):
+        v = [0.0] * dim
+        v[1] = 1.0
+        v[3] = 0.01 * i
+        vecs.append(v)
+        labels.append(1)
+    vecs.append([0.0] * dim)  # zero vector: excluded everywhere
+    labels.append(0)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    got = {r["label"]: r for r in knn_label_purity(spark, str(tmp_path)).collect()}
+    # 13 vectors -> mod 1 -> every nonzero vector is a probe
+    assert got[0]["n_probes"] == 6 and got[1]["n_probes"] == 6
+    # each probe sees 11 finite candidates; top-10 = 5 on-label + the
+    # orthogonal cluster fills the tail (cosine 0) -> hits = 5 + however
+    # many same-label land in the zero-cosine tail ordering; top-1 is
+    # always on-label (cosine > 0 only within the cluster)
+    assert got[0]["top1_match_ppm"] == 1000000
+    assert got[1]["top1_match_ppm"] == 1000000
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    odf = con.execute(KNN_LABEL_PURITY_ORACLE).fetchdf()
+    con.close()
+    compare(
+        knn_label_purity(spark, str(tmp_path)).toPandas(), odf,
+        "knn_label_purity_planted",
+    )
