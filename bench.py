@@ -171,6 +171,12 @@ HEADLINE = [
     "q_intradoc_excise",
     "q_excise_impact",
     "q_pps_sample",
+    # round-12 wave 5 (registered same-round): the privacy-triad closer,
+    # the embedding-quality probe eval, and the weighted-interleave
+    # schedule materializer
+    "q_t_closeness",
+    "q_knn_label_purity",
+    "q_mix_schedule",
 ]
 
 HEADLINE_TRIALS = 3

@@ -2098,3 +2098,9 @@ T_CLOSENESS_ORACLE = f"""
              AS share_rows_ppm
     FROM spectrum ORDER BY t_bin
     """
+
+# r12 registration (same-round, the excision-wave precedent): bit-exact
+# at sf0.001 AND sf0.01, planted-spectrum + triad-conservation law
+# tests, 10x-measured before this line landed
+# (tests/test_round12_ops.py wave 5).
+register("q_t_closeness", oracle=T_CLOSENESS_ORACLE)(t_closeness)

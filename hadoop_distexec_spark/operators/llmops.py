@@ -9710,3 +9710,10 @@ KNN_LABEL_PURITY_ORACLE = f"""
              AS top1_match_ppm
     FROM per GROUP BY q_label ORDER BY label
     """
+
+
+# r12 registration of the wave-5 draft tiers (same-round, the excision
+# precedent): each bit-exact at sf0.001 AND sf0.01 with planted-fixture
+# and law tests before these lines landed (tests/test_round12_ops.py).
+register("q_mix_schedule", oracle=MIX_SCHEDULE_ORACLE)(mix_schedule)
+register("q_knn_label_purity", oracle=KNN_LABEL_PURITY_ORACLE)(knn_label_purity)

@@ -112,7 +112,13 @@ QUERIES = ["q_join_multi", "q_dedup_minhash", "q_dedup_groups",
            "q_excise_impact",
            # round-12 wave 4: exact-K weighted PPS sampling — the
            # bounded (source, bucket) cumsum windows at 10x rows
-           "q_pps_sample"]
+           "q_pps_sample",
+           # round-12 wave 5: the privacy-triad closer (bounded spectrum
+           # aggregates at 10x customers), the probe-matmul label-purity
+           # eval (10x embeddings per label cell -> 10x matmul rows, the
+           # candidate frame stays |probes| x SLACK), and the weighted
+           # interleave schedule (pure map + top-k at 10x docs)
+           "q_t_closeness", "q_knn_label_purity", "q_mix_schedule"]
 
 # Unregistered prep APIs still get a 10x reading (round-6 review:
 # extend the stress lane to prep APIs). After the round-9 registration

@@ -67,6 +67,7 @@ WHITELIST = {
     ),
     ("operators/llmops.py", "q_decontam"): (1, "eval-suite shingle set (benchmarks are MBs, documented contract)"),
     ("operators/llmops.py", "decontam_excise_corpus"): (1, "the same eval-suite shingle set as q_decontam (benchmarks are MBs, documented contract)"),
+    ("operators/audits.py", "t_closeness"): (1, "global sensitive-value distribution, |segments| rows (fixed TPC-H domain)"),
     ("operators/llmops.py", "mix_schedule"): (1, "per-source weight frame, bounded source domain"),
     ("operators/llmops.py", "knn_label_purity"): (1, "collected probe frame, ~PURITY_TARGET rows by the corpus-derived MOD"),
     ("operators/llmops.py", "q_weighted_sample"): (1, "1-row scalar total"),

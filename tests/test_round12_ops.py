@@ -1552,3 +1552,37 @@ def test_knn_label_purity_planted(spark, tmp_path):
         knn_label_purity(spark, str(tmp_path)).toPandas(), odf,
         "knn_label_purity_planted",
     )
+
+
+def test_r12_wave5_registered():
+    """Wave-5 registration: the three draft tiers carry their
+    parity-pinned oracles in the registry; q_mix_schedule's weight CTEs
+    are the REGISTERED q_mix_temperature oracle's text verbatim
+    (anchored slice — the schedule cannot drift from the weights)."""
+    from hadoop_distexec_spark.operators.audits import (
+        T_CLOSENESS_ORACLE,
+        t_closeness,
+    )
+    from hadoop_distexec_spark.operators.llmops import (
+        KNN_LABEL_PURITY_ORACLE,
+        MIX_SCHEDULE_ORACLE,
+        MIX_TEMPERATURE_ORACLE,
+        knn_label_purity,
+        mix_schedule,
+    )
+
+    specs = registry.specs()
+    for qid, fn, oracle in [
+        ("q_t_closeness", t_closeness, T_CLOSENESS_ORACLE),
+        ("q_mix_schedule", mix_schedule, MIX_SCHEDULE_ORACLE),
+        ("q_knn_label_purity", knn_label_purity, KNN_LABEL_PURITY_ORACLE),
+    ]:
+        assert qid in specs
+        assert specs[qid].oracle == oracle
+        assert specs[qid].fn is fn
+    w_ctes = MIX_TEMPERATURE_ORACLE[
+        MIX_TEMPERATURE_ORACLE.index("WITH per AS") : MIX_TEMPERATURE_ORACLE.rindex(
+            "SELECT source, n_docs, n_chars, share_ppm,"
+        )
+    ]
+    assert w_ctes.rstrip() in MIX_SCHEDULE_ORACLE
