@@ -9626,9 +9626,14 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
-        F.col("norm2").alias("c_n2"),
     )
-    j = surv.join(F.broadcast(qf), "q_id").join(c_side, "c_id")
+    # c_n2 computed AFTER the survivor join: the interpreted decimal
+    # self-dot runs |probes| x PURITY_SLACK times, never corpus-wide
+    j = (
+        surv.join(F.broadcast(qf), "q_id")
+        .join(c_side, "c_id")
+        .withColumn("c_n2", _spark_dot(F.col("c_emb"), F.col("c_emb")))
+    )
     cosine = _spark_dot(F.col("q_emb"), F.col("c_emb")) / F.sqrt(
         F.col("q_n2") * F.col("c_n2")
     )

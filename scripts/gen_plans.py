@@ -70,8 +70,12 @@ PICKS += [
     ("q_line_excise_newline", "16-byte line-hash df aggregate + heavy-hitter anti-join (AQE-sized) + doc-keyed ordered reconstruction; no windows, no global sort"),
     ("q_decontam_excise", "the cut decision is a pure BROADCAST eval-shingle hash probe — zero corpus-keyed aggregates before reconstruction (the eval side is a benchmark suite, MBs at any corpus size)"),
     ("q_intradoc_excise", "every shuffle doc_id-keyed (window build, first-occurrence agg, join-back, reconstruction) — embarrassingly parallel over documents, no corpus-global state"),
-    ("q_excise_impact", "the excision chain + TWO share-audit passes in one plan; the covered checkpoint keeps the owner subtree single-execution, the before/after join is a |sources|-row broadcast"),
+    ("q_excise_impact", "ONE corpus window build: the checkpointed hit frame feeds both the cut and the before audit (whose window totals are len-K+1 arithmetic); only the cleaned text re-windows, the before/after join is a |sources|-row broadcast"),
     ("q_pps_sample", "two bounded aggregates + |sources|xB allocation windows (<= PPS_BUCKETS rows per partition) + the per-(source, bucket) cumsum — no window ever sorts a source's full corpus share"),
+    # round-12 wave 5
+    ("q_t_closeness", "one map-side (QI, segment) aggregate; the global segment distribution broadcasts; spectrum windows over bounded rows only"),
+    ("q_knn_label_purity", "ArrowEvalPython matmul candidates (no pair shuffle); decimal re-rank + label rollup on the bounded survivor frame"),
+    ("q_mix_schedule", "broadcast weight join + pure map t + TakeOrderedAndProject — no corpus shuffle, no rank window"),
 ]
 
 # unregistered library tiers (module-resolved): the plan evidence the
