@@ -9722,3 +9722,202 @@ KNN_LABEL_PURITY_ORACLE = f"""
 # and law tests before these lines landed (tests/test_round12_ops.py).
 register("q_mix_schedule", oracle=MIX_SCHEDULE_ORACLE)(mix_schedule)
 register("q_knn_label_purity", oracle=KNN_LABEL_PURITY_ORACLE)(knn_label_purity)
+
+
+# ---------------------------------------------------------------------------
+# quality_dup_lift — the curation cross-audit (round-12 draft tier):
+# quality signals (q_quality_score) and duplication audits (q_dedup_*)
+# are each registered alone, but the decision a curation run actually
+# makes — "does exact reuse CONCENTRATE in low-quality documents, i.e.
+# can one filter stand in for part of the other?" — needs their JOINT
+# distribution. A contingency table of uniqueness deciles x exact-dup
+# status with exact-ppm expected counts and lift.
+# ---------------------------------------------------------------------------
+
+
+def quality_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_quality_dup_lift: per (uniqueness decile, is_dup) cell — doc
+    count, row/column totals, observed and independence-expected shares
+    in exact ppm, and lift x1000 (observed over expected). The decile is
+    the EXACT integer distinct_tokens * 10 div n_tokens (the rationale
+    behind q_quality_score's uniq_ratio, kept on the integer grid so
+    both engines bucket identically); is_dup is q_fingerprint's
+    whitespace-normalized md5 appearing on >= 2 docs (the exact-dup
+    rule). NULL-text docs tokenize to NULL and are excluded identically
+    by the n_tokens >= 1 filter in both engines.
+
+    Determinism: exact bigint end to end; expected share is the product
+    of the ppm-gridded marginals div 1e6 (identical truncation), with a
+    GREATEST(exp, 1) guard so a vanishing marginal never divides by
+    zero in either engine.
+
+    Shape at 100 TB: one fingerprint df aggregate + join-back on the
+    16-byte md5 (the line_dedup shape) is the only corpus-keyed
+    shuffle; the contingency aggregate is map-side combinable to <= 22
+    cells, and every window (row/col/grand totals) runs over those
+    bounded cells only."""
+    toks = _tokens(F.col("text"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), "UTF-8"
+                )
+            ).alias("fp"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+            F.size(toks).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= 1)
+        .select(
+            "doc_id", "fp", F.expr("n_uniq * 10 div n_tok").alias("uniq_decile")
+        )
+    )
+    fam = d.groupBy("fp").agg(F.count(F.lit(1)).alias("fam_n"))
+    tagged = d.join(fam, "fp").select(
+        "uniq_decile", (F.col("fam_n") >= 2).alias("is_dup")
+    )
+    cells = tagged.groupBy("uniq_decile", "is_dup").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        cells.select(
+            "uniq_decile",
+            "is_dup",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_docs").over(W.partitionBy("uniq_decile")).alias("row_docs"),
+            F.sum("n_docs").over(W.partitionBy("is_dup")).alias("col_docs"),
+            F.sum("n_docs").over(W.partitionBy()).alias("total_docs"),
+        )
+        .select(
+            "uniq_decile",
+            "is_dup",
+            "n_docs",
+            F.col("row_docs").cast("long").alias("row_docs"),
+            F.col("col_docs").cast("long").alias("col_docs"),
+            F.expr("n_docs * 1000000 div total_docs").cast("long").alias("obs_ppm"),
+            F.expr(
+                "greatest((row_docs * 1000000 div total_docs)"
+                " * (col_docs * 1000000 div total_docs) div 1000000, 1)"
+            )
+            .cast("long")
+            .alias("exp_ppm"),
+        )
+        .select(
+            "uniq_decile",
+            "is_dup",
+            "n_docs",
+            "row_docs",
+            "col_docs",
+            "obs_ppm",
+            "exp_ppm",
+            F.expr("obs_ppm * 1000 div exp_ppm").cast("long").alias("lift_x1000"),
+        )
+        .orderBy("uniq_decile", "is_dup")
+    )
+
+
+QUALITY_DUP_LIFT_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_uniq,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents),
+    dd AS (
+      SELECT doc_id, fp, n_uniq * 10 // n_tok AS uniq_decile
+      FROM d WHERE n_tok >= 1),
+    fam AS (
+      SELECT fp, COUNT(*) AS fam_n FROM dd GROUP BY fp),
+    tagged AS (
+      SELECT dd.uniq_decile, fam.fam_n >= 2 AS is_dup
+      FROM dd JOIN fam ON dd.fp = fam.fp),
+    cells AS (
+      SELECT uniq_decile, is_dup, COUNT(*) AS n_docs
+      FROM tagged GROUP BY 1, 2),
+    tot AS (
+      SELECT uniq_decile, is_dup, n_docs,
+             SUM(n_docs) OVER (PARTITION BY uniq_decile) AS row_docs,
+             SUM(n_docs) OVER (PARTITION BY is_dup) AS col_docs,
+             SUM(n_docs) OVER () AS total_docs
+      FROM cells),
+    shares AS (
+      SELECT uniq_decile, is_dup, n_docs, row_docs, col_docs,
+             n_docs * 1000000 // total_docs AS obs_ppm,
+             GREATEST((row_docs * 1000000 // total_docs)
+                      * (col_docs * 1000000 // total_docs) // 1000000,
+                      1) AS exp_ppm
+      FROM tot)
+    SELECT CAST(uniq_decile AS BIGINT) AS uniq_decile, is_dup,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(row_docs AS BIGINT) AS row_docs,
+           CAST(col_docs AS BIGINT) AS col_docs,
+           CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(obs_ppm * 1000 // exp_ppm AS BIGINT) AS lift_x1000
+    FROM shares ORDER BY uniq_decile, is_dup
+    """
+
+
+# ---------------------------------------------------------------------------
+# ann_mrr — reciprocal-rank eval of the ANN path (round-12 draft tier):
+# q_recall_eval measures SET overlap of the exact and IVF top-10; the
+# other standard index-quality number is POSITIONAL — for each query,
+# where does the single true nearest neighbor land in the ANN list
+# (MRR@10)? An index can hold 9/10 recall while consistently burying
+# the true NN at rank 8; recall alone cannot see that. Composes the two
+# REGISTERED operators (and their shared oracle CTE constants), so
+# operator and evaluation cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_mrr: per query — the exact top-1 neighbor (q_sim_topk rank
+    1), its rank inside q_sim_ivf's top-10 (0 when the ANN path misses
+    it: wrong probe cell or outside top-10), and the reciprocal rank in
+    exact ppm (1e6 div rank; 0 on a miss — MRR@10 in integer
+    arithmetic).
+
+    Shape at 100 TB: both arms are the registered operators' plans (the
+    exact arm is the designed-for-probe-samples baseline, the IVF arm
+    the scale path); the final join is |queries| x top-k sized."""
+    true1 = (
+        q_sim_topk(spark, sf_dir)
+        .filter(F.col("rnk") == 1)
+        .select("q_id", F.col("c_id").alias("true_c"))
+    )
+    approx = q_sim_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("aq_id"),
+        F.col("c_id").alias("ac_id"),
+        F.col("rnk").alias("arnk"),
+    )
+    j = true1.join(
+        approx,
+        (true1.q_id == approx.aq_id) & (true1.true_c == approx.ac_id),
+        "left",
+    )
+    return j.select(
+        "q_id",
+        "true_c",
+        F.coalesce("arnk", F.lit(0)).cast("long").alias("ann_rank"),
+        F.expr("CASE WHEN arnk IS NULL THEN 0 ELSE 1000000 div arnk END")
+        .cast("long")
+        .alias("rr_ppm"),
+    ).orderBy("q_id")
+
+
+ann_mrr._fingerprint_extras = (q_sim_topk, q_sim_ivf)
+
+ANN_MRR_ORACLE = f"""
+    WITH {_EXACT_TOPK_CTE},
+    {_IVF_TOPK_CTE},
+    t1 AS (SELECT q_id, c_id AS true_c FROM r WHERE rnk = 1),
+    a AS (SELECT q_id, c_id, rnk FROM ivr WHERE rnk <= 10)
+    SELECT t1.q_id, t1.true_c,
+           CAST(COALESCE(a.rnk, 0) AS BIGINT) AS ann_rank,
+           CAST(CASE WHEN a.rnk IS NULL THEN 0
+                     ELSE 1000000 // a.rnk END AS BIGINT) AS rr_ppm
+    FROM t1 LEFT JOIN a ON t1.q_id = a.q_id AND t1.true_c = a.c_id
+    ORDER BY t1.q_id
+    """

@@ -130,6 +130,10 @@ PREP_APIS: list[str] = [
     # still-unregistered capped-graph one-off audits (run BOTH tiers)
     "triangle_cap_agreement",
     "lpa_cap_agreement",
+    # r12 wave-6 draft tiers (r13 registration candidates): the
+    # quality x exact-dup contingency and the positional ANN eval
+    "quality_dup_lift",
+    "ann_mrr",
     # (the r10 library wave 3 — substring_runs / ivf_pq_recall /
     # stream_outer_join_data / line_dedup — registered in r11 and moved
     # to QUERIES under their q_ ids)

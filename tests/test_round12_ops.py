@@ -1586,3 +1586,148 @@ def test_r12_wave5_registered():
         )
     ]
     assert w_ctes.rstrip() in MIX_SCHEDULE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 6 (draft tiers): quality_dup_lift, ann_mrr
+# ---------------------------------------------------------------------------
+
+
+def test_quality_dup_lift_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        QUALITY_DUP_LIFT_ORACLE,
+        quality_dup_lift,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(
+            spark, "quality_dup_lift", quality_dup_lift,
+            QUALITY_DUP_LIFT_ORACLE, sf,
+        )
+        assert n > 0
+
+
+def test_quality_dup_lift_planted(spark, tmp_path):
+    """Hand-computable 2x2 fixture: a whitespace-variant exact-dup pair
+    in the low-uniqueness decile, two unique high-uniqueness docs, a
+    NULL-text doc excluded by both engines. Observed 50/50 split with
+    perfectly dependent margins -> lift 2.0x in both cells; the
+    normalized fingerprint (q_fingerprint's rule) unifies the
+    spacing variants. Oracle agrees on the fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        QUALITY_DUP_LIFT_ORACLE,
+        quality_dup_lift,
+    )
+    from tests.oracle_util import compare
+
+    docs = [
+        (1, "a a a a"),        # 4 tokens, 1 distinct -> decile 2
+        (2, "a  a a a"),       # same normalized fp -> dup family with 1
+        (3, "w x y z"),        # decile 10, unique
+        (4, "p q r s"),        # decile 10, unique
+        (5, None),             # NULL text: excluded in both engines
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = {
+        (r["uniq_decile"], r["is_dup"]): r
+        for r in quality_dup_lift(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(2, True), (10, False)}
+    low, high = got[(2, True)], got[(10, False)]
+    assert low["n_docs"] == 2 and high["n_docs"] == 2
+    assert low["obs_ppm"] == 500000 == high["obs_ppm"]
+    # margins: row 2/4, col 2/4 -> exp 250000 -> lift 2.0x
+    assert low["exp_ppm"] == 250000 and low["lift_x1000"] == 2000
+    assert high["lift_x1000"] == 2000
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(QUALITY_DUP_LIFT_ORACLE).fetchdf()
+    con.close()
+    compare(
+        quality_dup_lift(spark, str(tmp_path)).toPandas(), odf,
+        "quality_dup_lift_planted",
+    )
+
+
+def test_quality_dup_lift_conservation(spark):
+    """Laws on the natural fixture: cell counts cover every tokenizable
+    doc exactly once (vs an independent count), every decile is in
+    0..10, and the observed shares sum to 1e6 up to per-cell floor
+    truncation."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import quality_dup_lift
+    from hadoop_distexec_spark.sources.tables import table
+
+    rows = quality_dup_lift(spark, SF_SMALL).collect()
+    n_cells = len(rows)
+    total = sum(r["n_docs"] for r in rows)
+    expected = (
+        table(spark, SF_SMALL, "documents")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 1)
+        .count()
+    )
+    assert total == expected
+    assert all(0 <= r["uniq_decile"] <= 10 for r in rows)
+    obs_sum = sum(r["obs_ppm"] for r in rows)
+    assert 1_000_000 - n_cells <= obs_sum <= 1_000_000
+
+
+def test_ann_mrr_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import ANN_MRR_ORACLE, ann_mrr
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "ann_mrr", ann_mrr, ANN_MRR_ORACLE, sf)
+        assert n == 5  # the fixed 5-query probe set
+
+
+def test_ann_mrr_recall_consistency(spark):
+    """Cross-operator laws vs the registered set-overlap eval: a query
+    with rr_ppm > 0 must count >= 1 hit in q_recall_eval; rr_ppm =
+    1e6 iff ann_rank = 1; ann_rank = 0 iff the true NN is absent from
+    q_sim_ivf's rows for that query."""
+    from hadoop_distexec_spark.operators.llmops import (
+        ann_mrr,
+        q_recall_eval,
+        q_sim_ivf,
+        q_sim_topk,
+    )
+
+    mrr = {r["q_id"]: r for r in ann_mrr(spark, SF_SMALL).collect()}
+    recall = {r["q_id"]: r for r in q_recall_eval(spark, SF_SMALL).collect()}
+    ivf = {}
+    for r in q_sim_ivf(spark, SF_SMALL).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["c_id"])
+    true1 = {
+        r["q_id"]: r["c_id"]
+        for r in q_sim_topk(spark, SF_SMALL).collect()
+        if r["rnk"] == 1
+    }
+    for q_id, r in mrr.items():
+        assert r["true_c"] == true1[q_id]
+        if r["rr_ppm"] > 0:
+            assert recall[q_id]["hits"] >= 1
+        assert (r["rr_ppm"] == 1_000_000) == (r["ann_rank"] == 1)
+        assert (r["ann_rank"] == 0) == (
+            r["true_c"] not in ivf.get(q_id, set())
+        )
