@@ -1989,8 +1989,9 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     its full global share), via a bounded groups x segments expansion.
 
     Shape at 100 TB: one (QI, segment) aggregate — map-side combined,
-    the only full-volume shuffle — then everything is bounded: the
-    global segment distribution is |segments| rows (broadcast), the
+    the only full-volume work (ONE corpus scan: the global segment
+    distribution folds out of the same aggregate) — then everything is
+    bounded: the global distribution is |segments| rows (broadcast), the
     groups x segments frame is |groups| x |segments|, the per-group TVD
     a |groups|-keyed aggregate, and the spectrum a handful of bins. The
     deviation join is broadcast-hash on the 5-row segment side;
@@ -2008,9 +2009,11 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = per_value.groupBy("c_nationkey", "bal_bucket").agg(
         F.sum("cnt_gv").alias("n_g")
     )
+    # the global distribution folds out of the (QI, segment) aggregate —
+    # no second full-volume scan (r12 review finding)
     glob = (
-        c.groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt_v"))
+        per_value.groupBy("c_mktsegment")
+        .agg(F.sum("cnt_gv").alias("cnt_v"))
         .select(
             "c_mktsegment",
             F.expr("cnt_v * 1000000 div sum(cnt_v) OVER ()").alias("g_share_ppm"),
@@ -2071,8 +2074,8 @@ T_CLOSENESS_ORACLE = f"""
       FROM per_value GROUP BY 1, 2),
     gdist AS (
       SELECT c_mktsegment,
-             COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS g_share_ppm
-      FROM qi GROUP BY c_mktsegment),
+             SUM(cnt_gv) * 1000000 // SUM(SUM(cnt_gv)) OVER () AS g_share_ppm
+      FROM per_value GROUP BY c_mktsegment),
     cells AS (
       SELECT g.c_nationkey, g.bal_bucket, g.n_g, gl.g_share_ppm,
              COALESCE(pv.cnt_gv, 0) AS cnt_gv

@@ -9191,6 +9191,18 @@ register("q_excise_impact", oracle=EXCISE_IMPACT_ORACLE)(excise_impact)
 # cumulative sums only).
 # ---------------------------------------------------------------------------
 
+def _md5_60(col):
+    """Low 60 bits (15 hex chars — BIGINT-safe) of md5 over a salted
+    string column: the shared deterministic hash axis of q_pps_sample
+    and q_mix_schedule, bit-matched to their oracles'
+    CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) twin (the
+    q_corpus_shuffle idiom). ONE definition (r12 review finding) so a
+    digit-slice edit cannot drift between consumers."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
 PPS_K = 10  # per-source sample size (exact)
 PPS_BUCKETS = 64  # two-level shard count — the domain_cap_sample lesson:
 # never sort one source's full corpus share in a single task. Each
@@ -9230,16 +9242,11 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("long").alias("w")
     )
 
-    def _h60(col):
-        return F.conv(
-            F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
-        ).cast("long")
-
     d = docs.withColumn(
-        "b", _h60(F.concat(F.lit("ppsb:"), F.col("doc_id").cast("string")))
+        "b", _md5_60(F.concat(F.lit("ppsb:"), F.col("doc_id").cast("string")))
         % PPS_BUCKETS,
     ).withColumn(
-        "u", _h60(F.concat(F.lit("ppsu:"), F.col("doc_id").cast("string")))
+        "u", _md5_60(F.concat(F.lit("ppsu:"), F.col("doc_id").cast("string")))
     )
     bw = (
         d.groupBy("source", "b")
@@ -9273,7 +9280,7 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "r",
             F.lit(1)
-            + _h60(F.concat(F.lit("ppsr:"), F.col("source"), F.lit(":"),
+            + _md5_60(F.concat(F.lit("ppsr:"), F.col("source"), F.lit(":"),
                             F.col("b").cast("string")))
             % F.col("stride"),
         )
@@ -9381,6 +9388,7 @@ PPS_SAMPLE_ORACLE = f"""
     SELECT * FROM fallback
     """
 
+q_pps_sample._fingerprint_extras = (_md5_60,)
 register("q_pps_sample", oracle=PPS_SAMPLE_ORACLE)(q_pps_sample)
 
 
@@ -9431,13 +9439,12 @@ def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("w_alpha50_ppm").alias("w_ppm")
     ).filter(F.col("w_ppm") >= 1)
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    sched = d.join(F.broadcast(w), "source").select(
-        "doc_id",
-        "source",
-        F.expr(
-            "CAST(conv(substring(md5(encode('mix|' || CAST(doc_id AS STRING), "
-            "'UTF-8')), 1, 15), 16, 10) AS BIGINT) div w_ppm"
-        ).alias("t"),
+    sched = (
+        d.join(F.broadcast(w), "source")
+        .withColumn(
+            "h", _md5_60(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+        )
+        .select("doc_id", "source", F.expr("h div w_ppm").alias("t"))
     )
     head = sched.orderBy("t", "doc_id").limit(MIX_HEAD)
     return head.select(
@@ -9448,7 +9455,7 @@ def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-mix_schedule._fingerprint_extras = (mix_temperature,)
+mix_schedule._fingerprint_extras = (mix_temperature, _md5_60)
 
 # the per/shares/rooted weight CTEs are the REGISTERED
 # q_mix_temperature oracle's text verbatim (sliced before its final
@@ -9597,12 +9604,24 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     n_vecs = e.count()  # bounded planning metadata (one scalar)
-    mod = (n_vecs + PURITY_TARGET - 1) // PURITY_TARGET
+    mod = max(1, (n_vecs + PURITY_TARGET - 1) // PURITY_TARGET)
     probe_rows = (
         e.filter((F.col("vec_id") % mod == 0) & (F.col("norm2") > 0))
         .select("vec_id", "label", "embedding")
         .collect()
     )  # bounded: ~PURITY_TARGET rows by the MOD construction
+    if not probe_rows:
+        # degenerate probe set (empty table, or no positive-norm vec_id
+        # on the MOD grid — ids need not be dense): the oracle's q CTE
+        # is empty so the whole query is the empty frame; return it
+        # structurally instead of letting np.stack/createDataFrame
+        # choke on zero rows (the q_pps_sample guard lesson — r12
+        # review finding)
+        return spark.createDataFrame(
+            [],
+            "label int, n_probes long, knn_hits long, knn_match_ppm long, "
+            "top1_hits long, top1_match_ppm long",
+        )
     q_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     q = np.stack([np.asarray(r["embedding"]) for r in probe_rows]).astype(np.float64)
     q_unit = q / np.sqrt((q * q).sum(axis=1))[:, None]
@@ -9687,7 +9706,7 @@ KNN_LABEL_PURITY_ORACLE = f"""
              norm2 AS q_n2
       FROM e, nv
       WHERE norm2 > 0
-        AND vec_id % ((n + {PURITY_TARGET - 1}) // {PURITY_TARGET}) = 0),
+        AND vec_id % GREATEST((n + {PURITY_TARGET - 1}) // {PURITY_TARGET}, 1) = 0),
     p AS (
       SELECT q_id, q_label, e.vec_id AS c_id, e.label AS c_label,
              {_DEC_DOT.format(a='q_emb', b='e.embedding')}

@@ -1731,3 +1731,60 @@ def test_ann_mrr_recall_consistency(spark):
         assert (r["ann_rank"] == 0) == (
             r["true_c"] not in ivf.get(q_id, set())
         )
+
+
+def test_knn_label_purity_degenerate_probe_sets(spark, tmp_path):
+    """r12 review finding, pinned: an EMPTY embeddings table and a
+    sparse-id corpus whose MOD grid holds no probes both return the
+    empty frame with the contract schema — no ANSI % 0, no np.stack
+    crash — and the GREATEST-guarded oracle agrees."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        KNN_LABEL_PURITY_ORACLE,
+        PURITY_TARGET,
+        knn_label_purity,
+    )
+    from tests.oracle_util import compare
+
+    dim = 4
+
+    def write(ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0] + [0.0] * (dim - 1)] * len(ids),
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * len(ids), pa.int32()),
+                }
+            ),
+            f"{tmp_path}/embeddings.parquet",
+        )
+
+    def both():
+        sdf = knn_label_purity(spark, str(tmp_path)).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        odf = con.execute(KNN_LABEL_PURITY_ORACLE).fetchdf()
+        con.close()
+        return sdf, odf
+
+    # empty table: n_vecs = 0 -> guarded MOD = 1, zero probes
+    write([])
+    sdf, odf = both()
+    assert len(sdf) == 0 and len(odf) == 0
+    compare(sdf, odf, "knn_purity_empty")
+
+    # sparse ids: > PURITY_TARGET all-odd ids -> MOD = 2, zero probes
+    write(list(range(1, 2 * (PURITY_TARGET + 30), 2)))
+    sdf, odf = both()
+    assert len(sdf) == 0 and len(odf) == 0
+    compare(sdf, odf, "knn_purity_sparse_ids")
