@@ -1788,3 +1788,148 @@ def test_knn_label_purity_degenerate_probe_sets(spark, tmp_path):
     sdf, odf = both()
     assert len(sdf) == 0 and len(odf) == 0
     compare(sdf, odf, "knn_purity_sparse_ids")
+
+
+# --- randomized cross-checks for the wave-5 arithmetic (the
+# test_round4b idiom: small Spark frames, pure-Python brute force) -----------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # nation
+            st.sampled_from("ABC"),       # segment
+            st.integers(0, 2),            # balance bucket (x1000)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_t_closeness_randomized_brute_force(spark, tmp_path_factory, rows):
+    """The ppm-gridded TVD spectrum must match a pure-Python
+    re-derivation on ANY table — including single-segment globals,
+    singleton groups, and every-group-identical distributions (the
+    fixtures never produce all of these)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.audits import (
+        T_CLOSE_BIN_PPM,
+        T_CLOSE_THRESHOLD_PPM,
+        t_closeness,
+    )
+
+    tmp = tmp_path_factory.mktemp("tclose")
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in rows]),
+                "c_acctbal": pa.array(
+                    [r[2] * 1000.0 + 1.0 for r in rows], pa.float64()
+                ),
+            }
+        ),
+        f"{tmp}/customer.parquet",
+    )
+    got = {
+        r["t_bin"]: (r["n_groups"], r["n_rows"], r["at_risk"], r["share_rows_ppm"])
+        for r in t_closeness(spark, str(tmp)).collect()
+    }
+
+    # brute force
+    from collections import Counter, defaultdict
+
+    seg_tot = Counter(r[1] for r in rows)
+    total = len(rows)
+    g_share = {v: c * 1_000_000 // total for v, c in seg_tot.items()}
+    groups = defaultdict(Counter)
+    for n, v, b in rows:
+        groups[(n, b)][v] += 1
+    spectrum = defaultdict(lambda: [0, 0])
+    for cnt in groups.values():
+        n_g = sum(cnt.values())
+        dev = sum(
+            abs(cnt.get(v, 0) * 1_000_000 // n_g - g_share[v]) for v in seg_tot
+        )
+        t_bin = (dev // 2) // T_CLOSE_BIN_PPM
+        spectrum[t_bin][0] += 1
+        spectrum[t_bin][1] += n_g
+    expect = {
+        b: (
+            ng,
+            nr,
+            b >= T_CLOSE_THRESHOLD_PPM // T_CLOSE_BIN_PPM,
+            nr * 1_000_000 // total,
+        )
+        for b, (ng, nr) in spectrum.items()
+    }
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["w", "x", "y"]),
+                  st.integers(1, 900)),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda d: d[0],
+    )
+)
+def test_mix_schedule_randomized_brute_force(spark, tmp_path_factory, docs):
+    """The schedule head must match a hashlib re-derivation of
+    t = md5_60('mix|' || doc_id) div w_ppm on ANY corpus, with the
+    weights taken from the registered q_mix_temperature output —
+    pinning the hash slice, the div, and the (t, doc_id) order
+    independently of both engines."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        MIX_HEAD,
+        mix_schedule,
+        mix_temperature,
+    )
+
+    tmp = tmp_path_factory.mktemp("mixsched")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "n_chars": pa.array([d[2] for d in docs], pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    w = {
+        r["source"]: r["w_alpha50_ppm"]
+        for r in mix_temperature(spark, str(tmp)).collect()
+    }
+    expect = []
+    for doc_id, source, _ in docs:
+        w_ppm = w[source]
+        if w_ppm < 1:
+            continue
+        h = int(hashlib.md5(f"mix|{doc_id}".encode()).hexdigest()[:15], 16)
+        expect.append((h // w_ppm, doc_id, source))
+    expect.sort()
+    expect = [
+        (i + 1, doc_id, source, t)
+        for i, (t, doc_id, source) in enumerate(expect[:MIX_HEAD])
+    ]
+    got = [
+        (r["step"], r["doc_id"], r["source"], r["t"])
+        for r in mix_schedule(spark, str(tmp)).collect()
+    ]
+    assert got == expect
