@@ -2433,3 +2433,95 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(li, "l_partkey", p.select("p_partkey"), "p_partkey", "lineitem->part"))
         .unionAll(check(c, "c_nationkey", n.select("n_nationkey"), "n_nationkey", "customer->nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness — per-stream staleness audit (round-12 draft tier): the
+# data-quality family checks SHAPE (q_dq_profile) and INTEGRITY
+# (q_dq_referential) but nothing yet checks ARRIVAL — the first question
+# an on-call asks of a feed ("is the purchase stream still landing?").
+# Per event type: volume, first/last event time, lag behind the freshest
+# stream, and a stale flag at a RATE threshold (share of the observed
+# corpus span, not an absolute hour count — the itemset scale-invariance
+# lesson: an absolute cutoff silently changes meaning with fixture
+# span).
+# ---------------------------------------------------------------------------
+
+DQ_STALE_PPM = 50_000  # stale when a stream's lag exceeds 5% of the span
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dq_freshness: per event_type — event count, first/last event
+    epoch (microseconds, the asof/stream epoch-bigint contract), the
+    lag behind the globally freshest event, the lag as exact-ppm share
+    of the observed corpus span, and the stale flag at DQ_STALE_PPM.
+
+    Determinism: epoch bigints end to end; the share divides
+    millisecond-floored lag by millisecond-floored span (identical
+    `div` truncation in both engines — microsecond numerators would
+    overflow BIGINT at 1e6 scaling over multi-year spans), span
+    GREATEST-guarded for the single-instant corpus.
+
+    Shape at 100 TB: ONE map-side-combinable per-type aggregate over a
+    two-column projection is the only full-volume work; the global
+    max/min and every derived column are windows over the bounded
+    |event_type| rows. Join-free, hint-free, sort only on the bounded
+    output."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("tus")
+    )
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("first_us"),
+        F.max("tus").alias("last_us"),
+    )
+    w = W.partitionBy()
+    shaped = per.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "first_us",
+        "last_us",
+        (F.max("last_us").over(w) - F.col("last_us")).alias("lag_us"),
+        F.greatest(
+            F.max("last_us").over(w) - F.min("first_us").over(w), F.lit(1)
+        ).alias("span_us"),
+    )
+    return shaped.select(
+        "event_type",
+        "n_events",
+        "first_us",
+        "last_us",
+        F.col("lag_us").cast("long").alias("lag_us"),
+        F.expr("(lag_us div 1000) * 1000000 div greatest(span_us div 1000, 1)")
+        .cast("long")
+        .alias("lag_share_ppm"),
+        (
+            F.expr("(lag_us div 1000) * 1000000 div greatest(span_us div 1000, 1)")
+            > DQ_STALE_PPM
+        ).alias("stale"),
+    ).orderBy("event_type")
+
+
+DQ_FRESHNESS_ORACLE = f"""
+    WITH per AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type),
+    shaped AS (
+      SELECT event_type, n_events, first_us, last_us,
+             MAX(last_us) OVER () - last_us AS lag_us,
+             GREATEST(MAX(last_us) OVER () - MIN(first_us) OVER (), 1)
+               AS span_us
+      FROM per)
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(first_us AS BIGINT) AS first_us,
+           CAST(last_us AS BIGINT) AS last_us,
+           CAST(lag_us AS BIGINT) AS lag_us,
+           CAST((lag_us // 1000) * 1000000 // GREATEST(span_us // 1000, 1)
+                AS BIGINT) AS lag_share_ppm,
+           (lag_us // 1000) * 1000000 // GREATEST(span_us // 1000, 1)
+             > {DQ_STALE_PPM} AS stale
+    FROM shaped ORDER BY event_type
+    """

@@ -131,9 +131,11 @@ PREP_APIS: list[str] = [
     "triangle_cap_agreement",
     "lpa_cap_agreement",
     # r12 wave-6 draft tiers (r13 registration candidates): the
-    # quality x exact-dup contingency and the positional ANN eval
+    # quality x exact-dup contingency, the positional ANN eval, and the
+    # per-stream staleness audit
     "quality_dup_lift",
     "ann_mrr",
+    "dq_freshness",
     # (the r10 library wave 3 — substring_runs / ivf_pq_recall /
     # stream_outer_join_data / line_dedup — registered in r11 and moved
     # to QUERIES under their q_ ids)
@@ -250,7 +252,13 @@ def prep_fn(name: str):
     """Resolve an unregistered prep API by name — the ONE resolver shared
     with scripts/gen_plans.py (round-7 review: two diverging copies).
     Lane-local harnesses defined in THIS module win first."""
-    from hadoop_distexec_spark.operators import audits, llmops, multimodal, pipeline
+    from hadoop_distexec_spark.operators import (
+        audits,
+        llmops,
+        multimodal,
+        pipeline,
+        relational_ext,
+    )
     from hadoop_distexec_spark.plans import manifest_plan
     from hadoop_distexec_spark.streaming import windows
 
@@ -260,6 +268,7 @@ def prep_fn(name: str):
         or getattr(llmops, name, None)
         or getattr(pipeline, name, None)
         or getattr(multimodal, name, None)
+        or getattr(relational_ext, name, None)
         or getattr(manifest_plan, name, None)
         or getattr(windows, name)
     )

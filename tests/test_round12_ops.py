@@ -1933,3 +1933,70 @@ def test_mix_schedule_randomized_brute_force(spark, tmp_path_factory, docs):
         for r in mix_schedule(spark, str(tmp)).collect()
     ]
     assert got == expect
+
+
+def test_dq_freshness_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.relational_ext import (
+        DQ_FRESHNESS_ORACLE,
+        dq_freshness,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "dq_freshness", dq_freshness, DQ_FRESHNESS_ORACLE, sf)
+        assert n > 0
+
+
+def test_dq_freshness_planted(spark, tmp_path):
+    """Hand-computable fixture: the freshest stream has lag 0 (never
+    stale), a stream that stopped mid-span carries the exact ppm lag
+    share, and a single-type corpus hits the span guard (lag 0 over a
+    real span). Oracle agrees on the fixture; event counts conserve."""
+    import datetime as dt
+
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.relational_ext import (
+        DQ_FRESHNESS_ORACLE,
+        dq_freshness,
+    )
+    from tests.oracle_util import compare
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(hours):
+        return t0 + dt.timedelta(hours=hours)
+
+    rows = [
+        ("view", ts(0)), ("view", ts(100)),       # freshest: lag 0
+        ("purchase", ts(0)), ("purchase", ts(50)),  # stopped at half-span
+        ("click", ts(99)),                          # 1h lag over 100h span
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = {r["event_type"]: r for r in dq_freshness(spark, str(tmp_path)).collect()}
+    assert got["view"]["lag_us"] == 0 and not got["view"]["stale"]
+    assert got["purchase"]["lag_share_ppm"] == 500000 and got["purchase"]["stale"]
+    assert got["click"]["lag_share_ppm"] == 10000 and not got["click"]["stale"]
+    assert sum(r["n_events"] for r in got.values()) == len(rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(DQ_FRESHNESS_ORACLE).fetchdf()
+    con.close()
+    compare(dq_freshness(spark, str(tmp_path)).toPandas(), odf, "dq_freshness_planted")
