@@ -9511,6 +9511,14 @@ PURITY_TARGET = 200  # probe-count target; MOD = ceil(n_vecs / TARGET)
 PURITY_K = 10  # neighbors scored per probe
 PURITY_SLACK = 30  # double-prefilter survivors per probe (>= K + 20 margin)
 
+# the registered output contract, used by the degenerate-probe guard's
+# empty frame; tied to the normal path's schema by
+# test_knn_label_purity_degenerate_probe_sets
+_PURITY_SCHEMA = (
+    "label int, n_probes long, knn_hits long, knn_match_ppm long, "
+    "top1_hits long, top1_match_ppm long"
+)
+
 
 def _purity_cand_batches(q_ids, q_unit):
     """mapInPandas generator factory for the knn_label_purity candidate
@@ -9617,11 +9625,7 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # structurally instead of letting np.stack/createDataFrame
         # choke on zero rows (the q_pps_sample guard lesson — r12
         # review finding)
-        return spark.createDataFrame(
-            [],
-            "label int, n_probes long, knn_hits long, knn_match_ppm long, "
-            "top1_hits long, top1_match_ppm long",
-        )
+        return spark.createDataFrame([], _PURITY_SCHEMA)
     q_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     q = np.stack([np.asarray(r["embedding"]) for r in probe_rows]).astype(np.float64)
     q_unit = q / np.sqrt((q * q).sum(axis=1))[:, None]
@@ -9637,7 +9641,10 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qf = spark.createDataFrame(probe_rows).select(
         F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
+        # createDataFrame infers Python ints as bigint; restore the
+        # source column's int32 so the output label type matches the
+        # table (and the guard's _PURITY_SCHEMA) exactly
+        F.col("label").cast("int").alias("q_label"),
         F.col("embedding").alias("q_emb"),
     )
     qf = qf.withColumn("q_n2", _spark_dot(F.col("q_emb"), F.col("q_emb")))

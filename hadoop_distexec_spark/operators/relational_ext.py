@@ -2486,20 +2486,22 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_us").over(w) - F.min("first_us").over(w), F.lit(1)
         ).alias("span_us"),
     )
-    return shaped.select(
-        "event_type",
-        "n_events",
-        "first_us",
-        "last_us",
-        F.col("lag_us").cast("long").alias("lag_us"),
-        F.expr("(lag_us div 1000) * 1000000 div greatest(span_us div 1000, 1)")
-        .cast("long")
-        .alias("lag_share_ppm"),
-        (
+    # the share is computed ONCE and the stale flag derives from the
+    # column — the two cannot desynchronize (the _md5_60 drift rule)
+    return (
+        shaped.select(
+            "event_type",
+            "n_events",
+            "first_us",
+            "last_us",
+            F.col("lag_us").cast("long").alias("lag_us"),
             F.expr("(lag_us div 1000) * 1000000 div greatest(span_us div 1000, 1)")
-            > DQ_STALE_PPM
-        ).alias("stale"),
-    ).orderBy("event_type")
+            .cast("long")
+            .alias("lag_share_ppm"),
+        )
+        .withColumn("stale", F.col("lag_share_ppm") > DQ_STALE_PPM)
+        .orderBy("event_type")
+    )
 
 
 DQ_FRESHNESS_ORACLE = f"""
@@ -2513,15 +2515,16 @@ DQ_FRESHNESS_ORACLE = f"""
              MAX(last_us) OVER () - last_us AS lag_us,
              GREATEST(MAX(last_us) OVER () - MIN(first_us) OVER (), 1)
                AS span_us
-      FROM per)
-    SELECT event_type,
-           CAST(n_events AS BIGINT) AS n_events,
-           CAST(first_us AS BIGINT) AS first_us,
-           CAST(last_us AS BIGINT) AS last_us,
-           CAST(lag_us AS BIGINT) AS lag_us,
-           CAST((lag_us // 1000) * 1000000 // GREATEST(span_us // 1000, 1)
-                AS BIGINT) AS lag_share_ppm,
-           (lag_us // 1000) * 1000000 // GREATEST(span_us // 1000, 1)
-             > {DQ_STALE_PPM} AS stale
-    FROM shaped ORDER BY event_type
+      FROM per),
+    scored AS (
+      SELECT event_type,
+             CAST(n_events AS BIGINT) AS n_events,
+             CAST(first_us AS BIGINT) AS first_us,
+             CAST(last_us AS BIGINT) AS last_us,
+             CAST(lag_us AS BIGINT) AS lag_us,
+             CAST((lag_us // 1000) * 1000000 // GREATEST(span_us // 1000, 1)
+                  AS BIGINT) AS lag_share_ppm
+      FROM shaped)
+    SELECT *, lag_share_ppm > {DQ_STALE_PPM} AS stale
+    FROM scored ORDER BY event_type
     """

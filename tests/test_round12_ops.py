@@ -1789,6 +1789,23 @@ def test_knn_label_purity_degenerate_probe_sets(spark, tmp_path):
     assert len(sdf) == 0 and len(odf) == 0
     compare(sdf, odf, "knn_purity_sparse_ids")
 
+    # the guard's hand-written _PURITY_SCHEMA cannot drift from the
+    # normal path: same columns, same Spark types (r12 review finding)
+    import pyspark.sql.types as T
+
+    from hadoop_distexec_spark.operators.llmops import _PURITY_SCHEMA
+
+    guard_schema = spark.createDataFrame([], _PURITY_SCHEMA).schema
+    normal_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in knn_label_purity(spark, SF_SMALL).schema.fields
+        ]
+    )
+    assert [(f.name, f.dataType) for f in guard_schema.fields] == [
+        (f.name, f.dataType) for f in normal_schema.fields
+    ]
+
 
 # --- randomized cross-checks for the wave-5 arithmetic (the
 # test_round4b idiom: small Spark frames, pure-Python brute force) -----------
@@ -2000,3 +2017,25 @@ def test_dq_freshness_planted(spark, tmp_path):
     odf = con.execute(DQ_FRESHNESS_ORACLE).fetchdf()
     con.close()
     compare(dq_freshness(spark, str(tmp_path)).toPandas(), odf, "dq_freshness_planted")
+
+    # single-instant corpus: span 0 hits the GREATEST guard in both
+    # engines (lag 0, share 0, never stale) instead of dividing by zero
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["view"]),
+                "ts": pa.array([t0], pa.timestamp("us")),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    one = dq_freshness(spark, str(tmp_path)).collect()
+    assert len(one) == 1
+    assert (one[0]["lag_us"], one[0]["lag_share_ppm"], one[0]["stale"]) == (0, 0, False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf1 = con.execute(DQ_FRESHNESS_ORACLE).fetchdf()
+    con.close()
+    compare(dq_freshness(spark, str(tmp_path)).toPandas(), odf1, "dq_freshness_instant")
