@@ -9947,3 +9947,97 @@ ANN_MRR_ORACLE = f"""
     FROM t1 LEFT JOIN a ON t1.q_id = a.q_id AND t1.true_c = a.c_id
     ORDER BY t1.q_id
     """
+
+
+# ---------------------------------------------------------------------------
+# context_fill — the context-length budget audit (round-12 draft tier):
+# q_pack_efficiency audits ONE packing at ONE sequence length; the
+# upstream decision — WHICH context length to train at — needs the
+# whole curve: at each candidate length, how many documents fit whole
+# and what share of corpus tokens truncation would discard. The
+# standard first table of a context-window proposal.
+# ---------------------------------------------------------------------------
+
+CTX_LENGTHS = (512, 1024, 2048, 4096, 8192)
+
+
+def context_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_context_fill: per candidate context length — docs that fit
+    whole (count + exact-ppm share) and tokens kept under
+    truncate-at-L (count + exact-ppm truncation loss). Token count is
+    the family's whitespace tokenization; NULL-text docs are excluded
+    identically by the n_tok >= 1 filter in both engines.
+
+    Determinism: exact bigint counts and ppm div end to end.
+
+    Shape at 100 TB: ONE map-side-combinable conditional aggregate over
+    a single-column projection — no join, no row expansion (the
+    |lengths|-way fan-out happens on the 1-row aggregate via stack,
+    never on corpus rows), output |CTX_LENGTHS| rows."""
+    nt = F.size(_tokens(F.col("text")))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(nt.alias("nt"))
+        .filter(F.col("nt") >= 1)
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens_total"),
+        *[
+            F.sum(F.when(F.col("nt") <= L, 1).otherwise(0)).alias(f"fit_{L}")
+            for L in CTX_LENGTHS
+        ],
+        *[
+            F.sum(F.least(F.col("nt"), F.lit(L))).alias(f"kept_{L}")
+            for L in CTX_LENGTHS
+        ],
+    )
+    stack = ", ".join(
+        f"{L}, fit_{L}, kept_{L}" for L in CTX_LENGTHS
+    )
+    fan = agg.selectExpr(
+        "n_docs",
+        "tokens_total",
+        f"stack({len(CTX_LENGTHS)}, {stack}) AS (ctx, docs_fit, tokens_kept)",
+    )
+    return fan.select(
+        F.col("ctx").cast("long").alias("ctx"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("docs_fit").cast("long").alias("docs_fit"),
+        F.expr("docs_fit * 1000000 div n_docs").cast("long").alias("fit_ppm"),
+        F.col("tokens_total").cast("long").alias("tokens_total"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")
+        .cast("long")
+        .alias("trunc_ppm"),
+    ).orderBy("ctx")
+
+
+_CTX_FAN = "\n      UNION ALL\n".join(
+    f"      SELECT {L} AS ctx, fit_{L} AS docs_fit, kept_{L} AS tokens_kept,"
+    f" n_docs, tokens_total FROM agg" for L in CTX_LENGTHS
+)
+
+CONTEXT_FILL_ORACLE = f"""
+    WITH d AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents),
+    dd AS (SELECT nt FROM d WHERE nt >= 1),
+    agg AS (
+      SELECT COUNT(*) AS n_docs, SUM(nt) AS tokens_total,
+             {", ".join(f"SUM(CASE WHEN nt <= {L} THEN 1 ELSE 0 END) AS fit_{L}" for L in CTX_LENGTHS)},
+             {", ".join(f"SUM(LEAST(nt, {L})) AS kept_{L}" for L in CTX_LENGTHS)}
+      FROM dd),
+    fan AS (
+{_CTX_FAN}
+    )
+    SELECT CAST(ctx AS BIGINT) AS ctx,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(docs_fit AS BIGINT) AS docs_fit,
+           CAST(docs_fit * 1000000 // n_docs AS BIGINT) AS fit_ppm,
+           CAST(tokens_total AS BIGINT) AS tokens_total,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           CAST((tokens_total - tokens_kept) * 1000000 // tokens_total
+                AS BIGINT) AS trunc_ppm
+    FROM fan ORDER BY ctx
+    """

@@ -136,6 +136,7 @@ PREP_APIS: list[str] = [
     "quality_dup_lift",
     "ann_mrr",
     "dq_freshness",
+    "context_fill",
     # (the r10 library wave 3 — substring_runs / ivf_pq_recall /
     # stream_outer_join_data / line_dedup — registered in r11 and moved
     # to QUERIES under their q_ ids)

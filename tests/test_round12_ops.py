@@ -2039,3 +2039,70 @@ def test_dq_freshness_planted(spark, tmp_path):
     odf1 = con.execute(DQ_FRESHNESS_ORACLE).fetchdf()
     con.close()
     compare(dq_freshness(spark, str(tmp_path)).toPandas(), odf1, "dq_freshness_instant")
+
+
+def test_context_fill_draft_oracle_parity(spark):
+    """Registration gate: bit-exact DuckDB twin at sf0.001 AND sf0.01."""
+    from hadoop_distexec_spark.operators.llmops import (
+        CONTEXT_FILL_ORACLE,
+        CTX_LENGTHS,
+        context_fill,
+    )
+    from tests.oracle_util import run_pair
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        n = run_pair(spark, "context_fill", context_fill, CONTEXT_FILL_ORACLE, sf)
+        assert n == len(CTX_LENGTHS)
+
+
+def test_context_fill_laws(spark, tmp_path):
+    """Monotone laws on the natural fixture (docs_fit and tokens_kept
+    nondecreasing in ctx; trunc_ppm nonincreasing; kept <= total;
+    fit <= n_docs) plus a hand-computable fixture with a NULL-text doc
+    excluded identically in both engines."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.operators.llmops import (
+        CONTEXT_FILL_ORACLE,
+        context_fill,
+    )
+    from tests.oracle_util import compare
+
+    rows = context_fill(spark, SF_SMALL).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a["ctx"] < b["ctx"]
+        assert a["docs_fit"] <= b["docs_fit"] <= b["n_docs"]
+        assert a["tokens_kept"] <= b["tokens_kept"] <= b["tokens_total"]
+        assert a["trunc_ppm"] >= b["trunc_ppm"]
+
+    docs = [
+        (1, "one two three"),               # 3 tokens: fits everywhere
+        (2, " ".join(["t"] * 600)),         # 600: truncated at 512 only
+        (3, None),                          # excluded in both engines
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = {r["ctx"]: r for r in context_fill(spark, str(tmp_path)).collect()}
+    assert got[512]["n_docs"] == 2
+    assert got[512]["docs_fit"] == 1 and got[1024]["docs_fit"] == 2
+    assert got[512]["tokens_kept"] == 3 + 512
+    assert got[512]["trunc_ppm"] == (603 - 515) * 1_000_000 // 603
+    assert got[1024]["trunc_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(CONTEXT_FILL_ORACLE).fetchdf()
+    con.close()
+    compare(context_fill(spark, str(tmp_path)).toPandas(), odf, "context_fill_planted")
