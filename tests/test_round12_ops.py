@@ -2106,3 +2106,89 @@ def test_context_fill_laws(spark, tmp_path):
     odf = con.execute(CONTEXT_FILL_ORACLE).fetchdf()
     con.close()
     compare(context_fill(spark, str(tmp_path)).toPandas(), odf, "context_fill_planted")
+
+
+# ---------------------------------------------------------------------------
+# r12 OPTIMIZATION round: connected_components_cell_local — the per-cell
+# union-find that replaces the pointer-jump loop on cell-blocked edge sets
+# (semantic_dedup_groups_capped / cc_cap_agreement). Contract: identical
+# labels to connected_components_jump, plus the oversized-cell fallback.
+# ---------------------------------------------------------------------------
+
+
+def test_cc_cell_local_matches_jump_on_capped_graph(spark):
+    """The fast path's labels are bit-identical to the distributed jump
+    loop's on the real capped edge set (both SF fixtures' sf0.001 arm:
+    the optimization must never change what the query computes)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components_cell_local,
+        connected_components_jump,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    edges = embed_edges_capped(spark, sf).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cell_of = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("label").alias("cell")
+    )
+    fast = connected_components_cell_local(nodes, edges.join(cell_of, "doc_a"))
+    slow = connected_components_jump(nodes, edges)
+    diff = fast.exceptAll(slow).unionAll(slow.exceptAll(fast)).count()
+    assert diff == 0
+
+
+def test_cc_cell_local_fallback_is_identical(spark):
+    """Forcing the oversized-cell fallback (max_cell_edges=0) routes
+    through connected_components_jump and yields the same labels."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import embed_edges_capped
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components_cell_local,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    edges = embed_edges_capped(spark, sf).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cell_of = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("label").alias("cell")
+    )
+    ewc = edges.join(cell_of, "doc_a")
+    fast = connected_components_cell_local(nodes, ewc)
+    fb = connected_components_cell_local(nodes, ewc, max_cell_edges=0)
+    assert fast.exceptAll(fb).unionAll(fb.exceptAll(fast)).count() == 0
+
+
+def test_cc_cell_local_chain_and_singletons(spark):
+    """Hand-built graph: a chain 1-2-3-4 in cell A (min-label 1 must
+    reach 4 through the chain), a pair (10,11) in cell B, and untouched
+    node 99 — labels = min reachable id, singletons label themselves."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components_cell_local,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", 2, 3), ("A", 1, 2), ("A", 3, 4), ("B", 10, 11)],
+        "cell string, doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long"
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_cell_local(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
