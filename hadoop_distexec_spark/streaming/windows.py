@@ -370,28 +370,83 @@ def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str):
     )
 
 
-def _run_bounded(df: DataFrame, mode: str) -> "DataFrame":
+# target bytes of stream input per state-store partition: stateful
+# exchanges cannot be AQE-coalesced (the state layout is pinned when the
+# checkpoint is created), so the partition count must be derived from the
+# INPUT VOLUME up front (guide §2: scale-adaptive partitioning, never a
+# constant tuned for one deployment). 32 MB of source parquet per state
+# partition keeps partitions in the guide's healthy range at any scale;
+# the count is capped at defaultParallelism so a huge input still fans
+# out to every core while the sf0.1 fixture (2 MB) no longer commits 32
+# near-empty HDFS state stores per micro-batch (measured r12: the
+# left-outer bounded run drops 7.3s -> 3.2s at sf0.1 with sized state).
+STREAM_STATE_TARGET_BYTES = 32 << 20
+
+
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """ceil(events bytes / STREAM_STATE_TARGET_BYTES), capped at
+    defaultParallelism, floored at 1 — None when the size is unreadable
+    (callers then keep the session default)."""
+    import os as _os
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        if _os.path.isdir(path):
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(path)
+                for f in fs
+            )
+        else:
+            nbytes = _os.path.getsize(path)
+    except OSError:
+        return None
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(dp, -(-nbytes // STREAM_STATE_TARGET_BYTES)))
+
+
+def _run_bounded(
+    df: DataFrame, mode: str, state_partitions: int | None = None
+) -> "DataFrame":
     """Run a streaming DataFrame to exhaustion of the available input
     (availableNow trigger) into a uniquely-named memory sink and return
     the sink table. The bounded-smoke harness shared by the q_stream_*
-    registry entries."""
+    registry entries.
+
+    ``state_partitions`` (optional) pins spark.sql.shuffle.partitions for
+    THIS streaming run only — the stateful stream's state-store partition
+    count, sized by _stream_state_partitions from the input volume — and
+    restores the session default before returning, so batch twins and
+    later queries are unaffected."""
     import uuid
 
-    name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        # False = timed out mid-batch -> the memory sink is partial; raise
-        # the clear diagnosis instead of a downstream mismatch (ADVICE r04)
-        if not q.awaitTermination(300):
-            raise AssertionError(f"{name}: streaming run timed out after 300s")
+        name = f"stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # False = timed out mid-batch -> the memory sink is partial;
+            # raise the clear diagnosis instead of a downstream mismatch
+            # (ADVICE r04)
+            if not q.awaitTermination(300):
+                raise AssertionError(
+                    f"{name}: streaming run timed out after 300s"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
@@ -738,6 +793,9 @@ def stream_dim_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself — so the driver's DuckDB oracle checks real DATA, not a smoke
     counter."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # NOT input-sized: the stateless stream-static join + complete-mode
+    # aggregate is compute-bound, not state-store-bound — measured 2.3s at
+    # the session default vs 3.7s at input-sized partitions (r12)
     got = _run_bounded(
         stream_dim_join(read_events_stream(spark, sf_dir), cust), "complete"
     )
@@ -789,9 +847,16 @@ def stream_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds only rows younger than watermark + join window (the bounded
     stream-stream contract streaming_join documents)."""
     ev = read_events_stream(spark, sf_dir)
-    got = _run_bounded(streaming_join(ev, ev), "append")
+    got = _run_bounded(
+        streaming_join(ev, ev),
+        "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     batch_ev = table(spark, sf_dir, "events")
-    batch = streaming_join(batch_ev, batch_ev)
+    # pin the batch twin before the two-sided exceptAll: each direction
+    # re-evaluates its arguments, so the un-pinned self-join over events
+    # ran twice (guide §1/§5 — don't recompute what one job already built)
+    batch = streaming_join(batch_ev, batch_ev).localCheckpoint(eager=True)
     mism = got.exceptAll(batch).unionAll(batch.exceptAll(got)).count()
     if mism:
         raise AssertionError(
@@ -870,6 +935,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     increasing per emission — the q_stream_stateful_smoke struct-max
     idiom)."""
     ev = read_events_stream(spark, sf_dir)
+    # NOT input-sized: the Python-side stateful worker is the bottleneck
+    # (per-row Decimal quantization), so partitions must follow CPU, not
+    # input bytes — measured 1.8s at the session default vs 8.4s when
+    # input-sizing collapsed it to one Python worker (r12)
     got = _run_bounded(streaming_user_totals_exact(ev), "update")
     final = (
         got.groupBy("user_id")
@@ -1055,7 +1124,11 @@ def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row, and return that closed prefix for the data oracle. Raw
     ids/epoch-micros/pass-through values only — rule-3 bit-determinism."""
     ev = read_events_stream(spark, sf_dir)
-    got = _run_bounded(streaming_left_outer(ev, ev), "append")
+    got = _run_bounded(
+        streaming_left_outer(ev, ev),
+        "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     batch_ev = table(spark, sf_dir, "events")
     side_max = batch_ev.groupBy().agg(
         F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("c"),
@@ -1074,7 +1147,9 @@ def stream_outer_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = wm_us - OUTER_CLOSE_US
     batch = streaming_left_outer(batch_ev, batch_ev)
     got_c = got.filter(F.col("click_ts_us") <= cutoff)
-    batch_c = batch.filter(F.col("click_ts_us") <= cutoff)
+    # pin the batch twin: each exceptAll direction re-evaluates its
+    # arguments, so the un-pinned outer self-join over events ran twice
+    batch_c = batch.filter(F.col("click_ts_us") <= cutoff).localCheckpoint(eager=True)
     mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
     if mism:
         raise AssertionError(
@@ -1197,7 +1272,11 @@ def stream_full_outer_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no click with ts <= purchase_ts can still arrive). Raw
     ids/epoch-micros/pass-through values only — rule-3 bit-determinism."""
     ev = read_events_stream(spark, sf_dir)
-    got = _run_bounded(streaming_full_outer(ev, ev), "append")
+    got = _run_bounded(
+        streaming_full_outer(ev, ev),
+        "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     batch_ev = table(spark, sf_dir, "events")
     side_max = batch_ev.groupBy().agg(
         F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("c"),
@@ -1215,7 +1294,9 @@ def stream_full_outer_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("purchase_ts_us") <= wm_us - ORPHAN_CLOSE_US)
     batch = streaming_full_outer(batch_ev, batch_ev)
     got_c = got.filter(closed)
-    batch_c = batch.filter(closed)
+    # pin the batch twin (the exceptAll-reruns-its-argument rule, as in
+    # the left-outer sibling)
+    batch_c = batch.filter(closed).localCheckpoint(eager=True)
     mism = got_c.exceptAll(batch_c).unionAll(batch_c.exceptAll(got_c)).count()
     if mism:
         raise AssertionError(
