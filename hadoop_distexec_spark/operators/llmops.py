@@ -8198,6 +8198,67 @@ def _kcore_peel(sym: DataFrame, k: int, rounds: int):
     return alive, converged
 
 
+def _kcore_peel_cells(sym_cell: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Cell-local form of _kcore_peel (r12 optimization round): the edge
+    set is cell-blocked (both endpoints of every capped edge share the
+    label cell), so the peel decomposes exactly into independent per-cell
+    fixpoints — one shuffle groups each cell's symmetric edges and a
+    per-cell numpy loop runs the SAME synchronous rounds the distributed
+    loop ran globally (guide §4.2: Spark distributes, vectorized native
+    code does the group-local work). ``sym_cell`` is (cell, u, v)
+    symmetric; returns (u, v, converged) — the surviving symmetric
+    edges plus each cell's truncated-fixpoint certificate on every row.
+
+    Equivalence to the distributed loop (which stays above as the tested
+    reference): peeling is monotone and cells are independent, so a cell
+    that stabilizes at round r < rounds is unchanged by the remaining
+    global rounds — per-cell early exit yields the same edge set, and
+    the global certificate is the AND of the per-cell ones (a cell whose
+    core empties is converged, so zero-row cells drop out of the AND
+    harmlessly). The distributed loop paid 2 driver-blocking jobs per
+    round (checkpoint + count: ~16 jobs on the 8-round budget); this is
+    one applyInPandas pass over the bounded capped edge set."""
+
+    def _peel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        u = pdf["u"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+
+        def survivors(uu, vv):
+            ids, inv = np.unique(uu, return_inverse=True)
+            deg = np.bincount(inv)
+            kept = ids[deg >= k]
+            mask = np.isin(uu, kept) & np.isin(vv, kept)
+            return uu[mask], vv[mask]
+
+        converged = False
+        n_prev = len(u)
+        for _ in range(rounds):
+            u, v = survivors(u, v)
+            if len(u) == n_prev:
+                converged = True
+                break
+            n_prev = len(u)
+        else:
+            # budget exhausted: one extra certificate round, exactly the
+            # oracle's e{rounds+1} — alive is NOT advanced by it
+            u2, _v2 = survivors(u, v)
+            converged = len(u2) == n_prev
+        return pd.DataFrame(
+            {
+                "u": u,
+                "v": v,
+                "converged": np.repeat(converged, len(u)),
+            }
+        )
+
+    return sym_cell.groupBy("cell").applyInPandas(
+        _peel, schema="u long, v long, converged boolean"
+    )
+
+
 def kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label-cell {KCORE_K}-core audit of the capped near-dup graph —
     the DENSE-cluster detector the component tiers cannot be: connected
@@ -8225,8 +8286,18 @@ def kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
     ).unionByName(edges.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
-    alive, converged = _kcore_peel(sym, KCORE_K, KCORE_ROUNDS)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # cell-local peel (r12 optimization): attach u's label (== v's by the
+    # capped builder's blocking) and run the per-cell numpy fixpoint —
+    # identical surviving edges and certificate to _kcore_peel's
+    # distributed loop (pytest-asserted), ~16 blocking jobs fewer
+    cell_of = emb.select(F.col("vec_id").alias("u"), F.col("label").alias("cell"))
+    peeled = _kcore_peel_cells(
+        sym.join(cell_of, "u"), KCORE_K, KCORE_ROUNDS
+    ).localCheckpoint(eager=True)
+    row = peeled.agg(F.min("converged").alias("c")).collect()[0]["c"]
+    converged = True if row is None else bool(row)
+    alive = peeled.select("u", "v")
     members = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     core_nodes = alive.select("u").distinct()
     core_lab = (
@@ -8316,6 +8387,7 @@ KCORE_AUDIT_ORACLE = _kcore_oracle()
 register("q_kcore_audit", oracle=KCORE_AUDIT_ORACLE)(kcore_audit)
 kcore_audit._fingerprint_extras = (
     _kcore_peel,
+    _kcore_peel_cells,
     embed_edges_capped,
     _window_capped_pairs,
     _spark_proj,

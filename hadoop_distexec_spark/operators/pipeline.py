@@ -334,13 +334,26 @@ def connected_components(
     # per-round cost scales with |edge endpoints|, not |corpus|.
     touched = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
     labels = touched.select("doc_id", F.col("doc_id").alias("component"))
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
-        # checkpoint FIRST, then derive both the convergence count and the
-        # next labels from the materialized result — otherwise the round's
-        # join+agg would execute twice (once for the count, once for the
-        # checkpoint)
-        new = _cc_round(sym, labels).localCheckpoint(eager=True)
-        changed = new.filter(F.col("new_component") < F.col("component")).count()
+        # the convergence count piggybacks the checkpoint materialization
+        # via Observation (the jump loop's idiom, backported r12): one
+        # blocking job per round instead of checkpoint + a separate count
+        obs = Observation()
+        new = (
+            _cc_round(sym, labels)
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("new_component") < F.col("component"), 1).otherwise(0)
+                ).alias("ch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # F.sum over an EMPTY frame observes NULL, not 0 (the jump loop's
+        # zero-edge lesson, ADVICE r10 #1)
+        changed = obs.get["ch"] or 0
         labels = new.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
