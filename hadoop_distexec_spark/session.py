@@ -31,10 +31,16 @@ def get_spark(app_name: str = "hadoop_distexec_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # fixture tables are single ~20MB parquet files; the default 128MB
-        # split size would scan them on one core. 8MB keeps local scans
-        # parallel; on a real cluster with many files this is a no-op for
-        # large inputs (files >> splits either way).
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # split size would scan them on one core, so the LOCAL default is
+        # 8MB to keep fixture scans parallel. This is a scale-dependent
+        # knob (guide §6): at 100 TB small splits multiply the map-task
+        # count feeding every shuffle (guide §2.2), so production sets
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 512m-1g; parameterised here
+        # so the same code serves both without editing a constant.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
