@@ -2250,3 +2250,92 @@ def test_kcore_peel_cells_budget_and_empty(spark):
     got = {(r["u"], r["v"]) for r in peeled.collect()}
     assert got == {(1, 2), (2, 3), (1, 3), (2, 1), (3, 2), (3, 1)}
     assert all(r["converged"] for r in peeled.collect())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 degenerate-input pins (optimization round: correctness items
+# only). Both flagged divergences were probed and do NOT manifest — these
+# planted fixtures pin that agreement so a future edit cannot silently
+# introduce the divergence the advisor feared.
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_null_and_empty_text_pin(spark, tmp_path):
+    """ADVICE r11 #2: NULL-text and empty-text documents must produce
+    IDENTICAL rule counts in Spark and the DuckDB twin (the feared
+    size(NULL) = -1 vs NULL-propagating CASE divergence does not occur;
+    pinned here on a planted fixture with one NULL, one empty, one tiny
+    and one normal document)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.registry import specs
+
+    docs = [
+        (1, "a normal document with several reasonable words here", "web"),
+        (2, None, "web"),
+        (3, "", "books"),
+        (4, "ok tiny", "books"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "source": pa.array([d[2] for d in docs], pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    spec = specs()["q_gopher_rules"]
+    sdf = (
+        spec.fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(spec.oracle).fetchdf().sort_values("source").reset_index(drop=True)
+    con.close()
+    assert sdf.equals(odf.astype(sdf.dtypes.to_dict())), (
+        f"gopher_rules diverged on NULL/empty text:\nspark:\n{sdf}\noracle:\n{odf}"
+    )
+    # the NULL and empty docs count as documents and fail the word gates
+    web = sdf[sdf.source == "web"].iloc[0]
+    assert web["n_docs"] == 2 and web["n_pass"] == 0
+
+
+def test_embed_threshold_curve_empty_table_pin(spark, tmp_path):
+    """ADVICE r11 #3: an EMPTY embeddings table must yield the same empty
+    frame from both engines (neither a Spark NULL-div row nor a DuckDB
+    div-0 raise — pinned)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_distexec_spark.registry import specs
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    spec = specs()["q_embed_threshold_curve"]
+    sdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    odf = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert len(sdf) == 0 and len(odf) == 0
+    assert list(sdf.columns) == list(odf.columns)
