@@ -549,10 +549,16 @@ ITEMSET_PAIRS_ORACLE = f"""
 
 SLIDE_WINDOW_S = 7200  # 2h windows
 SLIDE_STEP_S = 3600  # sliding every 1h
-SLIDE_HLL_RSD = 0.005  # ~64 KiB of registers per window partial; measured
-# max rel-err 0% (sf0.01) / 1.2% (sf0.1) -> the 10% flag holds with 8x
-# margin, and at 100 TB cardinalities the HLL variance only shrinks
-# relative to the bound (rsd 0.5% -> 10% = 20 sigma)
+SLIDE_HLL_LGK = 14  # DataSketches HLL_4, 2^14 buckets (~16 KiB dense):
+# rsd ~0.8% -> the 10% flag holds at ~12 sigma; measured max rel-err is
+# 0.0% at every fixture SF (per-window cardinalities sit in the sketch's
+# exact sparse mode). Chosen over approx_count_distinct(rsd=0.005) in
+# r13: Spark's HLL++ buffer at that rsd is 6554 LONG aggregation
+# attributes, and every AQE plan-canonicalization pass re-walks them on
+# the DRIVER (QueryPlan.normalizeExpressions burned ~10s CPU in the
+# thread dump, guide §7.3) — 3.2s/run of pure planning tax at sf0.1;
+# the DataSketches sketch is ONE binary buffer attribute (0.5s/run,
+# same flag values at every SF).
 SLIDE_HLL_BOUND_PCT = 10  # |hll - exact| * 100 <= BOUND_PCT * exact
 
 
@@ -560,7 +566,7 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per 2-hour window sliding hourly over the event
     stream: each event lands in the two hourly-aligned windows covering
     it (explode to window starts, dedupe per window), counted exactly,
-    with an HLL (approx_count_distinct, rsd {SLIDE_HLL_RSD}) tier
+    with an HLL sketch (hll_sketch_agg, lgK {SLIDE_HLL_LGK}) tier
     cross-checked IN-QUERY against the exact count — the TRUE-flag
     sketch idiom: the output carries the bound check, the oracle asserts
     it, and a sketch drifting past {SLIDE_HLL_BOUND_PCT}% flips the flag
@@ -574,15 +580,19 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the explode is a fixed 2x fan-out (window/step), so
     the shuffled volume is 2x events — the alternative (a range join of
     events against a generated window table) shuffles the same rows AND
-    adds the join. The exact arm and the HLL arm run as SEPARATE hash
-    aggregations joined on the bounded window key: mixing countDistinct
-    with the {SLIDE_HLL_RSD}-rsd HLL in one aggregate plans an Expand
-    whose doubled rows drag the ~64 KiB HLL buffers through a sort-based
-    aggregate — measured 360s at the 10x lane vs 2.6s + 5.3s for the
-    arms run apart (the decomposition below lands at ~8s). At 100 TB
-    the deployment keeps ONLY the HLL arm (one pass, mergeable
-    sketches, no distinct shuffle); the exact arm is the audit tier this
-    harness exists to price — the flag proves the cheap tier honest."""
+    adds the join. Since r13 both arms ride ONE two-level cascade:
+    groupBy(win, user) counts per-user events (the exact arm's dedup
+    shuffle, map-side combinable), then groupBy(win) derives n_events =
+    SUM of the per-user counts, n_users = the exact row count, and the
+    sketch over the deduped user ids — a distinct-count sketch is a
+    function of the distinct value set only, so deduping first leaves
+    its estimate unchanged while the corpus-sized explode output is
+    scanned and shuffled ONCE instead of twice (was: 2 scans + 4
+    exchanges + a join; now: 1 scan + 2 exchanges; 3.9 -> 0.9s at sf0.1
+    together with the SLIDE_HLL_LGK sketch swap). At 100 TB the
+    deployment keeps ONLY the one-pass sketch arm (mergeable sketches,
+    no distinct shuffle); the exact arm is the audit tier this harness
+    exists to price — the flag proves the cheap tier honest."""
     ev = table(spark, sf_dir, "events").select(
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
         "user_id",
@@ -593,17 +603,21 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("win_start_s"),
         "user_id",
     )
-    base = wins.groupBy("win_start_s").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.approx_count_distinct("user_id", SLIDE_HLL_RSD).alias("hll"),
+    per_user = wins.groupBy("win_start_s", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
     )
-    exact = (
-        wins.select("win_start_s", "user_id")
-        .distinct()
-        .groupBy("win_start_s")
-        .agg(F.count("user_id").alias("n_users"))
+    agg = per_user.groupBy("win_start_s").agg(
+        # sum of per-user counts = total events; cast keeps the long type
+        # the old count(1) arm produced
+        F.sum("n_ev").cast("long").alias("n_events"),
+        # count("user_id") over the deduped groups = exact COUNT(DISTINCT
+        # user_id) semantics (a NULL user group contributes 0, exactly as
+        # the old distinct-then-count arm and the oracle's COUNT(DISTINCT))
+        F.count("user_id").alias("n_users"),
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg(user_id, {SLIDE_HLL_LGK}))"
+        ).alias("hll"),
     )
-    agg = base.join(exact, "win_start_s")
     return agg.select(
         "win_start_s",
         "n_events",

@@ -1,0 +1,79 @@
+"""Round-13 optimization equivalence tests.
+
+Each test pins an optimization-round rewrite to the semantics it
+replaced, on planted data where the interesting cases are forced —
+the r12 pattern (tests/test_round12_ops.py::test_cc_cell_local_*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hadoop_distexec_spark.session import get_spark
+
+    return get_spark("test_round13")
+
+
+def test_sliding_distinct_fused_cascade_matches_naive_arms(spark):
+    """q_sliding_distinct r13 rewrite: the two-level (win, user) ->
+    (win) cascade must produce the exact n_events / n_users the old
+    separate-arms shape produced, including NULL user_ids (counted in
+    n_events, excluded from n_users) and duplicate (win, user) events
+    (collapsed by the dedup level, still summed into n_events)."""
+    rows = [
+        # win 1: user 10 twice, user 20 once, NULL once -> 4 events, 2 users
+        (1, 10), (1, 10), (1, 20), (1, None),
+        # win 2: only NULL -> 1 event, 0 users
+        (2, None),
+        # win 3: three distinct -> 3 events, 3 users
+        (3, 1), (3, 2), (3, 3),
+    ]
+    df = spark.createDataFrame(rows, "win_start_s long, user_id long")
+    per_user = df.groupBy("win_start_s", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    fused = (
+        per_user.groupBy("win_start_s")
+        .agg(
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.count("user_id").alias("n_users"),
+        )
+        .orderBy("win_start_s")
+        .collect()
+    )
+    naive_events = dict(
+        df.groupBy("win_start_s").count().collect()
+    )
+    naive_users = dict(
+        df.select("win_start_s", "user_id")
+        .distinct()
+        .groupBy("win_start_s")
+        .agg(F.count("user_id"))
+        .collect()
+    )
+    for r in fused:
+        assert r["n_events"] == naive_events[r["win_start_s"]]
+        assert r["n_users"] == naive_users[r["win_start_s"]]
+    assert [(r["n_events"], r["n_users"]) for r in fused] == [
+        (4, 2), (1, 0), (3, 3)
+    ]
+
+
+def test_sliding_distinct_sketch_is_duplicate_insensitive(spark):
+    """The r13 sketch swap feeds hll_sketch_agg the DEDUPED (win, user)
+    frame: a distinct-count sketch must estimate the same cardinality
+    whether it sees raw duplicated events or one row per user."""
+    from hadoop_distexec_spark.operators.audits import SLIDE_HLL_LGK
+
+    raw = spark.createDataFrame(
+        [(1, u % 50) for u in range(2000)], "w long, user_id long"
+    )
+    est = lambda df: df.groupBy("w").agg(
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg(user_id, {SLIDE_HLL_LGK}))"
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert est(raw) == est(raw.distinct()) == 50
