@@ -1152,26 +1152,35 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, label asc)); fixed round count; exact bigint counts and
     integer-ppm shares.
 
-    Shape at 100 TB: the edge list is built once, symmetrized, and
-    localCheckpoint-pinned (the q_dedup_groups discipline — lineage must
-    not grow with rounds); each round is ONE equi-join of the label
-    frame against the pinned edges plus one (node, label) hash aggregate
-    and a per-node top-1 window — all map-side combinable, no
-    all-pairs anything. Rounds are a constant, not data-dependent."""
+    Shape at 100 TB: the edge builder blocks by label cell, so the
+    synchronous rounds decompose exactly per cell — one shuffle groups
+    each cell's edges and numpy runs the same LPA_ROUNDS in-task
+    (_lpa_labels_cell_local, the r12 CC-family playbook; measured at
+    sf0.1 the distributed loop paid ~3 blocking jobs/round on a bounded
+    edge set). Cells larger than the per-task edge bound fall back to
+    the distributed _lpa_labels loop: the edge list is built once,
+    symmetrized, and localCheckpoint-pinned; each round is ONE equi-join
+    against the pinned edges plus one (node, label) hash aggregate and a
+    per-node top-1 window. Rounds are a constant, not data-dependent."""
     from hadoop_distexec_spark.operators.llmops import q_dedup_embed
 
-    nodes = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("v")
-    )
-    # pin the cosine pair join BEFORE symmetrizing — the union's two
-    # branches would otherwise each evaluate the expensive edge build
-    # (round-7 review finding); sym stays lazy over the pinned frame
+    emb = table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    # pin the cosine pair join BEFORE fanning out — downstream consumers
+    # (the max-cell guard and the per-cell grouping, or the fallback's
+    # symmetrize union) would otherwise each evaluate the expensive edge
+    # build (round-7 review finding)
     edges = (
         q_dedup_embed(spark, sf_dir)
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
-    return _lpa_spectrum(_lpa_labels(nodes, edges))
+    # the builder blocks by label: attach each edge's cell with a pruned
+    # 2-column equi-join on vec_a (both endpoints share the label)
+    cell_of = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"))
+    return _lpa_spectrum(
+        _lpa_labels_cell_local(nodes, edges.join(cell_of, "vec_a"))
+    )
 
 
 def _lpa_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -1207,6 +1216,80 @@ def _lpa_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def _lpa_labels_cell_local(
+    nodes: DataFrame,
+    edges_cell: DataFrame,
+    max_cell_edges: int = CC_CELL_LOCAL_MAX_EDGES,
+) -> DataFrame:
+    """_lpa_labels over a CELL-BLOCKED edge set — ``edges_cell`` is
+    (cell, vec_a, vec_b) where both endpoints share the cell (the label
+    blocking of q_dedup_embed's builder), so LPA messages never cross
+    cells and the synchronous rounds decompose exactly per cell: one
+    shuffle groups each cell's edges, numpy runs the SAME LPA_ROUNDS
+    mode-of-neighbors rounds (count desc, smallest-label tiebreak,
+    synchronous updates, isolated nodes self-stable) in-task, and
+    untouched nodes keep their own label via the same left-join +
+    coalesce tail (the connected_components_cell_local pattern, r12:
+    per-round corpus-wide shuffles -> one Arrow pass). Early exit when a
+    round changes nothing is safe: a synchronous fixed point reproduces
+    itself, so rounds k+1..LPA_ROUNDS are no-ops.
+
+    Cells whose edge list exceeds ``max_cell_edges`` (one bounded agg on
+    the materialized edges decides) fall back to the distributed
+    _lpa_labels loop — identical output, the fast path cannot OOM a
+    task and the slow path cannot be wrong."""
+    edges_cell = edges_cell.localCheckpoint(eager=True)
+    mx = (
+        edges_cell.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if mx is not None and mx > max_cell_edges:
+        return _lpa_labels(nodes, edges_cell.select("vec_a", "vec_b"))
+
+    def _lpa_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf["vec_a"].to_numpy(dtype=np.int64)
+        b = pdf["vec_b"].to_numpy(dtype=np.int64)
+        # np.unique sorts ascending: index order == id order, so the
+        # smallest-INDEX tiebreak below is the smallest-LABEL tiebreak
+        ids, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = idx[: len(a)], idx[len(a) :]
+        v_all = np.concatenate([ia, ib])
+        u_all = np.concatenate([ib, ia])
+        lab = np.arange(len(ids), dtype=np.int64)
+        for _ in range(LPA_ROUNDS):
+            ulab = lab[u_all]
+            order = np.lexsort((ulab, v_all))
+            vv, ll = v_all[order], ulab[order]
+            starts = np.r_[
+                0, np.flatnonzero((vv[1:] != vv[:-1]) | (ll[1:] != ll[:-1])) + 1
+            ]
+            run_v, run_l = vv[starts], ll[starts]
+            run_c = np.diff(np.r_[starts, len(vv)])
+            # per v: max count, ties -> smallest label (lexsort is stable
+            # and run_l ascends within v, so first row per v wins)
+            ord2 = np.lexsort((run_l, -run_c, run_v))
+            rv2, rl2 = run_v[ord2], run_l[ord2]
+            first = np.r_[0, np.flatnonzero(rv2[1:] != rv2[:-1]) + 1]
+            new_lab = lab.copy()
+            new_lab[rv2[first]] = rl2[first]
+            if np.array_equal(new_lab, lab):
+                break
+            lab = new_lab
+        return pd.DataFrame({"v": ids, "lab": ids[lab]})
+
+    labels = edges_cell.groupBy("cell").applyInPandas(
+        _lpa_cell, schema="v long, lab long"
+    )
+    return nodes.join(labels, "v", "left").select(
+        "v", F.coalesce("lab", F.col("v")).alias("lab")
+    )
 
 
 def _lpa_spectrum(labels: DataFrame) -> DataFrame:
@@ -1924,6 +2007,6 @@ SPLIT_LEAKAGE_ORACLE = (
 # tests/test_round8_ops.py). label_prop's loop body lives in the shared
 # _lpa_labels/_lpa_spectrum helpers (the capped tier reuses them), so
 # they join its fingerprint coverage.
-label_prop._fingerprint_extras = (_lpa_labels, _lpa_spectrum)
+label_prop._fingerprint_extras = (_lpa_labels, _lpa_spectrum, _lpa_labels_cell_local)
 register("q_label_prop", oracle=LABEL_PROP_ORACLE)(label_prop)
 register("q_split_leakage", oracle=SPLIT_LEAKAGE_ORACLE)(split_leakage)

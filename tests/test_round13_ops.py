@@ -137,3 +137,77 @@ def test_robust_stats_forced_fallback_is_identical(spark):
     finally:
         rx.ROBUST_GROUP_LOCAL_MAX_ROWS = old
     assert fast == slow
+
+
+def test_lpa_cell_local_matches_distributed_on_natural_graph(spark):
+    """_lpa_labels_cell_local must be bit-identical to the distributed
+    _lpa_labels loop on the real label-blocked q_dedup_embed graph."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import q_dedup_embed
+    from hadoop_distexec_spark.operators.pipeline import (
+        _lpa_labels,
+        _lpa_labels_cell_local,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    edges = q_dedup_embed(spark, sf).select("vec_a", "vec_b").localCheckpoint(eager=True)
+    cell_of = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"))
+    fast = _lpa_labels_cell_local(nodes, edges.join(cell_of, "vec_a"))
+    slow = _lpa_labels(nodes, edges)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_lpa_cell_local_forced_fallback_is_identical(spark):
+    """With max_cell_edges=0 every cell is oversized: the guard must
+    route through _lpa_labels and return the identical labels."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import q_dedup_embed
+    from hadoop_distexec_spark.operators.pipeline import _lpa_labels_cell_local
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    edges = (
+        q_dedup_embed(spark, sf).select("vec_a", "vec_b").localCheckpoint(eager=True)
+    )
+    cell_of = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"))
+    ec = edges.join(cell_of, "vec_a")
+    fast = _lpa_labels_cell_local(nodes, ec)
+    slow = _lpa_labels_cell_local(nodes, ec, max_cell_edges=0)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_lpa_cell_local_planted_mode_and_ties(spark):
+    """Planted cell exercising the mode rule: a node with two neighbors
+    of one community and one of another adopts the majority; an exact
+    tie adopts the smaller label; isolated nodes stay themselves."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.pipeline import (
+        _lpa_labels,
+        _lpa_labels_cell_local,
+    )
+
+    # triangle {1,2,3} + pendant 4 on 3; tie node 10 between 11 and 12;
+    # isolated node 99 (no edges)
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 3), (0, 2, 3), (0, 3, 4), (1, 10, 11), (1, 10, 12)],
+        "cell int, vec_a long, vec_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], "v long"
+    )
+    fast = _lpa_labels_cell_local(nodes, edges)
+    slow = _lpa_labels(nodes, edges.select("vec_a", "vec_b"))
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    got = {r["v"]: r["lab"] for r in fast.collect()}
+    assert got[99] == 99  # isolated self-stable
