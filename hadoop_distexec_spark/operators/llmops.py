@@ -6442,6 +6442,83 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_recenter_cb(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """ONE Lloyd recenter fused into the assignment's Arrow pass (r13,
+    guide §2.3 "aggregate before you shuffle"): instead of materializing
+    the per-(vector, subspace) assignment, joining it back to ``subs``
+    and posexploding every subvector element through a corpus-sized
+    (s, code, i) shuffle, each Arrow batch assigns its subvectors with
+    the same int64 matmul as _pq_assign and emits per-batch PARTIAL
+    element sums (s, code, i, sv, nv) — at most |codebook| x PQ_SUBDIM
+    bounded rows per batch. The global groupBy then sums partials:
+    int64 addition is associative, so cent is bit-identical to the old
+    pos/cent chain, and the cb1 construction below it is untouched.
+    Returns the refined, normed codebook (s, code, carr, cn2_s)."""
+    cbrows = cb.select("s", "code", "carr").collect()  # <=512 rows
+    books: dict = {}
+    for r in cbrows:
+        books.setdefault(r["s"], []).append((r["code"], r["carr"]))
+    for s in books:
+        books[s].sort()
+
+    import numpy as np
+
+    mats = {
+        s: (
+            np.array([c for c, _ in rows], dtype=np.int64),
+            np.array([arr for _, arr in rows], dtype=np.int64),
+        )
+        for s, rows in books.items()
+    }
+    n2s = {s: (m * m).sum(axis=1) for s, (_, m) in mats.items()}
+
+    def assign_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for s, grp in pdf.groupby("s"):
+                codes_v, cmat = mats[int(s)]
+                cn2_v = n2s[int(s)]
+                x = np.stack(grp["sub"].to_numpy())  # (n, PQ_SUBDIM) int64
+                scores = cn2_v[None, :] - 2 * (x @ cmat.T)
+                idx = np.argmin(scores, axis=1)  # first hit = smallest code
+                ncodes = len(codes_v)
+                sv = np.zeros((ncodes, x.shape[1]), dtype=np.int64)
+                np.add.at(sv, idx, x)
+                nv = np.bincount(idx, minlength=ncodes).astype(np.int64)
+                hit = np.flatnonzero(nv)
+                for k in hit:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "s": int(s),
+                                "code": int(codes_v[k]),
+                                "i": np.arange(x.shape[1], dtype=np.int64),
+                                "sv": sv[k],
+                                "nv": int(nv[k]),
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"s": [], "code": [], "i": [], "sv": [], "nv": []}
+            )
+
+    cent = (
+        subs.mapInPandas(
+            assign_partials, "s int, code int, i long, sv long, nv long"
+        )
+        .groupBy("s", "code", "i")
+        .agg(F.sum("sv").alias("sv"), F.sum("nv").alias("nv"))
+    )
+    return _pq_with_norm(
+        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
+        .groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
+    )
+
+
 def _pq_with_norm(cb: DataFrame) -> DataFrame:
     return cb.select(
         "s",
@@ -6543,21 +6620,12 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking re-runs downstream
 
     # ONE Lloyd round: recenter each codeword on the exact integer mean
-    # of its assigned subvectors, then re-assign against the refined book
-    codes0 = _pq_assign(subs, cb0).select("vec_id", "s", "code")
-    pos = (
-        subs.join(codes0, ["vec_id", "s"])
-        .select("s", "code", F.posexplode("sub").alias("i", "v"))
-    )
-    cent = pos.groupBy("s", "code", "i").agg(
-        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nv")
-    )
-    cb1 = _pq_with_norm(
-        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
-        .groupBy("s", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
-    ).localCheckpoint()  # <=128 rows
+    # of its assigned subvectors, then re-assign against the refined
+    # book. The recenter rides the assignment's Arrow pass as bounded
+    # per-batch partial sums (_pq_recenter_cb, r13) instead of a
+    # corpus-sized assignment join + posexplode shuffle — cent is
+    # bit-identical (int64 partial sums are associative).
+    cb1 = _pq_recenter_cb(subs, cb0).localCheckpoint()  # <=128 rows
 
     # consumed by BOTH the cn2 aggregate and the num join: pin it, or
     # the 8x64-fanout assignment join+window runs twice (round-7 review)
@@ -7372,7 +7440,6 @@ def _ivf_pq_recall_at(
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    n_vecs = e.count()
 
     # --- IVF probe: label-cell centroids, top-nprobe cells per query ---
     cells = (
@@ -7431,6 +7498,9 @@ def _ivf_pq_recall_at(
             ]
         ).alias("sarr"),
     ).localCheckpoint()
+    # rows(arr) == rows(e) (pure projection): count the pinned frame
+    # instead of a second parquet scan (r13)
+    n_vecs = arr.count()
     subs = arr.select("vec_id", F.explode("sarr").alias("ss")).select(
         "vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub")
     )
@@ -7446,20 +7516,9 @@ def _ivf_pq_recall_at(
     cb0 = _pq_with_norm(
         subs.join(seeds, "vec_id").select("s", "code", F.col("sub").alias("carr"))
     ).localCheckpoint()
-    codes0 = _pq_assign(subs, cb0).select("vec_id", "s", "code")
-    pos = (
-        subs.join(codes0, ["vec_id", "s"])
-        .select("s", "code", F.posexplode("sub").alias("i", "v"))
-    )
-    cent = pos.groupBy("s", "code", "i").agg(
-        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nv")
-    )
-    cb1 = _pq_with_norm(
-        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
-        .groupBy("s", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
-    ).localCheckpoint()
+    # recenter fused into the assignment's Arrow pass (_pq_recenter_cb,
+    # r13) — bit-identical cent, no corpus-sized join/posexplode
+    cb1 = _pq_recenter_cb(subs, cb0).localCheckpoint()
     codes = _pq_assign(subs, cb1).localCheckpoint(eager=True)
     cn2 = codes.groupBy("vec_id").agg(F.sum("cn2_s").alias("cn2"))
     qsubs = subs.filter(F.col("vec_id") < 5).select(

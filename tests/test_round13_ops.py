@@ -211,3 +211,69 @@ def test_lpa_cell_local_planted_mode_and_ties(spark):
     assert slow.exceptAll(fast).count() == 0
     got = {r["v"]: r["lab"] for r in fast.collect()}
     assert got[99] == 99  # isolated self-stable
+
+
+def test_pq_recenter_cb_matches_join_posexplode_chain(spark):
+    """_pq_recenter_cb (r13: Lloyd recenter fused into the assignment's
+    Arrow pass as bounded partial sums) must produce the bit-identical
+    refined codebook the old assign -> join -> posexplode -> agg chain
+    produced, on the real sf0.001 subvectors."""
+    from pyspark.sql import functions as F
+
+    import hadoop_distexec_spark.operators.llmops as L
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    ie = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * L.PQ_GRID).cast("long")
+        ).alias("iarr"),
+    )
+    arr = ie.select(
+        "vec_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.slice("iarr", s * L.PQ_SUBDIM + 1, L.PQ_SUBDIM).alias("sub"),
+                )
+                for s in range(L.PQ_SUBS)
+            ]
+        ).alias("sarr"),
+    ).localCheckpoint()
+    subs = arr.select("vec_id", F.explode("sarr").alias("ss")).select(
+        "vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub")
+    )
+    seeds = (
+        ie.select(
+            "vec_id",
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")).alias("pri"),
+        )
+        .orderBy("pri", "vec_id")
+        .limit(L.PQ_CODES)
+        .select(
+            "vec_id", F.expr("row_number() OVER (ORDER BY pri, vec_id)").alias("code")
+        )
+    )
+    cb0 = L._pq_with_norm(
+        subs.join(seeds, "vec_id").select("s", "code", F.col("sub").alias("carr"))
+    ).localCheckpoint()
+    # the replaced chain, verbatim
+    codes0 = L._pq_assign(subs, cb0).select("vec_id", "s", "code")
+    pos = subs.join(codes0, ["vec_id", "s"]).select(
+        "s", "code", F.posexplode("sub").alias("i", "v")
+    )
+    cent = pos.groupBy("s", "code", "i").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nv")
+    )
+    old = L._pq_with_norm(
+        cent.select("s", "code", "i", F.expr("sv div nv").alias("c"))
+        .groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("s", "code", F.transform("ic", lambda x: x["c"]).alias("carr"))
+    )
+    new = L._pq_recenter_cb(subs, cb0)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
