@@ -9206,8 +9206,14 @@ def excise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("before_ppm"),
         )
     )
-    cleaned = _excise_from_hit(docs, hit).select(
-        "doc_id", "source", _tokens(F.col("cleaned")).alias("t")
+    # pin the reconstructed corpus: _verbatim_share_on consumes its
+    # window frame twice (shared-set agg + per-doc join), which would
+    # otherwise re-run the whole excision reconstruction per consumer
+    # (measured ~1s/eval at sf0.1 — r13)
+    cleaned = (
+        _excise_from_hit(docs, hit)
+        .select("doc_id", "source", _tokens(F.col("cleaned")).alias("t"))
+        .localCheckpoint(eager=True)
     )
     after = _verbatim_share_on(cleaned).select(
         "source",
