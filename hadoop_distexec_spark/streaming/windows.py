@@ -383,30 +383,51 @@ def write_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str):
 STREAM_STATE_TARGET_BYTES = 32 << 20
 
 
-def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+def _fs_tree_bytes(fs, path: str) -> int:
+    """Total bytes of the file (or all files under the directory) at
+    ``path``, through the per-scheme FileSystem abstraction."""
+    st = fs.stat(path)
+    if not st.is_dir:
+        return st.size
+    total = 0
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        for child in fs.listdir(d):
+            cst = fs.stat(child)
+            if cst.is_dir:
+                stack.append(child)
+            else:
+                total += cst.size
+    return total
+
+
+def _stream_state_partitions(
+    spark: SparkSession, sf_dir: str, fs=None
+) -> int | None:
     """ceil(events bytes / STREAM_STATE_TARGET_BYTES), capped at
     defaultParallelism, floored at 1 — None when the size is unreadable
-    (callers then keep the session default)."""
-    import os as _os
+    (callers then keep the session default). The size probe goes through
+    fs.resolve_fs (ADVICE r12 / VERDICT r12 #5): an os.path stat returns
+    nothing for hdfs:// or s3:// inputs, which silently no-opped the
+    state sizing exactly where the 100 TB deployment runs; the per-scheme
+    dispatch keeps the rule live on any store fs.py can reach."""
+    from hadoop_distexec_spark.fs import resolve_fs
 
     path = f"{sf_dir}/events.parquet"
     try:
-        if _os.path.isdir(path):
-            nbytes = sum(
-                _os.path.getsize(_os.path.join(r, f))
-                for r, _, fs in _os.walk(path)
-                for f in fs
-            )
-        else:
-            nbytes = _os.path.getsize(path)
-    except OSError:
+        nbytes = _fs_tree_bytes(resolve_fs(path, fs), path)
+    except Exception:
         return None
     dp = spark.sparkContext.defaultParallelism
     return max(1, min(dp, -(-nbytes // STREAM_STATE_TARGET_BYTES)))
 
 
 def _run_bounded(
-    df: DataFrame, mode: str, state_partitions: int | None = None
+    df: DataFrame,
+    mode: str,
+    state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> "DataFrame":
     """Run a streaming DataFrame to exhaustion of the available input
     (availableNow trigger) into a uniquely-named memory sink and return
@@ -417,11 +438,27 @@ def _run_bounded(
     THIS streaming run only — the stateful stream's state-store partition
     count, sized by _stream_state_partitions from the input volume — and
     restores the session default before returning, so batch twins and
-    later queries are unaffected."""
+    later queries are unaffected.
+
+    ``no_data_batches=False`` skips the trailing zero-input micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled, restored after the
+    run). That batch exists to advance the watermark and flush/finalize
+    state-dependent OUTPUT — outer-join null emission, append-mode window
+    finalization — so it is semantically REQUIRED there and this flag
+    must stay True. For operators whose no-data batch only EVICTS state
+    and emits nothing (inner stream-stream joins, within-watermark dedup,
+    update-mode stateful), it re-executes the whole micro-batch plan for
+    zero output rows — measured 1.2s of the 2.7s inner-join harness at
+    sf0.1, identical results with it skipped (pinned by
+    test_stream_no_data_batch_skip_is_identical)."""
     import uuid
 
     spark = df.sparkSession
     prev = None
+    prev_ndb = None
+    if not no_data_batches:
+        prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -447,6 +484,10 @@ def _run_bounded(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_ndb is not None:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
     return df.sparkSession.table(name)
 
 
@@ -797,7 +838,12 @@ def stream_dim_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate is compute-bound, not state-store-bound — measured 2.3s at
     # the session default vs 3.7s at input-sized partitions (r12)
     got = _run_bounded(
-        stream_dim_join(read_events_stream(spark, sf_dir), cust), "complete"
+        stream_dim_join(read_events_stream(spark, sf_dir), cust),
+        "complete",
+        # stateless join + complete-mode agg: every batch re-emits the
+        # full result, so the trailing no-data batch rewrites the sink
+        # with identical content — skip it (r13)
+        no_data_batches=False,
     )
     batch = stream_dim_join(table(spark, sf_dir, "events"), cust)
     mism = (
@@ -851,6 +897,9 @@ def stream_join_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_join(ev, ev),
         "append",
         state_partitions=_stream_state_partitions(spark, sf_dir),
+        # inner join: the no-data batch only evicts state, emits nothing
+        # (measured: identical rows, 2.7 -> 1.6s at sf0.1 — r13)
+        no_data_batches=False,
     )
     batch_ev = table(spark, sf_dir, "events")
     # pin the batch twin before the two-sided exceptAll: each direction
@@ -938,8 +987,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT input-sized: the Python-side stateful worker is the bottleneck
     # (per-row Decimal quantization), so partitions must follow CPU, not
     # input bytes — measured 1.8s at the session default vs 8.4s when
-    # input-sizing collapsed it to one Python worker (r12)
-    got = _run_bounded(streaming_user_totals_exact(ev), "update")
+    # input-sizing collapsed it to one Python worker (r12). update mode
+    # with NoTimeout: the no-data batch emits nothing — skip it (r13)
+    got = _run_bounded(
+        streaming_user_totals_exact(ev), "update", no_data_batches=False
+    )
     final = (
         got.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_value_e4")).alias("_fin"))
@@ -1013,6 +1065,13 @@ def stream_dedup_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         ),
         "append",
+        # state-store partitions sized from input volume (the r12
+        # stream-stream join lever, applied r13 when this id unfroze);
+        # the dedup's no-data batch only evicts state — first-seen rows
+        # were already emitted in their data batch (identical results
+        # pinned by test_stream_no_data_batch_skip_is_identical)
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+        no_data_batches=False,
     )
     batch = (
         table(spark, sf_dir, "events")
@@ -1024,6 +1083,9 @@ def stream_dedup_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .distinct()
+        # pin the batch twin: each exceptAll direction re-evaluates its
+        # arguments (the r12 outer-join twin lesson)
+        .localCheckpoint(eager=True)
     )
     mism = got.exceptAll(batch).unionAll(batch.exceptAll(got)).count()
     if mism:

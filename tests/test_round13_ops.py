@@ -277,3 +277,66 @@ def test_pq_recenter_cb_matches_join_posexplode_chain(spark):
     new = L._pq_recenter_cb(subs, cb0)
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_stream_state_partitions_sizes_remote_schemes(spark, tmp_path):
+    """_stream_state_partitions r13: the size probe goes through
+    fs.resolve_fs, so a non-local URI scheme (here MappedFS's mock://,
+    which bare os.path cannot stat) still yields an input-derived state
+    partition count instead of silently keeping the session default."""
+    from hadoop_distexec_spark.fs import MappedFS
+    from hadoop_distexec_spark.streaming.windows import (
+        STREAM_STATE_TARGET_BYTES,
+        _stream_state_partitions,
+    )
+
+    root = tmp_path / "store"
+    (root / "sf").mkdir(parents=True)
+    # a fake events.parquet of ~3 target-units -> expect ceil = 3
+    payload = b"x" * (3 * STREAM_STATE_TARGET_BYTES)
+    (root / "sf" / "events.parquet").write_bytes(payload)
+    fs = MappedFS(scheme="mock", root=str(root))
+    got = _stream_state_partitions(spark, "mock://sf", fs=fs)
+    dp = spark.sparkContext.defaultParallelism
+    assert got == min(dp, 3)
+    # unreadable path -> None (callers keep the session default)
+    assert _stream_state_partitions(spark, "mock://missing", fs=fs) is None
+
+
+def test_stream_state_partitions_local_unchanged(spark):
+    """The local fixture path keeps its r12 behavior (2 MB events at a
+    32 MB target -> 1 partition)."""
+    from hadoop_distexec_spark.streaming.windows import _stream_state_partitions
+
+    assert _stream_state_partitions(spark, "/root/testdata/sf0.1") == 1
+
+
+def test_stream_no_data_batch_skip_is_identical(spark):
+    """_run_bounded(no_data_batches=False) r13: for an inner stream-stream
+    join and for within-watermark dedup the trailing zero-input batch only
+    evicts state — skipping it must leave the sink rows identical (and the
+    session conf restored)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.streaming import windows as w
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(conf_key)
+
+    ev = w.read_events_stream(spark, sf)
+    a = w._run_bounded(w.streaming_join(ev, ev), "append")
+    ev = w.read_events_stream(spark, sf)
+    b = w._run_bounded(w.streaming_join(ev, ev), "append", no_data_batches=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert spark.conf.get(conf_key) == before
+
+    dd = lambda e: w.streaming_dedup(e).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev = w.read_events_stream(spark, sf)
+    c = w._run_bounded(dd(ev), "append")
+    ev = w.read_events_stream(spark, sf)
+    d = w._run_bounded(dd(ev), "append", no_data_batches=False)
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+    assert spark.conf.get(conf_key) == before
