@@ -2820,18 +2820,27 @@ def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrase families that share no shingles; a curation run takes the
     union of both edge sets before choosing representatives.
 
-    Same scale shape as the lexical version: label-blocked pair mining
-    (sum n_c², never N²), then min-label propagation whose per-round
-    shuffle is bounded by edge endpoints. Oracle: exact-decimal cosine
-    pairs + recursive-CTE transitive closure — a fully hash-checked
-    iterative operator."""
-    from hadoop_distexec_spark.operators.pipeline import connected_components
+    Scale shape (r13): label-blocked pair mining (sum n_c², never N²),
+    and because the builder blocks by label no component ever spans
+    cells — the same decomposition the capped tier exploits — so CC runs
+    as the per-cell union-find (connected_components_cell_local, cell
+    attached via a pruned 2-column join on doc_a) with the distributed
+    jump loop as the oversized-cell fallback. Oracle: exact-decimal
+    cosine pairs + recursive-CTE transitive closure — a fully
+    hash-checked iterative operator."""
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components_cell_local,
+    )
 
-    e = table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("doc_id"))
     edges = q_dedup_embed(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    labels = connected_components(e, edges)
+    cell_of = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("label").alias("cell")
+    )
+    labels = connected_components_cell_local(e, edges.join(cell_of, "doc_a"))
     return labels.select(
         F.col("doc_id").alias("vec_id"), "component"
     ).withColumn(

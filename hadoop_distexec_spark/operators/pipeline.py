@@ -634,14 +634,25 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components over the n-gram-Jaccard
     near-dup pair graph (edges = q_dedup_ngram pairs). component = min
     doc_id in the cluster, i.e. the canonical representative a keep-list
-    would retain; singleton docs are their own component. Iterative
-    min-label propagation on Spark; DuckDB oracles it with a recursive-CTE
-    transitive closure — genuinely iterative, yet still hash-checkable."""
+    would retain; singleton docs are their own component. DuckDB oracles
+    it with a recursive-CTE transitive closure — genuinely iterative on
+    the oracle side, yet still hash-checkable.
+
+    Shape (r13): the near-dup pair list is SMALL by nature (it is the
+    dedup OUTPUT, not the corpus — 260 edges at sf0.1), yet the
+    distributed min-label loop paid ~1.3s of per-round blocking jobs on
+    it. The edges now run through connected_components_cell_local under
+    a single cell: when the measured edge count fits one task
+    (CC_CELL_LOCAL_MAX_EDGES) a single union-find pass labels the graph;
+    a larger pair list falls back to the distributed jump loop —
+    identical labels either way (the r12 guard pattern)."""
     from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     edges = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, edges)
+    labels = connected_components_cell_local(
+        docs, edges.select(F.lit(0).alias("cell"), "doc_a", "doc_b")
+    )
     return labels.withColumn(
         "cluster_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("long")
     )

@@ -340,3 +340,27 @@ def test_stream_no_data_batch_skip_is_identical(spark):
     d = w._run_bounded(dd(ev), "append", no_data_batches=False)
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
     assert spark.conf.get(conf_key) == before
+
+
+def test_single_cell_cc_matches_distributed_on_ngram_graph(spark):
+    """q_dedup_groups r13: routing the small near-dup pair list through
+    connected_components_cell_local under one constant cell must label
+    identically to the distributed min-label loop."""
+    from pyspark.sql import functions as F
+
+    from hadoop_distexec_spark.operators.llmops import q_dedup_ngram
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components,
+        connected_components_cell_local,
+    )
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id")
+    edges = q_dedup_ngram(spark, sf).select("doc_a", "doc_b")
+    fast = connected_components_cell_local(
+        docs, edges.select(F.lit(0).alias("cell"), "doc_a", "doc_b")
+    )
+    slow = connected_components(docs, edges)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
