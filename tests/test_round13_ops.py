@@ -364,3 +364,52 @@ def test_single_cell_cc_matches_distributed_on_ngram_graph(spark):
     slow = connected_components(docs, edges)
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
+
+
+def test_kcore_peel_cells_oversized_fallback_is_identical(spark):
+    """_kcore_peel_cells r13 guard (VERDICT r12 #1): forcing the
+    max-cell-edges bound must route through the distributed _kcore_peel
+    and return the identical surviving edges + certificate."""
+    from pyspark.sql import functions as F
+
+    import hadoop_distexec_spark.operators.llmops as L
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    edges = L.embed_edges_capped(spark, sf).select("vec_a", "vec_b")
+    sym = edges.select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v"))
+    )
+    emb = table(spark, sf, "embeddings").select("vec_id", "label")
+    cell_of = emb.select(F.col("vec_id").alias("u"), F.col("label").alias("cell"))
+    sc = sym.join(cell_of, "u")
+    fast = L._kcore_peel_cells(sc, L.KCORE_K, L.KCORE_ROUNDS)
+    slow = L._kcore_peel_cells(sc, L.KCORE_K, L.KCORE_ROUNDS, max_cell_edges=0)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_cc_cell_local_validate_blocking_trips_on_cross_cell_edge(spark):
+    """connected_components_cell_local's debug-path guard (VERDICT r12
+    #3): a planted doc appearing under two cells must raise instead of
+    silently duplicating labels; a clean cell-blocked set passes."""
+    import pytest as _pytest
+
+    from hadoop_distexec_spark.operators.pipeline import (
+        connected_components_cell_local,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    clean = spark.createDataFrame(
+        [(0, 1, 2), (1, 3, 4)], "cell int, doc_a long, doc_b long"
+    )
+    out = connected_components_cell_local(nodes, clean, validate_blocking=True)
+    assert out.count() == 6
+    # doc 3 under cells 0 AND 1
+    dirty = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (1, 3, 4)], "cell int, doc_a long, doc_b long"
+    )
+    with _pytest.raises(AssertionError, match="cell-blocking invariant"):
+        connected_components_cell_local(nodes, dirty, validate_blocking=True)
