@@ -413,3 +413,48 @@ def test_cc_cell_local_validate_blocking_trips_on_cross_cell_edge(spark):
     )
     with _pytest.raises(AssertionError, match="cell-blocking invariant"):
         connected_components_cell_local(nodes, dirty, validate_blocking=True)
+
+
+def test_contract_line_accounts_and_stabilizes_omissions():
+    """bench r13 (VERDICT r12 #2/#4): the contract line carries
+    n_queries + an omitted-set md5 (an id missing from the itemized dict
+    is provably truncation, never a drop), and the fill ranks by
+    max(current, previous) seconds so the kept set does not flip with
+    sub-second lane noise between rounds."""
+    import hashlib
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    qs = {f"q_{'x' * 30}_{i:03d}": 0.4 + (i % 7) / 10 for i in range(90)}
+    qs["q_slow"] = 9.0
+    out = {
+        "metric": "headline_queries_total",
+        "value": sum(qs.values()),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": qs,
+        "_prev_queries": {},
+    }
+    c = b._compact_contract_line(out)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= b._TAIL_BUDGET
+    assert c["n_queries"] == len(qs)
+    omitted = sorted(k for k in qs if k not in c["queries"])
+    assert c["queries_omitted"] == len(omitted)
+    assert (
+        c["queries_omitted_md5"]
+        == hashlib.md5(",".join(omitted).encode()).hexdigest()[:10]
+    )
+    assert "q_slow" in c["queries"]
+
+    # an id slow in the PREVIOUS lane stays itemized even when the
+    # current lane reads it fast (the r12 phantom-drop shape)
+    fast_id = omitted[0]
+    out2 = dict(out)
+    out2["_prev_queries"] = {fast_id: 8.0}
+    c2 = b._compact_contract_line(out2)
+    assert fast_id in c2["queries"]
