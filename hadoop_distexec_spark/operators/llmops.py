@@ -3431,11 +3431,17 @@ def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = embed_edges_capped_ivf(spark, sf_dir).select("vec_a", "vec_b")
     lab = lab.localCheckpoint(eager=True)
     ivf = ivf.localCheckpoint(eager=True)
-    n_lab = lab.count()
-    n_ivf = ivf.count()
-    n_common = lab.join(ivf, ["vec_a", "vec_b"]).count()
+    # all four scalar counts ride ONE plan of crossJoined 1-row
+    # aggregates over the pinned edge sets (r13; previously four
+    # separate driver-blocking .count() jobs) — AQE broadcasts the
+    # provably-1-row sides, no hints needed
     emb_lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n_ivf_outside_label_blocking = (
+    nl = lab.agg(F.count(F.lit(1)).alias("n_lab"))
+    ni = ivf.agg(F.count(F.lit(1)).alias("n_ivf"))
+    nc = lab.join(ivf, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    nx = (
         ivf.join(
             emb_lab.select(
                 F.col("vec_id").alias("vec_a"), F.col("label").alias("lab_a")
@@ -3449,21 +3455,22 @@ def ivf_cap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
         )
         .filter(F.col("lab_a") != F.col("lab_b"))
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_cross"))
     )
-    union = n_lab + n_ivf - n_common
-    return spark.createDataFrame(
-        [
-            (
-                n_lab,
-                n_ivf,
-                n_common,
-                (n_common * 1_000_000 // union) if union else 0,
-                n_ivf_outside_label_blocking,
-            )
-        ],
-        "n_label_capped long, n_ivf_capped long, n_common long, "
-        "jaccard_ppm long, n_ivf_cross_label long",
+    return (
+        nl.crossJoin(ni)
+        .crossJoin(nc)
+        .crossJoin(nx)
+        .select(
+            F.col("n_lab").alias("n_label_capped"),
+            F.col("n_ivf").alias("n_ivf_capped"),
+            F.col("n_common"),
+            F.expr(
+                "CASE WHEN n_lab + n_ivf - n_common = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_common * 1000000 div (n_lab + n_ivf - n_common) END"
+            ).alias("jaccard_ppm"),
+            F.col("n_cross").alias("n_ivf_cross_label"),
+        )
     )
 
 
