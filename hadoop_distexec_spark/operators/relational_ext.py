@@ -1202,13 +1202,59 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE expression tree. row_number ties on equal v are harmless: every
     rank inside a tie block holds the same value.
 
-    Shape: one Exchange on the group key carries both the ranking window
-    and the aggregate; at 100 TB the exact path is the audit tier and
-    approx_percentile (GK sketch, map-side mergeable, no sort) is the
+    Shape (r13): the exact tier runs as one Arrow pass per group — numpy
+    sorts the bounded group in-task and applies the identical integer-
+    exact rank interpolation at all three points (the q_robust_stats
+    rewrite, guide §4.2; bit-equal by the shared formula, pinned by
+    test_agg_percentile_arrow_matches_window_tier) — while the GK
+    production tier stays a map-side-combinable hash aggregate. A group
+    over ROBUST_GROUP_LOCAL_MAX_ROWS (one bounded agg decides) falls
+    back to the r4 window tier below, which sorts with spilling. At
+    100 TB the exact path is the audit tier and approx_percentile is the
     production tier — this query ships both and proves they agree."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v")
     )
+    grp_max = (
+        li.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if grp_max is not None and grp_max <= ROBUST_GROUP_LOCAL_MAX_ROWS:
+
+        def _pcts(pdf):
+            import numpy as np
+            import pandas as pd
+
+            xs = np.sort(pdf["v"].to_numpy())
+            n = len(xs)
+            row = {"g": [pdf["g"].iloc[0]], "n": [n]}
+            for p in _PCTS:
+                lo = ((n - 1) * p) // 100
+                rem = ((n - 1) * p) % 100
+                hi = lo + (1 if rem > 0 else 0)
+                row[f"p{p}"] = [
+                    float(xs[lo])
+                    + (float(xs[hi]) - float(xs[lo])) * (rem / 100.0)
+                ]
+            return pd.DataFrame(row)
+
+        exact = li.groupBy("g").applyInPandas(
+            _pcts,
+            schema="g string, n long, "
+            + ", ".join(f"p{p} double" for p in _PCTS),
+        )
+        approx = li.groupBy("g").agg(
+            F.percentile_approx("v", 0.5, 10000).alias("_approx_p50")
+        )
+        return exact.join(approx, "g").select(
+            F.col("g").alias("l_returnflag"), "n", "p25", "p50", "p75",
+            (F.abs(F.col("_approx_p50") - F.col("p50")) <= F.lit(1.0)).alias(
+                "median_ok"
+            ),
+        )
+
     w = W.partitionBy("g").orderBy("v")
     # rank index, group size, and the per-percentile lo/hi rank selectors
     # are all per-row columns (n is constant within a group, so the

@@ -458,3 +458,22 @@ def test_contract_line_accounts_and_stabilizes_omissions():
     out2["_prev_queries"] = {fast_id: 8.0}
     c2 = b._compact_contract_line(out2)
     assert fast_id in c2["queries"]
+
+
+def test_agg_percentile_arrow_matches_window_tier(spark):
+    """q_agg_percentile r13: the Arrow exact tier must be bit-equal to
+    the window tier at every percentile point — forced by running the
+    registered fn both under and over the group-size guard."""
+    import hadoop_distexec_spark.operators.relational_ext as rx
+    from hadoop_distexec_spark.registry import specs
+
+    fn = specs()["q_agg_percentile"].fn
+    sf = "/root/testdata/sf0.001"
+    fast = {r["l_returnflag"]: r.asDict() for r in fn(spark, sf).collect()}
+    old = rx.ROBUST_GROUP_LOCAL_MAX_ROWS
+    rx.ROBUST_GROUP_LOCAL_MAX_ROWS = 0
+    try:
+        slow = {r["l_returnflag"]: r.asDict() for r in fn(spark, sf).collect()}
+    finally:
+        rx.ROBUST_GROUP_LOCAL_MAX_ROWS = old
+    assert fast == slow
