@@ -3031,15 +3031,109 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle counts the same triangles directly as ordered id-triples
     a<b<c (DuckDB's optimizer is welcome to its own plan); each triangle
-    is found exactly once on both sides, so per-vertex counts agree."""
+    is found exactly once on both sides, so per-vertex counts agree.
+
+    Shape (r13): the edge builder blocks by label, so a triangle's three
+    mutually-connected vertices always share a cell and the count
+    decomposes per cell — one shuffle groups each cell's edges and a
+    per-cell pass enumerates each triangle once at its smallest edge
+    (common neighbors above the larger endpoint), replacing the four
+    hash joins + explode + aggregate of the degree-oriented pipeline.
+    Per-vertex counts are enumeration-scheme-independent (every scheme
+    finds each triangle exactly once), so the output is identical —
+    pinned by an equivalence test against triangle_counts, which remains
+    the oversized-cell fallback (and the frozen capped tier's engine)."""
+    emb = table(spark, sf_dir, "embeddings")
     edges = (
         q_dedup_embed(spark, sf_dir)
-        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-        .persist()
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
     )
-    out = triangle_counts(edges).localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
+    cell_of = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"))
+    return _tri_counts_cell_local(
+        edges.join(cell_of, "vec_a"),
+        fallback=lambda: triangle_counts(
+            edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        ),
+    ).localCheckpoint(eager=True)
+
+
+# per-cell edge bound for the one-task triangle pass: tighter than the
+# CC/k-core 4M bound because the per-edge work is a sorted-array
+# intersection (numpy per edge), not O(1) union-find steps — 1M edges is
+# ~seconds of single-task CPU and ~16 MB of ids; anything larger falls
+# back to the distributed degree-oriented join pipeline.
+TRI_CELL_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _tri_counts_cell_local(
+    edges_cell: DataFrame,
+    fallback,
+    max_cell_edges: int = TRI_CELL_LOCAL_MAX_EDGES,
+) -> DataFrame:
+    """Per-vertex triangle counts over a CELL-BLOCKED (cell, vec_a,
+    vec_b) edge set (vec_a < vec_b, unique): every triangle's vertices
+    share a cell, so the count decomposes per cell. Each cell's pass
+    enumerates each triangle exactly once at its (x, y) edge with the
+    common-neighbor filter z > y; per-vertex counts do not depend on the
+    enumeration scheme, so the result equals triangle_counts' oriented
+    pipeline row-for-row. The two-stage guard is the CC-family pattern:
+    the TOTAL edge count rides the checkpoint via Observation, and only
+    an over-bound total pays the per-cell max aggregate before invoking
+    ``fallback()`` (a thunk returning the distributed result)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    edges_cell = edges_cell.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    if (obs.get["n"] or 0) > max_cell_edges:
+        mx = (
+            edges_cell.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if mx is not None and mx > max_cell_edges:
+            return fallback()
+
+    def _tri(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf["vec_a"].to_numpy(np.int64)
+        b = pdf["vec_b"].to_numpy(np.int64)
+        # np.unique sorts ascending: index order == id order, so the
+        # vec_a < vec_b input order carries to ia < ib
+        ids, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = idx[: len(a)], idx[len(a) :]
+        n = len(ids)
+        endp = np.concatenate([ia, ib])
+        deg = np.bincount(endp, minlength=n)
+        order = np.argsort(endp, kind="stable")
+        nbr = np.concatenate([ib, ia])[order]
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=starts[1:])
+        for v in range(n):
+            nbr[starts[v] : starts[v + 1]].sort()
+        counts = np.zeros(n, np.int64)
+        for x, y in zip(ia, ib):
+            common = np.intersect1d(
+                nbr[starts[x] : starts[x + 1]],
+                nbr[starts[y] : starts[y + 1]],
+                assume_unique=True,
+            )
+            z = common[common > y]
+            if len(z):
+                counts[x] += len(z)
+                counts[y] += len(z)
+                counts[z] += 1  # z unique -> fancy assignment is exact
+        keep = counts > 0
+        return pd.DataFrame({"vec_id": ids[keep], "n_tri": counts[keep]})
+
+    return edges_cell.groupBy("cell").applyInPandas(
+        _tri, schema="vec_id long, n_tri long"
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -477,3 +477,59 @@ def test_agg_percentile_arrow_matches_window_tier(spark):
     finally:
         rx.ROBUST_GROUP_LOCAL_MAX_ROWS = old
     assert fast == slow
+
+
+def test_tri_counts_cell_local_matches_oriented_pipeline(spark):
+    """q_triangle_count r13: the per-cell enumeration must equal the
+    degree-oriented join pipeline row-for-row on the natural graph and
+    on a planted graph with a clique, a chain, and shared-triangle
+    vertices."""
+    from pyspark.sql import functions as F
+
+    import hadoop_distexec_spark.operators.llmops as L
+    from hadoop_distexec_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    edges = L.q_dedup_embed(spark, sf).select("vec_a", "vec_b").localCheckpoint(
+        eager=True
+    )
+    cell_of = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"))
+    fast = L._tri_counts_cell_local(edges.join(cell_of, "vec_a"), fallback=None)
+    slow = L.triangle_counts(
+        edges.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+    # planted: K4 on {1,2,3,4} + triangle {5,6,7} sharing vertex 4 via
+    # chain edges (4,5) — chain edges contribute no triangles
+    rows = [
+        (0, 1, 2), (0, 1, 3), (0, 1, 4), (0, 2, 3), (0, 2, 4), (0, 3, 4),
+        (0, 4, 5), (0, 5, 6), (0, 5, 7), (0, 6, 7),
+    ]
+    pe = spark.createDataFrame(rows, "cell int, vec_a long, vec_b long")
+    got = {
+        r["vec_id"]: r["n_tri"]
+        for r in L._tri_counts_cell_local(pe, fallback=None).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+
+
+def test_tri_counts_cell_local_forced_fallback(spark):
+    """max_cell_edges=0 must route through the fallback thunk."""
+    from pyspark.sql import functions as F
+
+    import hadoop_distexec_spark.operators.llmops as L
+
+    pe = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 3), (0, 2, 3)], "cell int, vec_a long, vec_b long"
+    )
+    out = L._tri_counts_cell_local(
+        pe,
+        fallback=lambda: L.triangle_counts(
+            pe.select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        ),
+        max_cell_edges=0,
+    )
+    assert {r["vec_id"]: r["n_tri"] for r in out.collect()} == {1: 1, 2: 1, 3: 1}
