@@ -1469,8 +1469,12 @@ def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    n_cells = emb.select("label").distinct().count()
-    n_vecs = emb.count()
+    # both MOD inputs in ONE aggregate job (r13; previously a distinct
+    # count plus a separate full count)
+    _c = emb.agg(
+        F.countDistinct("label").alias("nc"), F.count(F.lit(1)).alias("nv")
+    ).collect()[0]
+    n_cells, n_vecs = _c["nc"], _c["nv"]
     cmod = _agree_cell_mod(n_cells)
     vmod = _truth_sample_mod(n_vecs)
 
@@ -1524,10 +1528,17 @@ def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     # the exact arm: ~TRUTH_SAMPLE_TARGET_DOCS vectors whatever the
-    # corpus size, so the within-cell self-join below is constant-sized
-    sv = cells.filter(in_mod("ccv:", F.col("vec_id"), vmod)).localCheckpoint(
-        eager=True
+    # corpus size, so the within-cell self-join below is constant-sized;
+    # its row count rides the checkpoint via Observation (r13)
+    from pyspark.sql import Observation
+
+    _obs_sv = Observation()
+    sv = (
+        cells.filter(in_mod("ccv:", F.col("vec_id"), vmod))
+        .observe(_obs_sv, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_sv = _obs_sv.get["n"] or 0
     a = sv.select(
         "cell",
         F.col("vec_id").alias("id_a"),
@@ -1578,24 +1589,29 @@ def cc_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_comember_capped"
         ),
     )
-    stats_c = (
+    # cluster stats and the sampled-cell count ride the FINAL plan as
+    # crossJoined 1-row aggregates over the pinned frames (r13;
+    # previously two more driver-blocking collect/count jobs)
+    stats_f = (
         lab_c.groupBy("component")
         .count()
-        .agg(F.count(F.lit(1)).alias("nc"), F.max("count").alias("mx"))
-        .collect()[0]
+        .agg(F.count(F.lit(1)).alias("_nc"), F.max("count").alias("_mx"))
     )
-    n_sv = sv.count()
-    n_cells_sampled = cells.select("cell").distinct().count()
-    return agg.select(
-        F.lit(n_cells_sampled).cast("long").alias("n_cells_sampled"),
-        F.lit(n_sv).cast("long").alias("n_vecs_truth_sampled"),
-        "n_exact_pairs_sampled",
-        F.col("n_comember_capped").cast("long").alias("n_comember_capped"),
-        F.expr("n_comember_capped * 1000000 div n_exact_pairs_sampled")
-        .cast("long")
-        .alias("comember_recall_ppm"),
-        F.lit(stats_c["nc"]).cast("long").alias("n_clusters_capped_sampled"),
-        F.lit(stats_c["mx"]).cast("long").alias("max_cluster_capped_sampled"),
+    ncs_f = cells.agg(F.countDistinct("cell").alias("_ncells"))
+    return (
+        agg.crossJoin(ncs_f)
+        .crossJoin(stats_f)
+        .select(
+            F.col("_ncells").cast("long").alias("n_cells_sampled"),
+            F.lit(n_sv).cast("long").alias("n_vecs_truth_sampled"),
+            "n_exact_pairs_sampled",
+            F.col("n_comember_capped").cast("long").alias("n_comember_capped"),
+            F.expr("n_comember_capped * 1000000 div n_exact_pairs_sampled")
+            .cast("long")
+            .alias("comember_recall_ppm"),
+            F.col("_nc").cast("long").alias("n_clusters_capped_sampled"),
+            F.col("_mx").cast("long").alias("max_cluster_capped_sampled"),
+        )
     )
 
 
