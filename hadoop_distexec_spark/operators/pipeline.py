@@ -492,6 +492,14 @@ def connected_components_jump(
 # |E_cell| <= m*cap. A corpus whose largest cell exceeds it falls back
 # to the distributed jump loop (identical output), so the fast path can
 # never OOM a task and the slow path can never be wrong.
+#
+# The PRACTICAL constraint at the bound is CPU, not memory (ADVICE r12
+# #1): the per-edge union step is an interpreted-Python find/union loop
+# (path-compressed, near-linear), so a cell AT the 4M bound costs tens
+# of seconds of single-task CPU — acceptable for a one-off consolidation
+# of a pathological hot cell (the alternative jump loop pays O(log
+# diameter) corpus-wide shuffle rounds), but the bound should not be
+# raised without vectorizing the union pass.
 CC_CELL_LOCAL_MAX_EDGES = 4_000_000
 
 

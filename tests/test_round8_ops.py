@@ -182,10 +182,13 @@ def test_audit_wave_plan_shapes(spark):
     assert "Join" not in p, p
 
     p = _plan(audits.sliding_distinct(spark, SF_SMALL))
-    # the exact and HLL arms are separate aggregations joined on the
-    # bounded window key (the Expand-amplification fix) — exactly one
-    # equi-join, never a nested loop
-    assert p.count("Join") >= 1 and "BroadcastNestedLoopJoin" not in p, p
+    # r13 fused cascade: both arms ride one groupBy(win, user) ->
+    # groupBy(win) aggregation chain — ONE scan, no join at all, and
+    # still no Expand (the original countDistinct+HLL amplification this
+    # test was built to keep out) and no nested loop
+    assert "Join" not in p, p
+    assert "Expand" not in p, p
+    assert p.count("Scan parquet") == 1, p
     assert "CartesianProduct" not in p, p
 
 
